@@ -1,0 +1,71 @@
+"""Parquet table catalog for the driver-provided test fixtures.
+
+Loads the TPC-H-ish star schema + events/documents/embeddings tables
+(TESTDATA.md) with schema fix-ups so downstream operators see clean types.
+At 100 TB these reads become partitioned-table scans; everything here is a
+plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown, column
+pruning and partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_runtime_conf(spark: SparkSession) -> None:
+    # Runtime-settable; required even when the session was built elsewhere
+    # (the verification driver passes its own session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a nanos
+    long (legacy conf) and we floor-divide to micros — identical to how
+    micro-resolution engines (DuckDB included) truncate nanos.
+    """
+    _ensure_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load several tables as a dict — the engine's 'dataset' abstraction.
+
+    Mirrors the reference's whistle-input dataset (one JSON document with a
+    key per table, wstlr/extractor.py:207-224) as a catalog of lazy
+    DataFrames: nothing is read until an action runs, so inactive tables
+    cost nothing (the reference's active_tables pruning,
+    wstlr/extractor.py:299, falls out of lazy evaluation for free).
+    """
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,23 @@
+"""Dataflow + analytics operators.
+
+Whistler-parity (SURVEY.md §2): ``nest`` (group-by→content, embed),
+``aggregators`` (wide→long pivot), ``harmonize`` (broadcast ConceptMap
+join), ``profiling`` (summaries/min-max/value-counts).
+
+Scale extensions: ``relational`` (top-k per group, sequential codes,
+as-of join), ``dedup`` (exact/minhash/simhash/ngram/embedding),
+``similarity`` (cosine top-k), ``text`` (lang-id/quality/tokens/
+fingerprints), ``multimodal`` (binary columns + Arrow UDF plumbing).
+"""
+
+from ncpi_whistler_spark.operators.nest import group_to_nested, embed
+from ncpi_whistler_spark.operators.aggregators import aggregate_columns
+from ncpi_whistler_spark.operators.harmonize import harmonize, add_display_columns
+
+__all__ = [
+    "group_to_nested",
+    "embed",
+    "aggregate_columns",
+    "harmonize",
+    "add_display_columns",
+]

@@ -1,0 +1,103 @@
+"""Harmonize: broadcast ConceptMap lookup as an equi-join (J3/H1).
+
+Reference semantics (wstlr/wlib/core/_harmonize.wstl:7-9 + map built by
+wstlr/conceptmap.py:380-550): ``$HarmonizeCode(code, system)`` returns ALL
+target codings for (code, source-system), including the ``self`` entry that
+carries the original display text. Every downstream Harmonize* variant
+(functions/harmonize.py) is a filter/selector over that array.
+
+Scale design: the ConceptMap side is grouped to one row per key and
+broadcast, so harmonizing a column on a 100 TB fact table is a map-side
+hash join — zero shuffle of the fact side, and N harmonized columns are N
+independent broadcast joins Catalyst can pipeline in one stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.sources.harmony import ConceptMap
+
+
+def harmonize(
+    df: DataFrame,
+    value_col: str | Column,
+    local_system: str,
+    concept_map: ConceptMap,
+    output_col: str = "codings",
+) -> DataFrame:
+    """Add ``output_col: array<struct<code,display,system>>`` with all
+    codings for (value, local_system). Unmapped values get an empty array
+    (whistle returns nil; empty array keeps downstream HOFs total)."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    lookup = (
+        concept_map.codings_df()
+        .where(F.col("local_system") == local_system)
+        .select(
+            F.col("local_code").alias("__h_code"),
+            F.col("codings").alias(output_col),
+        )
+    )
+    out = df.join(
+        F.broadcast(lookup), on=value.cast("string") == F.col("__h_code"), how="left"
+    ).drop("__h_code")
+    empty = F.array().cast("array<struct<code:string,display:string,system:string>>")
+    return out.withColumn(output_col, F.coalesce(F.col(output_col), empty))
+
+
+def add_display_columns(
+    df: DataFrame,
+    columns: list[str],
+    concept_map: ConceptMap,
+    suffix: str = "_display",
+) -> DataFrame:
+    """P2: for every listed column, add ``<col><suffix>`` with the harmony
+    display for its value (reference: wstlr/extractor.py:189-191, display
+    dict built per local_system at :274-282).
+
+    One broadcast join per column, all map-side. The local_system for a
+    column is the column name itself (the reference keys the display dict
+    on parent_varname).
+    """
+    disp = concept_map.display_map_df()
+    out = df
+    for c in columns:
+        lkp = F.broadcast(
+            disp.where(F.col("local_system") == c).select(
+                F.col("local_code").alias(f"__d_{c}"),
+                F.col("display").alias(c + suffix),
+            )
+        )
+        out = out.join(
+            lkp, on=F.col(c).cast("string") == F.col(f"__d_{c}"), how="left"
+        ).drop(f"__d_{c}")
+    return out
+
+
+def harmonize_map_expr(
+    concept_map: ConceptMap, local_system: str
+) -> tuple[Column, Column]:
+    """Alternative zero-join form for very small maps: returns
+    (map_expr, keys) where map_expr is a ``create_map`` literal usable as
+    ``element_at(map, col)``. Driver-collects the map — only for
+    config-sized dictionaries (the reference's are always config-sized)."""
+    rows = (
+        concept_map.codings_df()
+        .where(F.col("local_system") == local_system)
+        .collect()
+    )
+    pairs: list[Column] = []
+    for r in rows:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c["code"]).alias("code"),
+                    F.lit(c["display"]).alias("display"),
+                    F.lit(c["system"]).alias("system"),
+                )
+                for c in r["codings"]
+            ]
+        )
+        pairs.extend([F.lit(r["local_code"]), arr])
+    return F.create_map(*pairs), F.lit([r["local_code"] for r in rows])

@@ -1,0 +1,137 @@
+"""Relational operators the reference lacks but the engine exposes
+(SURVEY.md §2.3/§2.5 "not present" lists + W1/L1/O-ops).
+
+Catalyst provides the physical strategies; these helpers encode the right
+logical shapes so the optimizer can do its job: windowed top-k (not
+global sorts), broadcast-range as-of joins, salted aggregations for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """L1: row_number-capped rows per group (the reference's
+    --max-validations cutoff, wstlr/load.py:93,332-339).
+
+    Single shuffle on the partition keys; Spark's WindowGroupLimit pushes
+    the k-limit into the sort so each partition keeps only k rows.
+    Callers must make ``order_by`` total (include a unique tiebreaker) for
+    deterministic results.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def sequential_codes(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    prefix_col: Column,
+    out_col: str = "code",
+    width: int = 6,
+) -> DataFrame:
+    """W1: deterministic sequential code generator — ``q000001, ...`` per
+    prefix (reference's global counter, wstlr/dd/dd_from_fhir.py:17-21,
+    199-202, made distributed-safe by deriving the sequence from an
+    explicit total order instead of mutable driver state)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(
+        out_col,
+        F.format_string(f"%s%0{width}d", prefix_col, F.row_number().over(w)),
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """EXISTS: rows of left with a match in right. Right side reduced to
+    distinct keys first so it broadcasts whenever possible."""
+    return left.join(right.select(*on).dropDuplicates(on), on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """NOT EXISTS: rows of left without a match in right (the reference's
+    unresolved-reference miss-set, wstlr/load.py:264-286, is exactly this)."""
+    return left.join(right.select(*on).dropDuplicates(on), on=on, how="left_anti")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_time <= left_time (backward) / earliest >= (forward), per key.
+
+    Implementation: union the two sides tagged with a side marker, one
+    window sort per key carries the last-seen right payload to each left
+    row — a single shuffle on the key, no range cross-product, scales to
+    arbitrarily large both sides (the classic streaming-merge as-of plan).
+    """
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in on and c != right_time]
+    lt, rt = F.col(left_time), F.col(right_time)
+    tagged_l = left.select(
+        *on,
+        lt.alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in rcols]).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("__r"),
+    )
+    tagged_r = right.select(
+        *on,
+        rt.alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    )
+    u = tagged_l.unionByName(tagged_r)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 1).select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col("__match")[c].alias(c) for c in rcols],
+    )
+    return out
+
+
+def salted_group_count(
+    df: DataFrame, keys: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase (salted) count aggregation for skewed keys: phase 1
+    aggregates (key, salt) partials, phase 2 merges per key. With AQE's
+    skew handling this is rarely needed for counts (map-side combine
+    already bounds skew), but it is the template for skew-sensitive
+    aggregations at 100 TB."""
+    salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__n"))
+    return partial.groupBy(*keys).agg(F.sum("__n").alias("n"))

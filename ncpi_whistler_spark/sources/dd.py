@@ -1,0 +1,194 @@
+"""Data-dictionary parsing (SURVEY.md §2.1 S5; reference wstlr/dd/*).
+
+The DD is *plan-time* metadata — it describes columns, it is not data. The
+reference parses DD CSVs (required columns variable_name/data_type/
+enumerations, alternate spellings remapped — wstlr/dd/loader.py:18-49,
+wstlr/dd/csv_parser.py:11-52) or a single JSON data model
+(wstlr/dd/json_parser.py:14-52) into DdStudy/DdTable/DdVariable objects.
+
+Here a DD compiles to a Spark ``StructType`` whose per-field ``Metadata``
+carries description/enumerations/units/min/max, plus helpers the plan
+compiler uses: the varname rename map (P1) and typed-cast expressions.
+Parsing is driver-side (schemas are tiny); files are read through Spark so
+any Hadoop-compatible filesystem works.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ncpi_whistler_spark.functions.core import (
+    fix_fieldname,
+    parse_enumerations,
+    standardize_dd_type,
+)
+
+#: base alternate-name map (reference: wstlr/dd/loader.py:43-49)
+_BASE_COLNAMES = {
+    "variable_name": ["variable_name", "varname", "name", "variable"],
+    "description": ["description", "desc", "variable_description"],
+    "data_type": ["data_type", "type"],
+    "enumerations": ["enumerations", "values", "enums"],
+    "min": ["min"],
+    "max": ["max"],
+    "units": ["units", "unit"],
+    "key_component": ["key_component"],
+    "required": ["required"],
+}
+
+_SPARK_TYPES = {
+    "string": StringType(),
+    "enumeration": StringType(),
+    "date": StringType(),  # reference treats dates as strings (SURVEY §1.2)
+    "int": LongType(),
+    "number": DoubleType(),
+    "boolean": BooleanType(),
+}
+
+
+@dataclass
+class DdVariable:
+    """One DD row (reference: wstlr/dd/variable.py:34-178)."""
+
+    varname: str  # normalized via fix_fieldname
+    raw_name: str
+    data_type: str  # canonical DD type
+    description: str = ""
+    enumerations: dict[str, str] = field(default_factory=dict)
+    units: str | None = None
+    min: str | None = None
+    max: str | None = None
+    key_component: bool = False
+
+    def spark_field(self) -> StructField:
+        md = {
+            "description": self.description,
+            "dd_type": self.data_type,
+            "raw_name": self.raw_name,
+        }
+        if self.enumerations:
+            md["enumerations"] = self.enumerations
+        if self.units:
+            md["units"] = self.units
+        if self.min is not None:
+            md["min"] = self.min
+        if self.max is not None:
+            md["max"] = self.max
+        return StructField(
+            self.varname,
+            _SPARK_TYPES[self.data_type],
+            nullable=True,
+            metadata=md,
+        )
+
+
+@dataclass
+class DataDictionary:
+    """A table's DD: ordered variables + key info
+    (reference: wstlr/dd/table.py:14-149)."""
+
+    table_name: str
+    variables: list[DdVariable]
+
+    @classmethod
+    def from_rows(cls, table_name: str, rows: list[dict[str, str]]) -> "DataDictionary":
+        """Build from parsed CSV rows with alternate-column-name
+        resolution (wstlr/dd/loader.py:43-49) and first-duplicate-wins
+        variable naming (wstlr/dd/table.py duplicate handling)."""
+        out: list[DdVariable] = []
+        seen: set[str] = set()
+        for row in rows:
+            lowered = {(k or "").strip().lower(): (v if v is not None else "") for k, v in row.items()}
+            resolved: dict[str, str] = {}
+            for canon, alts in _BASE_COLNAMES.items():
+                for alt in alts:
+                    if alt in lowered and lowered[alt] != "":
+                        resolved[canon] = lowered[alt]
+                        break
+            raw = resolved.get("variable_name", "")
+            if not raw:
+                continue
+            name = fix_fieldname(raw)
+            if name in seen:
+                continue
+            seen.add(name)
+            out.append(
+                DdVariable(
+                    varname=name,
+                    raw_name=raw,
+                    data_type=standardize_dd_type(resolved.get("data_type", "string")),
+                    description=resolved.get("description", ""),
+                    enumerations=parse_enumerations(resolved.get("enumerations")),
+                    units=resolved.get("units") or None,
+                    min=resolved.get("min") or None,
+                    max=resolved.get("max") or None,
+                    key_component=(resolved.get("key_component", "").lower() in ("true", "yes", "1")),
+                )
+            )
+        return cls(table_name, out)
+
+    @classmethod
+    def from_csv(cls, spark: SparkSession, path: str, table_name: str) -> "DataDictionary":
+        rows = (
+            spark.read.option("header", True).csv(path).na.fill("").collect()
+        )
+        return cls.from_rows(table_name, [r.asDict() for r in rows])
+
+    @classmethod
+    def from_json_model(cls, model: dict, table_name: str) -> "DataDictionary":
+        """AnVIL-style JSON data model: {tables: [{table, columns: [...]}]}
+        (wstlr/dd/json_parser.py:35-52)."""
+        for tbl in model.get("tables", []):
+            if tbl.get("table") == table_name:
+                return cls.from_rows(table_name, tbl.get("columns", []))
+        raise KeyError(f"table {table_name!r} not in JSON data model")
+
+    # -- plan-compiler helpers ------------------------------------------
+
+    def schema(self) -> StructType:
+        return StructType([v.spark_field() for v in self.variables])
+
+    def rename_map(self) -> dict[str, str]:
+        """raw header (normalized) → DD varname; identity here because
+        varname IS the normalized header, but kept as the P1 hook for
+        'long descriptive name → code' lookups
+        (wstlr/dd/variable.py:63-72)."""
+        return {fix_fieldname(v.raw_name): v.varname for v in self.variables}
+
+    def key_columns(self) -> list[str]:
+        return [v.varname for v in self.variables if v.key_component]
+
+    def typed(self, df: DataFrame) -> DataFrame:
+        """Opt-in typed view: try_cast string columns per DD type (the
+        reference parses lazily inside whistle with $ParseInt/$ParseFloat
+        guards — try_cast reproduces the no-throw semantics)."""
+        cols = []
+        for c in df.columns:
+            v = next((x for x in self.variables if x.varname == c), None)
+            if v is None:
+                cols.append(F.col(c))
+            else:
+                cols.append(F.col(c).try_cast(_SPARK_TYPES[v.data_type].simpleString()).alias(c))
+        return df.select(*cols)
+
+    def enum_concept_rows(self, system_base: str) -> list[tuple[str, str, str, str, str, str]]:
+        """Enumerations as ConceptMap self-rows for G3-style CodeSystem
+        generation (wstlr/dd/variable.py:150-178)."""
+        rows = []
+        for v in self.variables:
+            for code, desc in v.enumerations.items():
+                rows.append(
+                    (code, desc, v.varname, code, desc, f"{system_base}/{self.table_name}/{v.varname}")
+                )
+        return rows

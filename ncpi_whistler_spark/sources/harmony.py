@@ -1,0 +1,165 @@
+"""Harmony CSV → ConceptMap (SURVEY.md §2.1 S4, §2.4 A5/A6/A7, §2.3 J3).
+
+Reference pipeline (wstlr/conceptmap.py:380-550): read one or more harmony
+CSVs (lowercased headers; required columns ``local code, text, local code
+system, code, display, code system``), union them, dedupe exact mappings on
+the 4-tuple (local system, local code, system, code), curie-prefix target
+codes, and emit a nested ConceptMap with an implicit ``self`` group whose
+display is the local text.
+
+Spark design: the ConceptMap is a *small* mapping DataFrame — it exists to
+be broadcast. ``codings_df()`` pre-groups it to one row per
+(local_code, local_system) with a deterministically-sorted
+``array<struct<code,display,system>>``, so harmonizing a 100 TB fact column
+is a single broadcast-hash join with no shuffle of the fact side.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.functions.core import curie_prefix_col
+from ncpi_whistler_spark.functions.harmonize import SELF_SYSTEM
+
+#: harmony CSV headers → engine column names
+_HARMONY_COLS = {
+    "local code": "local_code",
+    "text": "text",
+    "local code system": "local_system",
+    "code": "code",
+    "display": "display",
+    "code system": "system",
+}
+
+
+def scan_harmony_csv(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Scan harmony CSV(s) into the normalized mapping frame
+    (reference column contract: docs/ref/harmony_files.md:6-32)."""
+    if isinstance(paths, str):
+        paths = [p.strip() for p in paths.split(",") if p.strip()]
+    raw = (
+        spark.read.option("header", True).option("quote", '"').csv(paths)
+    )
+    lower = {c.lower().strip(): c for c in raw.columns}
+    missing = [k for k in _HARMONY_COLS if k not in lower]
+    if missing:
+        raise ValueError(f"harmony file missing required columns: {missing}")
+    return raw.select(
+        *[F.col(lower[src]).alias(dst) for src, dst in _HARMONY_COLS.items()]
+    )
+
+
+class ConceptMap:
+    """A harmonization dictionary backed by a small mapping DataFrame.
+
+    ``mappings`` columns: local_code, text, local_system, code, display,
+    system — one row per (local → target) edge, already deduped.
+    """
+
+    def __init__(self, mappings: DataFrame, curies: Mapping[str, str] | None = None):
+        mappings = mappings.dropDuplicates(
+            ["local_system", "local_code", "system", "code"]
+        )  # A5, wstlr/conceptmap.py:410-428
+        if curies:
+            mappings = mappings.withColumn(
+                "code", curie_prefix_col(F.col("code"), F.col("system"), curies)
+            )  # F6, wstlr/conceptmap.py:83-85
+        self.mappings = mappings
+
+    @classmethod
+    def from_csv(
+        cls,
+        spark: SparkSession,
+        paths: str | list[str],
+        curies: Mapping[str, str] | None = None,
+    ) -> "ConceptMap":
+        return cls(scan_harmony_csv(spark, paths), curies)
+
+    @classmethod
+    def from_rows(
+        cls,
+        spark: SparkSession,
+        rows: list[tuple[str, str, str, str, str, str]],
+        curies: Mapping[str, str] | None = None,
+    ) -> "ConceptMap":
+        """Build from (local_code, text, local_system, code, display,
+        system) tuples — used for config-literal maps and tests."""
+        df = spark.createDataFrame(
+            rows,
+            "local_code string, text string, local_system string, "
+            "code string, display string, system string",
+        )
+        return cls(df, curies)
+
+    def codings_df(self) -> DataFrame:
+        """One row per (local_code, local_system) with all target codings
+        *plus* the self coding (code=local_code, display=text,
+        system='self'; reference: wstlr/conceptmap.py:445-447).
+
+        The array is sorted by (system, code) — the reference relies on
+        file order (A7, wstlr/conceptmap.py:455-469); a distributed engine
+        needs an explicit deterministic order instead.
+        """
+        m = self.mappings
+        targets = m.select(
+            "local_code",
+            "local_system",
+            F.struct("code", "display", "system").alias("coding"),
+        )
+        selfs = m.select("local_code", "local_system", "text").dropDuplicates(
+            ["local_code", "local_system"]
+        ).select(
+            "local_code",
+            "local_system",
+            F.struct(
+                F.col("local_code").alias("code"),
+                F.col("text").alias("display"),
+                F.lit(SELF_SYSTEM).alias("system"),
+            ).alias("coding"),
+        )
+        return (
+            targets.unionByName(selfs)
+            .groupBy("local_code", "local_system")
+            .agg(F.array_sort(F.collect_list("coding")).alias("codings"))
+        )
+
+    def display_map_df(self) -> DataFrame:
+        """(local_system, local_code) → first display, for the extractor's
+        ``<col>_display`` derivation (P2, wstlr/extractor.py:274-282,
+        189-191). 'First' is made deterministic with min(display)."""
+        return self.mappings.groupBy("local_system", "local_code").agg(
+            F.min("display").alias("display")
+        )
+
+    def to_fhir_conceptmap(self, cm_id: str, version: str = "v1") -> DataFrame:
+        """Nested FHIR ConceptMap shape (G5, wstlr/conceptmap.py:430-538):
+        group[] by (source-system, target-system), element[] per local code,
+        target[] per coding — two-level collect_list."""
+        m = self.mappings
+        elements = (
+            m.groupBy("local_system", "system", "local_code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("code", "display"))
+                ).alias("target")
+            )
+            .groupBy("local_system", "system")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("local_code").alias("code"), "target")
+                    )
+                ).alias("element")
+            )
+        )
+        return elements.select(
+            F.lit(cm_id).alias("id"),
+            F.lit("ConceptMap").alias("resourceType"),
+            F.lit(version).alias("version"),
+            F.col("local_system").alias("source"),
+            F.col("system").alias("target"),
+            "element",
+        )

@@ -1,0 +1,110 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every REGISTRY query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, compares row count + column names + order-insensitive
+values (exact equality, including float bits — the engine's queries are
+written to be bit-deterministic).
+
+Usage: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def compare(name: str, spark_df, oracle_rows, oracle_cols) -> list[str]:
+    problems = []
+    scols = sorted(spark_df.columns)
+    ocols = sorted(c.lower() for c in oracle_cols)
+    if [c.lower() for c in scols] != ocols:
+        problems.append(f"columns differ: spark={scols} oracle={ocols}")
+        return problems
+    srows = spark_df.collect()
+    if len(srows) != len(oracle_rows):
+        problems.append(f"row count differs: spark={len(srows)} oracle={len(oracle_rows)}")
+    # sort columns by name, rows by value
+    sidx = [spark_df.columns.index(c) for c in scols]
+    oidx = [list(oracle_cols).index(c) for c in sorted(oracle_cols, key=str.lower)]
+    sset = sorted((tuple(_norm(r[i]) for i in sidx) for r in srows), key=repr)
+    oset = sorted((tuple(_norm(r[i]) for i in oidx) for r in oracle_rows), key=repr)
+    if sset != oset:
+        diffs = [(a, b) for a, b in zip(sset, oset) if a != b]
+        only_s = [r for r in sset if r not in set(oset)]
+        problems.append(
+            f"values differ ({len(diffs)} aligned diffs); first few spark-only: {only_s[:3]}; "
+            f"first aligned diff: {diffs[0] if diffs else None}"
+        )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from ncpi_whistler_spark import get_spark
+    from ncpi_whistler_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failed = []
+    for name, (fn, oracle) in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if oracle is None:
+                n = sdf.count()
+                print(f"  {name}: rows-only check, {n} rows ✓")
+                continue
+            cur = con.execute(oracle)
+            orows = cur.fetchall()
+            ocols = [d[0] for d in cur.description]
+            problems = compare(name, sdf, orows, ocols)
+            if problems:
+                failed.append(name)
+                print(f"✗ {name}:")
+                for p in problems:
+                    print(f"    {p}")
+            else:
+                print(f"✓ {name} ({len(orows)} rows)")
+        except Exception as e:
+            failed.append(name)
+            print(f"✗ {name}: EXCEPTION {type(e).__name__}: {e}")
+    print()
+    if failed:
+        print(f"FAILED: {failed}")
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
