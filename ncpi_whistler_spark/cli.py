@@ -1,0 +1,157 @@
+"""Command-line surface mirroring the reference's entry points
+(pyproject scripts: play / extractjson / bundleup / builddd — reference
+wstlr/play.py:152-497, wstlr/extractor.py:376-399).
+
+Subcommands:
+
+- ``extract``  — study YAML → extracted tables as parquet (or JSON
+                 document for whistle-input parity) [extractjson analog]
+- ``resources``— study YAML → FHIR resource rows (module-partitioned
+                 parquet + optional bundle files) [play transform analog]
+- ``inspect``  — resource parquet → validation report [inspections]
+- ``profile``  — any table → per-column profile [builddd profiling pass]
+
+All subcommands accept ``--master`` (default local[*]) so the same CLI
+drives a cluster via spark-submit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from ncpi_whistler_spark.session import get_spark
+
+    return get_spark(app_name=f"whistler-spark-{args.cmd}", master=args.master)
+
+
+def cmd_extract(args) -> int:
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.pipeline import extract_dataset, to_whistle_input
+
+    spark = _spark(args)
+    cfg = StudyConfig.from_yaml(args.config)
+    ds = extract_dataset(spark, cfg)
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(to_whistle_input(ds), fh, indent=2, default=str)
+        print(f"wrote whistle-input document: {args.json_out}")
+    if args.out:
+        for name, df in ds.tables.items():
+            df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+            print(f"wrote table {name}")
+    return 0
+
+
+def cmd_resources(args) -> int:
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.pipeline import extract_dataset
+    from ncpi_whistler_spark.plans.resources import (
+        dd_codesystems,
+        observations_with_components,
+        questionnaire_responses,
+        resources_to_json,
+    )
+    from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
+
+    spark = _spark(args)
+    cfg = StudyConfig.from_yaml(args.config)
+    ds = extract_dataset(spark, cfg)
+    frames = []
+    for name, df in ds.tables.items():
+        dd = ds.dds.get(name)
+        if dd is None:
+            continue
+        tbl_cfg = cfg.dataset[name]
+        subject = tbl_cfg.subject_id or cfg.id_colname
+        if subject is None or subject not in df.columns:
+            continue
+        keys = (
+            [k.strip() for k in tbl_cfg.key_columns.split(",")]
+            if tbl_cfg.key_columns
+            else None
+        )
+        frames.append(
+            resources_to_json(
+                observations_with_components(df, dd, cfg, name, subject, keys)
+            )
+        )
+        frames.append(
+            resources_to_json(
+                questionnaire_responses(df, dd, cfg, name, subject, keys)
+            )
+        )
+    if ds.dds:
+        frames.append(resources_to_json(dd_codesystems(spark, ds.dds, cfg)))
+    if not frames:
+        print("no resource frames produced (check subject_id/id_colname)", file=sys.stderr)
+        return 1
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out.write.mode("overwrite").partitionBy("module").parquet(args.out)
+    print(f"wrote resources: {args.out}")
+    if args.bundles:
+        write_bundles(prepare_bundle_entries(out), args.bundles)
+        print(f"wrote bundles: {args.bundles}")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from ncpi_whistler_spark.operators.inspector import module_summary, run_inspections
+
+    spark = _spark(args)
+    res = spark.read.parquet(args.resources)
+    checks = run_inspections(res)
+    module_summary(res).show(100, truncate=False)
+    print(json.dumps(checks, indent=2))
+    return 0 if not any(checks.values()) else 2
+
+
+def cmd_profile(args) -> int:
+    from ncpi_whistler_spark.operators.profiling import profile_columns
+
+    spark = _spark(args)
+    df = (
+        spark.read.parquet(args.table)
+        if args.table.endswith(("parquet", "/"))
+        else spark.read.option("header", True).csv(args.table)
+    )
+    profile_columns(df).show(1000, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="whistler-spark")
+    p.add_argument("--master", default=None, help="spark master (default local[*])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="extraction pipeline (extractjson analog)")
+    pe.add_argument("config")
+    pe.add_argument("--out", help="parquet output dir")
+    pe.add_argument("--json-out", help="whistle-input JSON path (parity/debug)")
+    pe.set_defaults(fn=cmd_extract)
+
+    pr = sub.add_parser("resources", help="generate FHIR resources (play analog)")
+    pr.add_argument("config")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--bundles", help="also write transaction bundles here")
+    pr.set_defaults(fn=cmd_resources)
+
+    pi = sub.add_parser("inspect", help="validation suite over resource parquet")
+    pi.add_argument("resources")
+    pi.set_defaults(fn=cmd_inspect)
+
+    pp = sub.add_parser("profile", help="per-column profile of a table")
+    pp.add_argument("table")
+    pp.set_defaults(fn=cmd_profile)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,411 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design notes (the whole point of these at 100 TB):
+
+- Exact dedup is a hash aggregation on the fingerprint — one shuffle of
+  (key, id) pairs, never of document bodies.
+- Candidate generation for fuzzy dedup is always *inverted-index shaped*:
+  explode small keys (shingles / band hashes / hyperplane buckets), shuffle
+  the keys, and only materialize same-bucket pairs. No all-pairs products.
+- Hot keys (a shingle present in half the corpus) are the skew bomb; every
+  generator takes a document-frequency cap that drops keys more common
+  than ``max_df`` before the self-join (stopword shingles carry no signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.operators.text import fingerprint, tokens
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact (normalized) duplicates: one row per fingerprint
+    with multiplicity and the keeper (min id). Downstream: anti-join ids
+    not equal to keeper to drop dups."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each fingerprint group — a
+    deterministic dropDuplicates."""
+    w = df.select(F.col(id_col), fingerprint(text_col).alias("fp"), "*")
+    keepers = w.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keepers.select(id_col), on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# Word n-gram shingles + Jaccard similarity (exact fuzzy-dup measure)
+# --------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] sequence
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold, via an
+    inverted-index self-join (explode shingles → join on shingle →
+    count共 intersections → Jaccard from |A|+|B|-|A∩B|).
+
+    ``max_df`` drops shingles appearing in more than that many docs before
+    the join — the skew/blowup guard at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), on="shingle", how="left_anti")
+    a = exploded.select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = exploded.select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (approximate Jaccard at scale)
+# --------------------------------------------------------------------------
+
+# 31-bit Mersenne prime: a*h + b stays under 2^62, safe in ANSI long math
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation parameters via an LCG (no numpy
+    dependency in the plan; fixed seed ⇒ identical signatures every run)."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 128, seed: int = 42, shingle_n: int = 3
+) -> Column:
+    """Per-row MinHash signature as a single Column expression (array
+    HOFs). Convenient for ad-hoc use; the *operator* path
+    (minhash_signatures) uses explode + columnar min() aggregation
+    instead — HOF lambda chains stay interpreted, while 64 plain min()
+    aggs run in whole-stage codegen, ~an order of magnitude faster."""
+    base = F.transform(
+        shingles(text, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+    sigs = []
+    for a, b in _perm_params(num_hashes, seed):
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
+                )
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    seed: int = 42,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) via the columnar plan: explode shingles,
+    project ``num_hashes`` permuted-hash columns (pure codegen
+    arithmetic), aggregate element-wise min per doc in one shuffle."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
+    proj = ex.select(
+        "id",
+        *[
+            F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+        ],
+    )
+    agg = proj.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    rows-per-band r = num_hashes/bands; a pair collides when any band's
+    r-slice hashes equal. Output: (id_a, id_b, n_bands) — callers verify
+    candidates with ngram_jaccard_pairs on the (tiny) candidate set.
+    Plan shape: columnar signature aggregation (one shuffle on id),
+    explode ``bands`` rows per doc, one shuffle on (band, band_hash),
+    self-join inside buckets only — never an all-pairs product.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed, shingle_n)
+    band_entries = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", bidx * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    a = band_entries.select("band", "bh", F.col("id").alias("id_a"))
+    b = band_entries.select("band", "bh", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (near-dup via Hamming distance on a 64-bit sketch)
+# --------------------------------------------------------------------------
+
+
+def simhash64(text: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens: per bit, sum +1/-1 of each token
+    hash's bit, take the sign. One aggregate fold per bit over the
+    token-hash array (single pass; bit index is a plan-time literal so the
+    shifts compile into codegen)."""
+    th = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def _vote_merge(bit: int):
+        # closure factory: HOF lambdas must be exactly 2-ary (pyspark
+        # derives lambda variables from the signature)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(th, F.lit(0).cast("long"), _vote_merge(b))
+        # bit 63 as signed-long min keeps the sum in range (sets the sign bit)
+        weight = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        out = out + F.when(vote > 0, weight).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sketches(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh) via the columnar plan: explode tokens, project 64 ±1 vote
+    columns (codegen bit arithmetic), sum per doc in one shuffle, fold
+    the vote signs into the 64-bit sketch. Same result as simhash64 for
+    non-empty docs, ~10× faster (no interpreted HOF lambdas)."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    h = F.xxhash64("t")
+    proj = ex.select(
+        "id",
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
+    agg = proj.groupBy("id").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(64)]
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        weight = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        sh = sh + F.when(F.col(f"v{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sh.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, using the
+    pigeonhole block trick: split the 64-bit sketch into ``blocks``
+    chunks; any pair within distance < blocks shares at least one exact
+    chunk → join on (block_idx, chunk) then verify the full distance.
+    One shuffle on the chunk key; no all-pairs."""
+    width = 64 // blocks
+    s = simhash_sketches(df, text_col, id_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("sh"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("chunk"),
+        )
+        for i in range(blocks)
+    ]
+    chunks = s.select(
+        "id", "sh", F.explode(F.array(*chunk_structs)).alias("e")
+    ).select("id", "sh", F.col("e.blk").alias("blk"), F.col("e.chunk").alias("chunk"))
+    a = chunks.select("blk", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = chunks.select("blk", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        a.join(b, on=["blk", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup (cosine over array<float> columns)
+# --------------------------------------------------------------------------
+
+
+def dot_product(x: Column, y: Column) -> Column:
+    """Deterministic dot product: sequential left-fold in double —
+    bit-identical across engines that fold left-to-right (verified
+    against DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine similarity. For pairwise workloads prefer
+    precomputing per-row norms once (see embedding_dup_pairs) — the
+    value is bit-identical, the work is 3× less."""
+    return dot_product(a, b) / (
+        F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding pairs with cosine >= threshold.
+
+    bucket_bits=0: exact all-pairs (quadratic — small corpora / verify
+    path). bucket_bits>0: random-hyperplane LSH prefilter — pairs must
+    share the sign-bit bucket, trading recall for a 2^bits fan-in cut
+    (the scale path; see similarity.hyperplane_bucket).
+    """
+    # norms once per vector (not per pair): same bits, 3× less fold work
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    if bucket_bits > 0:
+        from ncpi_whistler_spark.operators.similarity import hyperplane_bucket
+
+        dim = len(df.select(vec_col).first()[0])
+        v = v.withColumn("bkt", hyperplane_bucket(F.col("v"), dim, bucket_bits, seed))
+        a = v.select("bkt", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        b = v.select("bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        pairs = a.join(b, on="bkt").where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
+    )
+    return sim.where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, one pass, windowed top-k. The baseline and the
+  verification oracle for the approximate tier.
+- ``hyperplane_bucket`` / ``cosine_topk_lsh`` — random-hyperplane LSH:
+  bucket corpus + queries by sign bits, search only matching buckets
+  (optionally with multi-probe neighbors at Hamming distance 1). At 100 TB
+  the bucket column becomes the partition key, so a query touches
+  1/2^bits of the data.
+
+Dot products are sequential left-folds in double (bit-deterministic; see
+operators/dedup.cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.operators.dedup import cosine, dot_product
+from ncpi_whistler_spark.operators.relational import top_k_per_group
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    Output: (query_id, neighbor_id, rank, cos_sim). The query side is
+    broadcast (query batches are small relative to the corpus), so the
+    corpus streams through one stage; the only shuffle is the final
+    per-query top-k window on the (already reduced) scored rows.
+    """
+    # norms computed once per row, not per pair (bit-identical value)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
+    )
+    scored = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    )
+    top = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("cos_sim"),
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-driven, centered
+    uniform). Quality is adequate for bucketing; swap for Gaussian numpy
+    planes when scipy/numpy generation is preferred — kept dependency-free
+    so the plan is reproducible from the seed alone."""
+    planes: list[list[float]] = []
+    state = seed or 1
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, dim: int, bits: int, seed: int = 42) -> Column:
+    """Sign-bit bucket id of a vector under ``bits`` fixed hyperplanes —
+    a pure Column expression (fold per plane), no UDF."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
+        arr = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (plus all Hamming-1 neighbor buckets when ``multiprobe`` —
+    recovers most recall lost at bucket boundaries for ~bits× more probes).
+
+    Same output schema as cosine_topk. At scale, write the corpus
+    partitioned by bucket so a probe prunes to 1/2^bits of the files.
+    """
+    dim = len(corpus.select(corpus_vec).first()[0])
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
+        hyperplane_bucket(F.col(corpus_vec), dim, bits, seed).alias("bkt"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
+        hyperplane_bucket(F.col(query_vec), dim, bits, seed).alias("qbkt"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbkt"),
+            *[F.col("qbkt").bitwiseXOR(F.lit(1 << i)).cast("long") for i in range(bits)],
+        )
+        q = q.select("query_id", "qv", "qn", F.explode(probes).alias("bkt"))
+    else:
+        q = q.select("query_id", "qv", "qn", F.col("qbkt").alias("bkt"))
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bkt")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    top = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("cos_sim"),
+    )

@@ -1,0 +1,176 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are native Column functions (regexp/array HOFs in
+whole-stage codegen) — no Python UDFs, so they run at full JVM speed over
+100 TB document tables. Heuristics are deliberately deterministic (exact
+regexp counts, fixed stopword lists) so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Tokenization / counting
+# --------------------------------------------------------------------------
+
+TOKEN_RE = r"\S+"
+#: BPE-ish subword split: runs of letters, runs of digits, or single
+#: non-alphanumeric-non-space characters (GPT-2-style pre-tokenizer shape).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column | str, pattern: str = TOKEN_RE) -> Column:
+    """Whitespace token count via regexp_count — O(n), no array
+    materialization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def tokens(text: Column | str) -> Column:
+    """Token array (lowercased). Used by shingling/minhash."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length in exact rational form (total token chars /
+    token count) — deterministic double."""
+    c = F.col(text) if isinstance(text, str) else text
+    total_chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    n = token_count(c)
+    return F.when(n > 0, total_chars.cast("double") / n).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# Language identification (stopword-hit heuristic)
+# --------------------------------------------------------------------------
+
+#: tiny per-language function-word lists; deterministic and fast. Real
+#: deployments swap in fastText via mapInPandas (multimodal.py pattern).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "una"],
+    "fr": ["le", "la", "les", "des", "et", "est", "une", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def _marker_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return {
+        lang: F.regexp_count(c, F.lit(_marker_regex(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Argmax language with deterministic tie-break (lexicographic lang
+    code); 'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    # array of (score, lang) structs; array_max picks by score then lang,
+    # with lang DESCENDING as tie-break via reverse trick — instead sort
+    # explicitly: max on (score, reversed-lang) would be opaque; use
+    # greatest-first reduce for clarity.
+    best = None
+    for lang in sorted(scores, reverse=True):  # later (smaller) langs win ties
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(
+                (s > best["score"]) | ((s == best["score"]) & (F.lit(lang) < best["lang"])),
+                F.struct(s.alias("score"), F.lit(lang).alias("lang")),
+            ).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    return F.when(n > 0, F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / n).otherwise(0.0)
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    hits = F.regexp_count(F.lower(c), F.lit(_marker_regex(LANG_MARKERS[lang])))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+
+
+def quality_bucket(
+    text: Column | str,
+    min_tokens: int = 16,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+) -> Column:
+    """Gopher-style heuristic quality gate collapsed to a bucket label:
+    'short' | 'punct' | 'no_stopwords' | 'ok' (first failing rule names
+    the bucket — deterministic cascade)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(token_count(c) < min_tokens, F.lit("short"))
+        .when(punct_ratio(c) > max_punct_ratio, F.lit("punct"))
+        .when(stopword_ratio(c) < min_stopword_ratio, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for near-exact dedup: lowercase, strip punctuation,
+    collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def fingerprint(text: Column | str) -> Column:
+    """md5 of the normalized text — the exact-dup key. Stable across
+    engines (md5 of utf-8 bytes)."""
+    return F.md5(normalized_text(text))
+
+
+def winnowing_fingerprints(text: Column | str, window: int = 8, keep_every: int = 4) -> Column:
+    """Sparse document fingerprint: xxhash64 of each ``window``-gram of the
+    normalized text, keeping hashes ≡ 0 (mod keep_every) — the standard
+    mod-p selection variant of winnowing (deterministic, order-free)."""
+    c = normalized_text(text)
+    n = F.length(c)
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(idx, lambda i: F.xxhash64(F.substr(c, i, F.lit(window))))
+    return F.array_distinct(F.filter(hashes, lambda h: h % keep_every == 0))
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats projection — the text-analysis 'profile' pass."""
+    return df.select(
+        id_col,
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        lang_guess(text_col).alias("lang_guess"),
+        quality_bucket(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

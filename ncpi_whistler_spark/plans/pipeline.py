@@ -1,0 +1,183 @@
+"""Extraction pipeline: compile a StudyConfig into the dataset DAG.
+
+Reference flow (wstlr/extractor.py:207-373 ``DataCsvToObject``): load embed
+tables first, then per active table apply — header normalization →
+DD-driven rename → aggregator pivot → display columns → (group_by | embed
+probe) → collect into the whistle-input JSON document.
+
+Here each stage is a DataFrame transformation; nothing materializes until
+a sink runs. The returned ``ExtractedDataset`` carries the table
+DataFrames plus the harmony ConceptMap and DD objects — the inputs the
+resource builders (plans/resources.py) consume directly, replacing the
+whistle-subprocess JSON round-trip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.operators.aggregators import aggregate_columns
+from ncpi_whistler_spark.operators.harmonize import add_display_columns
+from ncpi_whistler_spark.operators.nest import embed, group_to_nested
+from ncpi_whistler_spark.plans.config import StudyConfig, TableConfig
+from ncpi_whistler_spark.sources.csv_source import scan_csv
+from ncpi_whistler_spark.sources.dd import DataDictionary
+from ncpi_whistler_spark.sources.harmony import ConceptMap
+
+#: row-order column threaded through order-observable operators
+ROW_ID = "_row_id"
+
+
+@dataclass
+class ExtractedDataset:
+    """The engine's whistle-input analog: a catalog of lazy DataFrames +
+    plan metadata (no JSON materialization between stages)."""
+
+    config: StudyConfig
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    dds: dict[str, DataDictionary] = field(default_factory=dict)
+    concept_map: ConceptMap | None = None
+
+    def missing_filtered(self, name: str, columns: list[str]) -> DataFrame:
+        """P7: null out configured missing-vocabulary values in the given
+        columns (reference filters per-value in whistle guards)."""
+        df = self.tables[name]
+        for c in columns:
+            df = df.withColumn(
+                c,
+                F.when(F.col(c).isin(*self.config.missing_values), None).otherwise(
+                    F.col(c)
+                ),
+            )
+        return df
+
+
+def _base_scan(spark: SparkSession, tbl: TableConfig, keep_order: bool) -> DataFrame:
+    df = scan_csv(
+        spark, tbl.filename, delimiter=tbl.delimiter, row_id=ROW_ID if keep_order else None
+    )
+    return df
+
+
+def extract_table(
+    spark: SparkSession,
+    config: StudyConfig,
+    tbl: TableConfig,
+    concept_map: ConceptMap | None,
+    dd: DataDictionary | None,
+    embeds: dict[str, list[tuple[str, DataFrame, str]]],
+    keep_order: bool = True,
+) -> DataFrame:
+    """One table's plan: scan → rename (P1) → aggregators (A2) → display
+    cols (P2) → group_by (A1) | embed probe (J1)."""
+    df = _base_scan(spark, tbl, keep_order)
+
+    if dd is not None:
+        rename = dd.rename_map()
+        df = df.toDF(*[rename.get(c, c) for c in df.columns])
+
+    if tbl.aggregators:
+        code_rename = dd.rename_map() if dd else None
+        keep = [c for c in df.columns if c == ROW_ID]
+        df = aggregate_columns(
+            df,
+            tbl.aggregators,
+            splitter=tbl.aggregator_splitter,
+            code_rename=code_rename,
+            missing_values=tuple(config.missing_values),
+        )
+        _ = keep  # ROW_ID passes through as a standard column
+
+    if concept_map is not None and tbl.code_harmonization:
+        harmonized_cols = [
+            r["local_system"]
+            for r in concept_map.mappings.select("local_system").distinct().collect()
+            if r["local_system"] in df.columns
+        ]
+        df = add_display_columns(df, harmonized_cols, concept_map)
+
+    if tbl.group_by:
+        df = group_to_nested(df, tbl.group_by, order_by=ROW_ID if keep_order else None)
+    elif ROW_ID in df.columns:
+        df = df.drop(ROW_ID)
+
+    for child_name, child_df, colname in embeds.get(tbl.name, []):
+        df = embed(df, child_df, colname, child_name)
+
+    return df
+
+
+def extract_dataset(
+    spark: SparkSession, config: StudyConfig, keep_order: bool = True
+) -> ExtractedDataset:
+    """Full extraction DAG for a study (the ``extractjson`` entry point,
+    wstlr/extractor.py:376-399 — but lazy end to end)."""
+    out = ExtractedDataset(config=config)
+
+    # harmony ConceptMap (built once, broadcast everywhere)
+    harmony = config.harmony_files()
+    if harmony:
+        out.concept_map = ConceptMap.from_csv(spark, harmony, curies=config.curies)
+
+    # DDs parse driver-side (plan metadata)
+    for name, tbl in config.dataset.items():
+        if tbl.data_dictionary and tbl.data_dictionary.filename:
+            out.dds[name] = DataDictionary.from_csv(
+                spark, tbl.data_dictionary.filename, name
+            )
+
+    # embed tables load first (wstlr/extractor.py:257-266): child scan +
+    # rename, keyed for the probe
+    embeds: dict[str, list[tuple[str, DataFrame, str]]] = {}
+    for name, tbl in config.dataset.items():
+        if tbl.embed is not None:
+            child = _base_scan(spark, tbl, keep_order=False)
+            dd = out.dds.get(name)
+            if dd:
+                rename = dd.rename_map()
+                child = child.toDF(*[rename.get(c, c) for c in child.columns])
+            embeds.setdefault(tbl.embed.dataset, []).append(
+                (name, child, tbl.embed.colname)
+            )
+
+    for name, tbl in config.dataset.items():
+        if tbl.embed is not None:
+            continue  # embedded tables surface inside their parents
+        if not config.is_active(name):
+            continue  # P3 pruning — the plan is never built
+        out.tables[name] = extract_table(
+            spark, config, tbl, out.concept_map, out.dds.get(name), embeds, keep_order
+        )
+    return out
+
+
+def to_whistle_input(dataset: ExtractedDataset) -> dict:
+    """Materialize the reference's whistle-input JSON document shape
+    (wstlr/extractor.py:207-224) — golden-output parity/debug only; the
+    engine itself never needs this collect."""
+    doc: dict = {
+        "config": {"missing": dataset.config.missing_values},
+        "study": {
+            "id": dataset.config.study_id,
+            "title": dataset.config.study_title,
+            "identifier-prefix": dataset.config.identifier_prefix,
+            "dd-prefix": dataset.config.dd_prefix or dataset.config.identifier_prefix,
+        },
+        "code-systems": [],
+        "harmony": [],
+    }
+    if dataset.concept_map is not None:
+        doc["harmony"] = [
+            row.asDict() for row in dataset.concept_map.mappings.collect()
+        ]
+    for name, df in dataset.tables.items():
+        doc[name] = [_row_to_plain(r) for r in df.collect()]
+    return doc
+
+
+def _row_to_plain(row):
+    d = row.asDict(recursive=True)
+    return d

@@ -1,0 +1,243 @@
+"""Schema-driven FHIR resource builders (SURVEY.md §2.7 G1–G7).
+
+The reference generates per-study Whistle code from the DD via Jinja
+templates (wstlr/sourcedata/obscomp.py, questionnaire.py, wstlr/wlib/dd/*)
+and runs it in a subprocess. Here the same schema drives *select-list
+generation*: each builder returns a typed struct DataFrame — one row per
+resource, partitionable by ``module``/``resourceType`` — produced in the
+same Spark job as extraction (no JSON round trip, no subprocess).
+
+Nested optional fields stay NULL; ``resources_to_json`` drops nulls on
+serialization to match whistle's field-absent-when-nil output
+(SURVEY.md §7 risk 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.functions.core import dd_system_url, fix_fieldname
+from ncpi_whistler_spark.functions.harmonize import (
+    build_coding,
+    key_identifier,
+    reference_key_identifier,
+    study_meta,
+)
+from ncpi_whistler_spark.plans.config import StudyConfig
+from ncpi_whistler_spark.sources.dd import DataDictionary, DdVariable
+
+
+def _row_key(key_columns: list[str]) -> Column:
+    """Composite row id: StrCat(col1, '.', col2, ...) (F8,
+    wstlr/sourcedata/__init__.py:28-45)."""
+    return F.concat_ws(".", *[F.col(c).cast("string") for c in key_columns])
+
+
+def _component_for(var: DdVariable, study: StudyConfig, table: str) -> Column:
+    """Type-dispatched Observation.component (P8/G1; template branch at
+    observation_w_components.wstl:87-97, numeric guard :37-44)."""
+    system = dd_system_url(
+        study.dd_prefix or study.identifier_prefix, "CodeSystem", None, table, None
+    )
+    code = F.struct(
+        F.array(build_coding(F.lit(var.varname), F.lit(var.description or var.varname), F.lit(system))).alias(
+            "coding"
+        ),
+        F.lit(var.description or var.varname).alias("text"),
+    )
+    raw = F.col(var.varname).cast("string")
+    num = raw.try_cast("double")
+    fields = {
+        "code": code,
+        "valueQuantity": F.lit(None).cast(
+            "struct<value:double,unit:string>"
+        ),
+        "valueInteger": F.lit(None).cast("long"),
+        "valueString": F.lit(None).cast("string"),
+        "valueCodeableConcept": F.lit(None).cast(
+            "struct<coding:array<struct<code:string,display:string,system:string>>,text:string>"
+        ),
+    }
+    if var.data_type == "number":
+        fields["valueQuantity"] = F.when(
+            num.isNotNull(),
+            F.struct(num.alias("value"), F.lit(var.units).cast("string").alias("unit")),
+        )
+    elif var.data_type == "int":
+        fields["valueInteger"] = raw.try_cast("long")
+    elif var.data_type == "enumeration":
+        vsystem = dd_system_url(
+            study.dd_prefix or study.identifier_prefix, "CodeSystem", None, table, var.varname
+        )
+        display = raw
+        if var.enumerations:
+            pairs = []
+            for k, v in var.enumerations.items():
+                pairs.extend([F.lit(k), F.lit(v)])
+            display = F.coalesce(F.element_at(F.create_map(*pairs), raw), raw)
+        fields["valueCodeableConcept"] = F.when(
+            raw.isNotNull(),
+            F.struct(
+                F.array(build_coding(raw, display, F.lit(vsystem))).alias("coding"),
+                display.alias("text"),
+            ),
+        )
+    else:  # string / date
+        fields["valueString"] = raw
+    return F.struct(*[v.alias(k) for k, v in fields.items()])
+
+
+def observations_with_components(
+    df: DataFrame,
+    dd: DataDictionary,
+    study: StudyConfig,
+    table_name: str,
+    subject_col: str,
+    key_columns: list[str] | None = None,
+) -> DataFrame:
+    """G1: one Observation per data row; one component per DD variable
+    (observation_w_components.wstl:69-136). Pure select — fan-out of
+    components is an array literal, so a 100 TB table maps in one stage."""
+    keys = key_columns or [subject_col]
+    rid = _row_key(keys)
+    ident_value = F.concat_ws(
+        ".", F.lit(study.study_id), F.lit(table_name), rid, F.col(subject_col).cast("string")
+    )
+    comps = [
+        _component_for(v, study, table_name)
+        for v in dd.variables
+        if v.varname in df.columns
+    ]
+    return df.select(
+        F.lit("source_data").alias("module"),
+        F.lit("Observation").alias("resourceType"),
+        F.struct(F.array(study_meta(study.study_id)).alias("tag")).alias("meta"),
+        F.array(key_identifier(ident_value, study.identifier_prefix, "Observation")).alias(
+            "identifier"
+        ),
+        F.lit("final").alias("status"),
+        F.struct(
+            F.array(
+                build_coding(
+                    F.lit("74468-0"),
+                    F.lit("Questionnaire form definition Document"),
+                    F.lit("https://loinc.org"),
+                )
+            ).alias("coding"),
+            F.lit(f"Source data for data table, {table_name}").alias("text"),
+        ).alias("code"),
+        reference_key_identifier(
+            F.col(subject_col).cast("string"), study.identifier_prefix, "Patient"
+        ).alias("subject"),
+        F.array(*comps).alias("component") if comps else F.array().cast(
+            "array<struct<code:struct<coding:array<struct<code:string,display:string,system:string>>,text:string>>>"
+        ).alias("component"),
+    )
+
+
+def questionnaire_responses(
+    df: DataFrame,
+    dd: DataDictionary,
+    study: StudyConfig,
+    table_name: str,
+    subject_col: str,
+    key_columns: list[str] | None = None,
+) -> DataFrame:
+    """G2: one QuestionnaireResponse per row; item[] per DD variable
+    (questionnaires.wstl:64-166)."""
+    keys = key_columns or [subject_col]
+    rid = _row_key(keys)
+    items = [
+        F.when(
+            F.col(v.varname).isNotNull(),
+            F.struct(
+                F.lit(v.varname).alias("linkId"),
+                F.lit(v.description or v.varname).alias("text"),
+                F.array(
+                    F.struct(F.col(v.varname).cast("string").alias("valueString"))
+                ).alias("answer"),
+            ),
+        )
+        for v in dd.variables
+        if v.varname in df.columns
+    ]
+    return df.select(
+        F.lit("questionnaire").alias("module"),
+        F.lit("QuestionnaireResponse").alias("resourceType"),
+        F.struct(F.array(study_meta(study.study_id)).alias("tag")).alias("meta"),
+        F.array(
+            key_identifier(
+                F.concat_ws(".", F.lit(study.study_id), F.lit(table_name), rid),
+                study.identifier_prefix,
+                "QuestionnaireResponse",
+            )
+        ).alias("identifier"),
+        F.lit("completed").alias("status"),
+        F.lit(f"Questionnaire/{study.study_id}-{table_name}").alias("questionnaire"),
+        reference_key_identifier(
+            F.col(subject_col).cast("string"), study.identifier_prefix, "Patient"
+        ).alias("subject"),
+        F.filter(F.array(*items), lambda x: x.isNotNull()).alias("item"),
+    )
+
+
+def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> DataFrame:
+    """G3: CodeSystem per table + per enumerated variable
+    (wlib_dd_terms_codesystem.wstl:30-79). DDs are plan metadata —
+    createDataFrame of driver-built rows (they are inherently tiny)."""
+    rows = []
+    prefix = study.dd_prefix or study.identifier_prefix
+    for tname, dd in dds.items():
+        url = dd_system_url(prefix, "CodeSystem", None, tname, None)
+        rows.append(
+            {
+                "module": "data_dictionary",
+                "resourceType": "CodeSystem",
+                "url": url,
+                "name": fix_fieldname(tname),
+                "title": f"Data dictionary for table {tname}",
+                "status": "active",
+                "concept": [
+                    {"code": v.varname, "display": v.description or v.varname}
+                    for v in dd.variables
+                ],
+            }
+        )
+        for v in dd.variables:
+            if not v.enumerations:
+                continue
+            vurl = dd_system_url(prefix, "CodeSystem", None, tname, v.varname)
+            rows.append(
+                {
+                    "module": "data_dictionary",
+                    "resourceType": "CodeSystem",
+                    "url": vurl,
+                    "name": fix_fieldname(f"{tname}_{v.varname}"),
+                    "title": f"Values for {tname}.{v.varname}",
+                    "status": "active",
+                    "concept": [
+                        {"code": k, "display": d} for k, d in v.enumerations.items()
+                    ],
+                }
+            )
+    schema = (
+        "module string, resourceType string, url string, name string, "
+        "title string, status string, concept array<struct<code:string,display:string>>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def resources_to_json(df: DataFrame, drop_null_fields: bool = True) -> DataFrame:
+    """Serialize resource rows to JSON strings with nulls dropped —
+    whistle emits no field for nil values (SURVEY.md §7 risk 4);
+    ``to_json`` with ignoreNullFields matches that byte behavior."""
+    cols = [c for c in df.columns if c not in ("module", "resourceType")]
+    return df.select(
+        "module",
+        "resourceType",
+        F.to_json(
+            F.struct(F.col("resourceType"), *[F.col(c) for c in cols]),
+            {"ignoreNullFields": "true" if drop_null_fields else "false"},
+        ).alias("resource_json"),
+    )

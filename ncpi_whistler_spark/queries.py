@@ -592,6 +592,375 @@ def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# LLM-pipeline extensions: text analysis, dedup, similarity search
+# =========================================================================
+
+
+@query(
+    "q20_doc_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(text) AS n_chars,
+           CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / len(regexp_extract_all(text, '\S+'))
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS punct_ratio
+    FROM documents
+    """,
+)
+def q20_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text profiling: token/char counts + ratios, all regexp Column
+    expressions (operators/text.py) — zero Python in the loop."""
+    from ncpi_whistler_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+@query(
+    "q21_lang_guess",
+    r"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|las|una)\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|dans)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(的|是|了|在|我|有|和|不)\b')) AS s_zh
+      FROM documents
+    ),
+    long AS (
+      SELECT doc_id, lang, 'en' AS cand, s_en AS sc FROM scores
+      UNION ALL SELECT doc_id, lang, 'es', s_es FROM scores
+      UNION ALL SELECT doc_id, lang, 'fr', s_fr FROM scores
+      UNION ALL SELECT doc_id, lang, 'de', s_de FROM scores
+      UNION ALL SELECT doc_id, lang, 'zh', s_zh FROM scores
+    ),
+    best AS (
+      SELECT doc_id, lang,
+             CASE WHEN max(sc) = 0 THEN 'und'
+                  ELSE min(cand) FILTER (WHERE sc = (SELECT max(sc) FROM long l2
+                                                     WHERE l2.doc_id = long.doc_id))
+             END AS guessed
+      FROM long GROUP BY doc_id, lang
+    )
+    SELECT guessed, lang AS labeled, COUNT(*) AS n
+    FROM best GROUP BY guessed, labeled
+    """,
+)
+def q21_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax with deterministic
+    tie-break) × labeled language — a confusion-matrix aggregation."""
+    from ncpi_whistler_spark.operators.text import lang_guess
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_guess("text").alias("guessed"), F.col("lang").alias("labeled"))
+        .groupBy("guessed", "labeled")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q22_quality_buckets",
+    r"""
+    WITH q AS (
+      SELECT source,
+        CASE
+          WHEN len(regexp_extract_all(text, '\S+')) < 16 THEN 'short'
+          WHEN length(text) > 0
+               AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                   / length(text) > 0.3 THEN 'punct'
+          WHEN len(regexp_extract_all(text, '\S+')) > 0
+               AND CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+')) < 0.01 THEN 'no_stopwords'
+          ELSE 'ok' END AS quality
+      FROM documents
+    )
+    SELECT source, quality, COUNT(*) AS n FROM q GROUP BY source, quality
+    """,
+)
+def q22_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: first-failing-rule bucket per doc,
+    aggregated by source."""
+    from ncpi_whistler_spark.operators.text import quality_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", quality_bucket("text").alias("quality"))
+        .groupBy("source", "quality")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q23_exact_dedup",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                     '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM fp GROUP BY fp
+    """,
+)
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on the normalized-text fingerprint (md5) — the
+    hash-groupBy dedup: one shuffle of (fp, id), never of bodies."""
+    from ncpi_whistler_spark.operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+@query(
+    "q24_ngram_jaccard",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shs
+      FROM t
+    ),
+    ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           (1000000 * n_common) // (n_a + n_b - n_common) AS jaccard_ppm
+    FROM common
+    WHERE (1000000 * n_common) // (n_a + n_b - n_common) >= 500000
+    """,
+)
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via inverted-index self-join —
+    similarity reported in exact integer ppm (no float rounding hazard).
+    The scalable fuzzy-dedup verifier (operators/dedup.ngram_jaccard_pairs
+    is the float-API variant; this query inlines the ppm form)."""
+    from ncpi_whistler_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.select("shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    b = ex.select("shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ppm = F.expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+    return (
+        common.select("id_a", "id_b", "n_common", ppm.alias("jaccard_ppm"))
+        .where(F.col("jaccard_ppm") >= 500000)
+    )
+
+
+@query(
+    "q25_embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 16),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM q, c WHERE query_id != neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q25_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast query
+    batch × corpus scan, deterministic double fold, windowed top-k."""
+    from ncpi_whistler_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 16), emb, k=5)
+
+
+@query(
+    "q26_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+      FROM e a, e b WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(s, 6) AS cos_sim FROM p WHERE s >= 0.4
+    """,
+)
+def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs verify path; the
+    LSH-bucketed variant is q28's rows-only entry)."""
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4)
+
+
+@query("q27_minhash_lsh", None)  # hash-function-specific: rows-only check
+def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (bands of a 128-hash signature).
+    Engine-specific hashing (xxhash64) ⇒ no SQL oracle; correctness is
+    asserted in tests against exact Jaccard (candidates ⊇ high-sim pairs)."""
+    from ncpi_whistler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+
+
+@query("q28_simhash_neardup", None)  # hash-function-specific: rows-only
+def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole block join."""
+    from ncpi_whistler_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8, blocks=4)
+
+
+@query("q29_lsh_topk", None)  # LCG hyperplanes: rows-only; recall vs q25 in tests
+def q29_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing + multiprobe."""
+    from ncpi_whistler_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb.where(F.col("vec_id") < 16), emb, k=5, bits=4)
+
+
+@query(
+    "q30_multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+           CAST(64 + (octet_length(CAST(text AS BLOB)) // 7) % 512 AS INT) AS height,
+           CAST(3 AS INT) AS channels, TRUE AS ok
+    FROM documents
+    """,
+)
+def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as a stand-in binary payload pushed
+    through the Arrow mapInPandas decode pass (deterministic fake codec —
+    real codecs plug into the same schema/batch contract)."""
+    from ncpi_whistler_spark.operators.multimodal import decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return decode_images(docs, binary_col="payload", id_col="media_id")
+
+
+@query(
+    "q31_events_asof",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id,
+           strftime(MAX(c.c_ts), '%Y-%m-%d %H:%M:%S') AS last_click
+    FROM purchases p LEFT JOIN clicks c
+      ON c.user_id = p.user_id AND c.c_ts <= p.ts
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def q31_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click
+    — single-shuffle union+window merge (operators/relational.as_of_join),
+    not a range cross-product."""
+    from ncpi_whistler_spark.operators.relational import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("ts").alias("click_ts")
+    )
+    out = as_of_join(purchases, clicks, ["user_id"], "ts", "c_ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click"),
+    )
+
+
+@query(
+    "q32_value_counts",
+    """
+    SELECT p_brand AS value, COUNT(*) AS n FROM part GROUP BY p_brand
+    """,
+)
+def q32_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 value-count histogram with the 50-distinct suppression rule."""
+    from ncpi_whistler_spark.operators.profiling import value_counts
+
+    part = load_table(spark, sf_dir, "part")
+    return value_counts(part, "p_brand")
+
+
+@query(
+    "q33_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q33_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON property extraction from the
+    events props column (JVM json path, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -1,0 +1,122 @@
+"""Partitioned REST loader (S10/E3–E6; reference wstlr/load.py:89-471).
+
+Reference behavior: per-resource POST/PUT with identifier-based upsert,
+a 10-thread pool with a bounded queue, 429 → 35 s backoff / 5 s otherwise,
+CodeSystem/ValueSet forced synchronous before everything else, and a
+validation mode capped per resourceType.
+
+Spark design: ``foreachPartition`` replaces the thread pool — parallelism
+is the partition count (``repartition(n)`` = ``--thread-count``); each
+partition holds one transport/session with its own backoff loop. The
+transport is injected so tests (and air-gapped runs) use an in-memory
+fake; nothing in the engine imports an HTTP client at module scope.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reference backoff constants (wstlr/load.py:398-409)
+RATE_LIMIT_SLEEP = 35.0
+ERROR_SLEEP = 5.0
+#: terminology loads first, synchronously (wstlr/load.py:233-246)
+SYNCHRONOUS_TYPES = ("CodeSystem", "ValueSet")
+
+
+@dataclass
+class LoadResult:
+    status: int
+    resource_type: str
+    identifier: str | None = None
+    fhir_id: str | None = None
+    error: str | None = None
+
+
+#: transport signature: (method, resource_type, json_body) -> LoadResult
+Transport = Callable[[str, str, str], LoadResult]
+
+
+@dataclass
+class InMemoryTransport:
+    """Test/dry-run transport: records everything, optional scripted
+    failures (e.g. first N calls return 429 to exercise backoff)."""
+
+    calls: list[tuple[str, str, str]] = field(default_factory=list)
+    fail_first: int = 0
+    fail_status: int = 429
+
+    def __call__(self, method: str, resource_type: str, body: str) -> LoadResult:
+        self.calls.append((method, resource_type, body))
+        if self.fail_first > 0:
+            self.fail_first -= 1
+            return LoadResult(status=self.fail_status, resource_type=resource_type)
+        return LoadResult(status=200, resource_type=resource_type)
+
+
+def _load_partition(
+    rows: Iterator,
+    transport_factory: Callable[[], Transport],
+    max_retries: int,
+    sleep_fn: Callable[[float], None],
+) -> Iterator[tuple[str, int, int]]:
+    """Per-partition loader with the reference's backoff policy; yields
+    (resourceType, ok_count, err_count)."""
+    transport = transport_factory()
+    counts: dict[str, list[int]] = {}
+    for row in rows:
+        rt = row["resourceType"]
+        body = row["resource_json"]
+        method = row["method"] if "method" in row.__fields__ else "POST"
+        attempts = 0
+        while True:
+            result = transport(method, rt, body)
+            if result.status < 400:
+                counts.setdefault(rt, [0, 0])[0] += 1
+                break
+            attempts += 1
+            if attempts > max_retries:
+                counts.setdefault(rt, [0, 0])[1] += 1
+                break
+            sleep_fn(RATE_LIMIT_SLEEP if result.status == 429 else ERROR_SLEEP)
+    for rt, (ok, err) in counts.items():
+        yield (rt, ok, err)
+
+
+def load_resources(
+    resources: DataFrame,
+    transport_factory: Callable[[], Transport],
+    parallelism: int = 10,
+    max_retries: int = 3,
+    sleep_fn: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """Load resource rows (resourceType, resource_json[, method]) through
+    the transport; returns per-type (ok, err) counts.
+
+    Terminology types load first in a single partition (synchronous, the
+    reference's ordering constraint); the rest fan out over
+    ``parallelism`` partitions — the thread-pool analog with backpressure
+    by partition granularity.
+    """
+    spark = resources.sparkSession
+    terminology = resources.where(F.col("resourceType").isin(*SYNCHRONOUS_TYPES))
+    rest = resources.where(~F.col("resourceType").isin(*SYNCHRONOUS_TYPES))
+
+    results = []
+    for df, n in ((terminology, 1), (rest, parallelism)):
+        rdd = df.repartition(n).rdd.mapPartitions(
+            lambda rows: _load_partition(rows, transport_factory, max_retries, sleep_fn)
+        )
+        results.append(
+            spark.createDataFrame(rdd, "resourceType string, ok long, err long")
+            if not rdd.isEmpty()
+            else spark.createDataFrame([], "resourceType string, ok long, err long")
+        )
+    out = results[0].unionByName(results[1])
+    return out.groupBy("resourceType").agg(
+        F.sum("ok").alias("ok"), F.sum("err").alias("err")
+    )

@@ -182,6 +182,24 @@ class DataDictionary:
                 cols.append(F.col(c).try_cast(_SPARK_TYPES[v.data_type].simpleString()).alias(c))
         return df.select(*cols)
 
+    def to_csv(self, path: str) -> None:
+        """S12: DD → CSV file (the JsonParser.convert_to_csv analog,
+        wstlr/dd/json_parser.py:54-87). Driver-side — DDs are tiny."""
+        import csv
+
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(
+                ["variable_name", "description", "data_type", "enumerations", "min", "max", "units"]
+            )
+            for v in self.variables:
+                enums = ";".join(
+                    f"{k}={d}" if k != d else k for k, d in v.enumerations.items()
+                )
+                w.writerow(
+                    [v.raw_name, v.description, v.data_type, enums, v.min or "", v.max or "", v.units or ""]
+                )
+
     def enum_concept_rows(self, system_base: str) -> list[tuple[str, str, str, str, str, str]]:
         """Enumerations as ConceptMap self-rows for G3-style CodeSystem
         generation (wstlr/dd/variable.py:150-178)."""

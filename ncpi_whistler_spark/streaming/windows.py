@@ -1,0 +1,88 @@
+"""Streaming windowed aggregations over the events table.
+
+The reference is pure batch (SURVEY.md §2.10) — this module is the
+capability extension: tumbling-window counts with a watermark for late
+data, and session windows (the streaming twins of batch queries
+q18_events_hourly / q19_sessionize, which share the same grouping
+semantics so results are cross-checkable).
+
+File-based streams replay the same parquet fixtures via ``readStream``
+with ``availableNow`` in tests; in production the source swaps for
+Kafka/Kinesis without touching the aggregation plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-directory stream of the events table (schema pinned from a
+    batch read; nanos ts converted exactly like the batch catalog)."""
+    from ncpi_whistler_spark.catalog import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams need a directory source: stream the fixture dir with a
+    # glob pinned to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _ = batch  # keeps schema derivation honest if fixtures change
+    return stream
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour counts per event_type with late-data watermark —
+    the streaming twin of q18 (same window grain)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap — the
+    streaming twin of q19's lag/cumsum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+) -> None:
+    """Drain a stream with availableNow into an in-memory table (tests /
+    local verification); blocks until the replay completes."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,162 @@
+"""Correctness of the LLM-pipeline operators beyond oracle parity:
+recall/containment relations between the approximate and exact paths."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ncpi_whistler_spark.catalog import load_table
+from ncpi_whistler_spark.operators.dedup import (
+    drop_exact_dups,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_pairs,
+)
+from ncpi_whistler_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from ncpi_whistler_spark.operators.text import lang_guess, quality_bucket, token_count
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_finds_true_neardups(docs):
+    """With 64 hashes / 16 bands (r=4, s-curve threshold ≈ 0.5), every
+    Jaccard ≥ 0.8 pair must surface as an LSH candidate."""
+    true_pairs = _pairs(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    )
+    assert true_pairs, "fixture should contain near-dup documents"
+    cand = _pairs(minhash_lsh_pairs(docs, num_hashes=64, bands=16).select("id_a", "id_b"))
+    assert true_pairs <= cand
+    # and LSH doesn't return the whole cross product
+    n_docs = docs.count()
+    assert len(cand) < n_docs * (n_docs - 1) / 8
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=64, blocks=4).collect()}
+    assert out[(1, 2)] == 0
+    assert out.get((1, 3), 65) > 0
+
+
+def test_simhash_on_fixture_neardups(docs):
+    """Near-dup pairs (2-gram Jaccard ≈ 1; same shingle *set*, token
+    counts may differ) must sit far below random-pair hamming (~32 for
+    64-bit sketches): all within 16 bits."""
+    exact = ngram_jaccard_pairs(docs, n=2, threshold=0.999)
+    sp = simhash_pairs(docs, max_hamming=16, blocks=4)
+    missing = exact.select("id_a", "id_b").exceptAll(sp.select("id_a", "id_b"))
+    assert missing.count() == 0
+
+
+def test_drop_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "Same Text!"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    kept = drop_exact_dups(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_lsh_topk_recall(emb):
+    """Multiprobe hyperplane LSH at 4 bits must recover most of the exact
+    top-5 neighbours (sanity bound: ≥ 40% recall on random vectors; exact
+    value is seed-fixed and deterministic)."""
+    q = emb.where(F.col("vec_id") < 16)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(q, emb, k=5, bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall={recall}"
+
+
+def test_embedding_dup_lsh_prefilter_contains_high_sim(emb):
+    """Bucketed near-dup pairs are a subset of exact pairs and keep the
+    very-highest-similarity ones for this corpus."""
+    exact = embedding_dup_pairs(emb, threshold=0.45)
+    approx = embedding_dup_pairs(emb, threshold=0.45, bucket_bits=2)
+    epairs = _pairs(exact)
+    apairs = _pairs(approx)
+    assert apairs <= epairs
+
+
+def test_shingles_shape(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(shingles("text", 2).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+    # short doc → no shingles
+    df2 = spark.createDataFrame([("a",)], "text string")
+    assert df2.select(shingles("text", 2).alias("s")).collect()[0]["s"] == []
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            ("t1", "the cat and the dog, of course, went to the park"),
+            ("t2", "xyzzy plugh"),
+            ("t3", ""),
+        ],
+        "id string, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            token_count("text").alias("n"),
+            lang_guess("text").alias("lang"),
+            quality_bucket("text", min_tokens=3).alias("q"),
+        ).collect()
+    }
+    assert rows["t1"]["n"] == 11
+    assert rows["t1"]["lang"] == "en"
+    assert rows["t1"]["q"] == "ok"
+    assert rows["t2"]["lang"] == "und"
+    assert rows["t3"]["n"] == 0
+    assert rows["t3"]["q"] == "short"
+
+
+def test_multimodal_decode_plumbing(spark):
+    from ncpi_whistler_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_images,
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 1000)), (2, bytearray(b"y" * 5000))],
+        "media_id long, payload binary",
+    )
+    meta = attach_media_meta(df, "payload", "image/png")
+    m = {r["media_id"]: r["payload_meta"] for r in meta.collect()}
+    assert m[1]["byte_len"] == 1000
+    assert m[1]["media_type"] == "image/png"
+
+    decoded = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert decoded[1]["width"] == 64 + 1000 % 512
+    assert decoded[2]["ok"]
+
+    frames = frame_sample_plan(df, every_n=2)
+    fcount = frames.groupBy("media_id").count().collect()
+    assert {r["media_id"]: r["count"] for r in fcount}[2] >= 2

@@ -1,0 +1,260 @@
+"""End-to-end whistler-parity pipeline: YAML config + CSV fixtures →
+extraction DAG → resource generation → sinks (FIXTURES.md schemas)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ncpi_whistler_spark.plans.config import StudyConfig
+from ncpi_whistler_spark.plans.pipeline import extract_dataset
+from ncpi_whistler_spark.plans.resources import (
+    dd_codesystems,
+    observations_with_components,
+    questionnaire_responses,
+    resources_to_json,
+)
+from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
+from ncpi_whistler_spark.sinks.idresolve import empty_id_map, load_fixpoint
+from ncpi_whistler_spark.sinks.rest import InMemoryTransport, load_resources
+
+PARTICIPANT_CSV = """Participant ID,Sex,Race,Ethnicity,Age (years),Weight/Height Note
+P0001,1,White,Hispanic,34,note one
+P0002,2,Black or African American,Not Hispanic,41,
+P0003,1,NA,NA,NA,note three
+"""
+
+PARTICIPANT_DD = """variable_name,description,data_type,enumerations,min,max,units
+Participant ID,Unique participant identifier,identifier,,,,
+Sex,Sex assigned at birth,enumeration,1=Male;2=Female,,,
+Race,Self-reported race,enumeration,,,,
+Ethnicity,Self-reported ethnicity,enumeration,,,,
+Age (years),Age at enrollment,integer,,0,120,years
+Weight/Height Note,Free text note,string,,,,
+"""
+
+SPECIMEN_CSV = """sample_id,participant_id,sample_type,volume
+S1,P0001,blood,1.0
+S2,P0001,saliva,2.0
+S3,P0002,blood,0.5
+"""
+
+MANIFEST_CSV = """sample_id,file_name,file_type,size_mb
+S1,f1.bam,bam,10
+S1,f2.vcf,vcf,1
+S3,f3.bam,bam,12
+"""
+
+ALIQUOT_CSV = """Sample ID,Barcode,participantid,vial_volume,volume_unit
+SAMPLE001,001234,P0001,0,ml
+SAMPLE001,0124012,P0001,1,ml
+SAMPLE002,002001,P0002,2,ml
+"""
+
+HARMONY_CSV = """local code,text,local code system,code,display,code system,table_name,parent_varname,comment
+1,Male,sex,male,Male,http://hl7.org/fhir/administrative-gender,participant,sex,
+2,Female,sex,female,Female,http://hl7.org/fhir/administrative-gender,participant,sex,
+White,White,race,2106-3,White,urn:oid:2.16.840.1.113883.6.238,participant,race,
+"""
+
+
+@pytest.fixture(scope="module")
+def study_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("study")
+    (d / "participant.csv").write_text(PARTICIPANT_CSV)
+    (d / "participant-dd.csv").write_text(PARTICIPANT_DD)
+    (d / "specimen.csv").write_text(SPECIMEN_CSV)
+    (d / "file_manifest.csv").write_text(MANIFEST_CSV)
+    (d / "aliquot.csv").write_text(ALIQUOT_CSV)
+    (d / "harmony.csv").write_text(HARMONY_CSV)
+    (d / "study.yaml").write_text(
+        f"""
+study_id: TESTSTUDY
+study_title: Test Study
+identifier_prefix: https://example.org/teststudy
+id_colname: participant_id
+curies: {{}}
+active_tables:
+  ALL: true
+dataset:
+  participant:
+    filename: {d}/participant.csv
+    code_harmonization: {d}/harmony.csv
+    data_dictionary:
+      filename: {d}/participant-dd.csv
+  specimen:
+    filename: {d}/specimen.csv
+  file_manifest:
+    filename: {d}/file_manifest.csv
+    embed:
+      dataset: specimen
+      colname: sample_id
+  aliquot:
+    filename: {d}/aliquot.csv
+    subject_id: participantid
+    group_by: Sample ID
+    key_columns: Barcode
+"""
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, study_dir):
+    cfg = StudyConfig.from_yaml(str(study_dir / "study.yaml"))
+    return extract_dataset(spark, cfg)
+
+
+def test_extraction_shapes(extracted):
+    # embedded table folded into parent, not a top-level table
+    assert set(extracted.tables) == {"participant", "specimen", "aliquot"}
+
+    part = {r["participant_id"]: r for r in extracted.tables["participant"].collect()}
+    assert part["P0001"]["sex"] == "1"
+    assert part["P0001"]["sex_display"] == "Male"  # P2 display column
+    assert part["P0001"]["race_display"] == "White"
+    assert part["P0003"]["race_display"] is None
+
+    spec = {r["sample_id"]: r for r in extracted.tables["specimen"].collect()}
+    assert len(spec["S1"]["file_manifest"]) == 2  # J1 embed
+    assert spec["S2"]["file_manifest"] == []
+    assert spec["S1"]["file_manifest"][0]["table_name"] == "file_manifest"
+
+    ali = {r["sample_id"]: r for r in extracted.tables["aliquot"].collect()}
+    assert [c["barcode"] for c in ali["SAMPLE001"]["content"]] == ["001234", "0124012"]
+
+
+def test_observation_generation(spark, extracted):
+    cfg = extracted.config
+    dd = extracted.dds["participant"]
+    obs = observations_with_components(
+        extracted.tables["participant"], dd, cfg, "participant", "participant_id"
+    )
+    rows = obs.collect()
+    assert len(rows) == 3
+    r = next(x for x in rows if "P0001" in x["identifier"][0]["value"])
+    assert r["resourceType"] == "Observation"
+    assert r["meta"]["tag"][0]["code"] == "TESTSTUDY"
+    comps = {c["code"]["text"]: c for c in r["component"]}
+    assert comps["Age at enrollment"]["valueInteger"] == 34
+    assert comps["Sex assigned at birth"]["valueCodeableConcept"]["text"] == "Male"
+    # NA age on P0003 → null valueInteger (try_cast guard)
+    r3 = next(x for x in rows if "P0003" in x["identifier"][0]["value"])
+    comps3 = {c["code"]["text"]: c for c in r3["component"]}
+    assert comps3["Age at enrollment"]["valueInteger"] is None
+
+
+def test_questionnaire_and_codesystems(spark, extracted):
+    cfg = extracted.config
+    dd = extracted.dds["participant"]
+    qr = questionnaire_responses(
+        extracted.tables["participant"], dd, cfg, "participant", "participant_id"
+    )
+    assert qr.count() == 3
+    row = qr.where(F.col("identifier")[0]["value"].contains("P0002")).collect()[0]
+    links = {i["linkId"] for i in row["item"]}
+    assert "sex" in links and "participant_id" in links
+
+    cs = dd_codesystems(spark, extracted.dds, cfg)
+    urls = [r["url"] for r in cs.collect()]
+    assert any(u.endswith("/participant") for u in urls)
+    assert any(u.endswith("/participant/sex") for u in urls)
+    sex_cs = cs.where(F.col("url").endswith("/participant/sex")).collect()[0]
+    assert {c["code"]: c["display"] for c in sex_cs["concept"]} == {
+        "1": "Male",
+        "2": "Female",
+    }
+
+
+def test_json_serialization_drops_nulls(spark, extracted):
+    cfg = extracted.config
+    dd = extracted.dds["participant"]
+    obs = observations_with_components(
+        extracted.tables["participant"], dd, cfg, "participant", "participant_id"
+    )
+    js = resources_to_json(obs)
+    s = js.where(F.col("resource_json").contains("P0003")).collect()[0]["resource_json"]
+    parsed = json.loads(s)
+    age = next(c for c in parsed["component"] if c["code"]["text"] == "Age at enrollment")
+    assert "valueInteger" not in age  # nil fields absent, like whistle
+
+
+def test_bundle_sink(spark, extracted, tmp_path):
+    cfg = extracted.config
+    dd = extracted.dds["participant"]
+    obs = resources_to_json(
+        observations_with_components(
+            extracted.tables["participant"], dd, cfg, "participant", "participant_id"
+        )
+    )
+    entries = prepare_bundle_entries(obs.unionByName(obs))  # dup union → dedup
+    assert entries.count() == 3  # fullUrl dedup collapsed the double load
+    out = str(tmp_path / "bundles")
+    write_bundles(entries, out)
+    files = glob.glob(os.path.join(out, "**", "*.json"), recursive=True)
+    assert files
+
+
+def test_id_fixpoint(spark):
+    # two-level reference chain: patients load first, then observations
+    patients = spark.createDataFrame(
+        [
+            ("Patient", [{"system": "s/patient", "value": "P1"}], None),
+            ("Patient", [{"system": "s/patient", "value": "P2"}], None),
+        ],
+        "resourceType string, identifier array<struct<system:string,value:string>>, "
+        "subject struct<identifier:struct<system:string,value:string>>",
+    )
+    obs = spark.createDataFrame(
+        [
+            (
+                "Observation",
+                [{"system": "s/observation", "value": "O1"}],
+                {"identifier": {"system": "s/patient", "value": "P1"}},
+            ),
+            (
+                "Observation",
+                [{"system": "s/observation", "value": "O2"}],
+                {"identifier": {"system": "s/patient", "value": "MISSING"}},
+            ),
+        ],
+        "resourceType string, identifier array<struct<system:string,value:string>>, "
+        "subject struct<identifier:struct<system:string,value:string>>",
+    )
+    all_res = patients.unionByName(obs)
+    result = load_fixpoint(spark, all_res, empty_id_map(spark), ["subject"])
+    assert result.rounds <= 3
+    loaded_types = [
+        sorted(r["resourceType"] for r in df.select("resourceType").collect())
+        for df in result.loaded_rounds
+    ]
+    # round 1: both patients (no refs) ; round 2: O1
+    assert loaded_types[0] == ["Patient", "Patient"]
+    assert loaded_types[1] == ["Observation"]
+    invalid = result.invalid.collect()
+    assert len(invalid) == 1 and invalid[0]["identifier"][0]["value"] == "O2"
+
+
+def test_rest_sink_with_backoff(spark):
+    df = spark.createDataFrame(
+        [
+            ("CodeSystem", '{"resourceType":"CodeSystem"}'),
+            ("Patient", '{"resourceType":"Patient","id":"1"}'),
+            ("Patient", '{"resourceType":"Patient","id":"2"}'),
+        ],
+        "resourceType string, resource_json string",
+    )
+    sleeps = []
+    counts = load_resources(
+        df,
+        transport_factory=lambda: InMemoryTransport(fail_first=1),
+        parallelism=2,
+        sleep_fn=sleeps.append,
+    )
+    by_type = {r["resourceType"]: (r["ok"], r["err"]) for r in counts.collect()}
+    assert by_type["CodeSystem"][0] == 1
+    assert by_type["Patient"] == (2, 0)
