@@ -139,6 +139,56 @@ def dotted_id(*parts: Column | str) -> Column:
     return F.concat_ws(".", *[_c(p) for p in parts])
 
 
+def race_extension(
+    codings: Column | str,
+    raw_value: Column | str,
+    missing: tuple[str, ...] = ("NA", "", "Not Provided"),
+    url: str = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
+) -> Column:
+    """H15 ``RaceExtension`` (_race_extension.wstl:21-37): NA-guarded;
+    first mapped coding becomes ombCategory, raw text always carried;
+    falls back to text-only when unharmonized."""
+    raw = _c(raw_value)
+    first = harmonize_mapped_first(codings)
+    ext = F.struct(
+        F.lit(url).alias("url"),
+        F.when(first.isNotNull(), first).alias("ombCategory"),
+        raw.alias("text"),
+    )
+    return F.when(raw.isNotNull() & ~raw.isin(*missing), ext)
+
+
+def ethnicity_extension(
+    codings: Column | str,
+    raw_value: Column | str,
+    missing: tuple[str, ...] = ("NA", "", "Not Provided"),
+    url: str = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity",
+) -> Column:
+    """H15 ``EthnicityExtension`` (_ethnicty_extension.wstl:22-45) —
+    same guard/fallback shape as race."""
+    return race_extension(codings, raw_value, missing, url)
+
+
+def extract_official_identifier(
+    identifiers: Column | str, prefix_regex: str, has_use_field: bool = False
+) -> Column:
+    """E1 identifier extraction (wstlr/load.py:152-175): first identifier
+    whose system matches the prefix regex, else the use='official' one
+    (when the struct carries a ``use`` field), else the first."""
+    ids = _c(identifiers)
+    candidates = [
+        F.try_element_at(F.filter(ids, lambda x: x["system"].rlike(prefix_regex)), F.lit(1))
+    ]
+    if has_use_field:
+        candidates.append(
+            F.try_element_at(
+                F.filter(ids, lambda x: x["use"] == "official"), F.lit(1)
+            )
+        )
+    candidates.append(F.try_element_at(ids, F.lit(1)))
+    return F.coalesce(*candidates)
+
+
 def age_at_extension(age: Column | str, unit: str = "years",
                      url: str = "http://hl7.org/fhir/StructureDefinition/cqf-relativeDateTime") -> Column:
     """H14 ``AgeAtExtension`` — numeric age → relative-datetime extension

@@ -55,7 +55,10 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text, as a single
+    Column. NOTE: interpreted HOF lambdas re-evaluate the token split per
+    array element — fine for single values; corpus-scale jobs use
+    shingle_rows (tokens materialize once at the explode boundary)."""
     toks = tokens(text)
     cnt = F.size(toks)
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] sequence
@@ -64,6 +67,33 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, n_sh, shingle) exploded distinct-shingle rows — the corpus
+    plan: posexplode tokens (split runs once per doc), lead() window
+    stitches n-grams, distinct per doc, distinct-count windowed back on.
+    One shuffle on id; everything else is codegen string concat."""
+    from pyspark.sql.window import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    sh = (
+        ex.select("id", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
+        .where(F.col(f"t{n - 1}").isNotNull())
+        .select("id", F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("shingle"))
+        .dropDuplicates(["id", "shingle"])
+    )
+    wn = Window.partitionBy("id")
+    return sh.withColumn("n_sh", F.count(F.lit(1)).over(wn)).select(
+        "id", "n_sh", "shingle"
     )
 
 
@@ -82,10 +112,7 @@ def ngram_jaccard_pairs(
     ``max_df`` drops shingles appearing in more than that many docs before
     the join — the skew/blowup guard at scale.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    exploded = shingle_rows(df, text_col, id_col, n)
     if max_df is not None:
         hot = (
             exploded.groupBy("shingle")
@@ -174,13 +201,12 @@ def minhash_signatures(
     seed: int = 42,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>) via the columnar plan: explode shingles,
-    project ``num_hashes`` permuted-hash columns (pure codegen
-    arithmetic), aggregate element-wise min per doc in one shuffle."""
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
-    )
-    h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
+    """(id, sig: array<long>) via the columnar plan: shingle rows (tokens
+    split once per doc), project ``num_hashes`` permuted-hash columns
+    (pure codegen arithmetic), aggregate element-wise min per doc in one
+    shuffle."""
+    ex = shingle_rows(df, text_col, id_col, shingle_n).select("id", "shingle")
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     proj = ex.select(
         "id",
         *[

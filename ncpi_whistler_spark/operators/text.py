@@ -149,6 +149,37 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def winnowing_fingerprint_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    keep_every: int = 4,
+) -> DataFrame:
+    """(id, fp) rows of sparse k-gram fingerprints — the columnar plan:
+    normalize once per row, explode window positions, hash each substring
+    with plain codegen expressions. Use this for corpus-scale jobs; the
+    Column variant below re-evaluates the normalization inside the HOF
+    lambda per element (fine for single values, quadratic for documents).
+    """
+    from pyspark.sql import functions as FF
+
+    norm = df.select(
+        FF.col(id_col).alias("id"), normalized_text(text_col).alias("nt")
+    ).withColumn("n", FF.length("nt"))
+    pos = norm.where(FF.col("n") >= window).select(
+        "id",
+        "nt",
+        FF.explode(FF.sequence(FF.lit(1), FF.col("n") - window + 1)).alias("i"),
+    )
+    h = FF.xxhash64(FF.col("nt").substr(FF.col("i"), FF.lit(window)))
+    return (
+        pos.select("id", h.alias("fp"))
+        .where(FF.col("fp") % keep_every == 0)
+        .dropDuplicates(["id", "fp"])
+    )
+
+
 def winnowing_fingerprints(text: Column | str, window: int = 8, keep_every: int = 4) -> Column:
     """Sparse document fingerprint: xxhash64 of each ``window``-gram of the
     normalized text, keeping hashes ≡ 0 (mod keep_every) — the standard

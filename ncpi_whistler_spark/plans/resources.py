@@ -228,6 +228,159 @@ def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) ->
     return spark.createDataFrame(rows, schema)
 
 
+def dd_observation_definitions(
+    spark, dds: dict[str, DataDictionary], study: StudyConfig
+) -> DataFrame:
+    """G4: ObservationDefinition per DD variable — permittedDataType from
+    the DD type map (wlib_dd_tables_and_vars.wstl:113-127: string→string/
+    CodeableConcept, number/int→Quantity, boolean→boolean), units, and
+    the min/max interval when present (wlib_dd_tables_and_vars.wstl:36-141)."""
+    permitted = {
+        "string": "string",
+        "date": "dateTime",
+        "int": "Quantity",
+        "number": "Quantity",
+        "boolean": "boolean",
+        "enumeration": "CodeableConcept",
+    }
+    prefix = study.dd_prefix or study.identifier_prefix
+    rows = []
+    for tname, dd in dds.items():
+        for v in dd.variables:
+            url = dd_system_url(prefix, "CodeSystem", None, tname, None)
+            rows.append(
+                {
+                    "module": "data_dictionary",
+                    "resourceType": "ObservationDefinition",
+                    "identifier_value": f"{study.study_id}.{tname}.{v.varname}",
+                    "code": {"coding": [{"code": v.varname, "display": v.description or v.varname, "system": url}]},
+                    "permittedDataType": [permitted[v.data_type]],
+                    "quantitativeDetails": (
+                        {"unit": v.units} if v.units else None
+                    ),
+                    "qualifiedInterval": (
+                        {
+                            "range": {
+                                "low": float(v.min) if v.min else None,
+                                "high": float(v.max) if v.max else None,
+                            }
+                        }
+                        if (v.min is not None or v.max is not None)
+                        else None
+                    ),
+                    "validCodedValueSet": (
+                        f"ValueSet/{fix_fieldname(tname)}-{v.varname}"
+                        if v.enumerations
+                        else None
+                    ),
+                }
+            )
+    schema = (
+        "module string, resourceType string, identifier_value string, "
+        "code struct<coding:array<struct<code:string,display:string,system:string>>>, "
+        "permittedDataType array<string>, "
+        "quantitativeDetails struct<unit:string>, "
+        "qualifiedInterval struct<range:struct<low:double,high:double>>, "
+        "validCodedValueSet string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def dd_valuesets(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> DataFrame:
+    """G3/G5: ValueSet per enumerated variable (wlib_dd_terms_valueset
+    .wstl:12-33) — one compose.include per variable code system."""
+    prefix = study.dd_prefix or study.identifier_prefix
+    rows = []
+    for tname, dd in dds.items():
+        for v in dd.variables:
+            if not v.enumerations:
+                continue
+            cs_url = dd_system_url(prefix, "CodeSystem", None, tname, v.varname)
+            rows.append(
+                {
+                    "module": "data_dictionary",
+                    "resourceType": "ValueSet",
+                    "url": cs_url.replace("/CodeSystem/", "/ValueSet/"),
+                    "name": fix_fieldname(f"{tname}_{v.varname}"),
+                    "status": "active",
+                    "compose": {
+                        "include": [
+                            {
+                                "system": cs_url,
+                                "concept": [
+                                    {"code": k, "display": d}
+                                    for k, d in v.enumerations.items()
+                                ],
+                            }
+                        ]
+                    },
+                }
+            )
+    schema = (
+        "module string, resourceType string, url string, name string, status string, "
+        "compose struct<include:array<struct<system:string,"
+        "concept:array<struct<code:string,display:string>>>>>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def harmony_skeleton(dds: dict[str, DataDictionary]) -> list[dict[str, str]]:
+    """G6: starter harmony CSV rows from the DD — every enumerated value
+    plus non-numeric defaults, yes/no values skipped
+    (wstlr/harmony.py:77-123). Returns plain dict rows (the skeleton is a
+    config artifact, written driver-side)."""
+    skip = {"yes", "no", "true", "false"}
+    rows = []
+    for tname, dd in dds.items():
+        for v in dd.variables:
+            for code, desc in v.enumerations.items():
+                if code.strip().lower() in skip:
+                    continue
+                rows.append(
+                    {
+                        "local code": code,
+                        "text": desc,
+                        "local code system": v.varname,
+                        "code": "",
+                        "display": "",
+                        "code system": "",
+                        "table_name": tname,
+                        "parent_varname": v.varname,
+                        "comment": "",
+                    }
+                )
+    return rows
+
+
+def dd_from_profile(profile_rows: list, table_name: str, prefix: str = "q") -> DataDictionary:
+    """builddd: infer a DD from profiling output (A4 →
+    wstlr/dd/dd_from_fhir.py:41-214): numeric columns (min/max present)
+    become number-typed; ≤50-distinct value sets become enumerations via
+    sequential codes (W1)."""
+    from ncpi_whistler_spark.sources.dd import DdVariable
+
+    variables = []
+    for i, row in enumerate(sorted(profile_rows, key=lambda r: r["variable"])):
+        name = fix_fieldname(row["variable"])
+        if row["min_num"] is not None and row["max_num"] is not None and row["n_distinct"] > 2:
+            dtype = "number"
+        elif row["n_distinct"] <= 50:
+            dtype = "enumeration"
+        else:
+            dtype = "string"
+        variables.append(
+            DdVariable(
+                varname=name,
+                raw_name=row["variable"],
+                data_type=dtype,
+                description=f"{prefix}{i + 1:06d}",
+                min=str(row["min_num"]) if row["min_num"] is not None else None,
+                max=str(row["max_num"]) if row["max_num"] is not None else None,
+            )
+        )
+    return DataDictionary(table_name, variables)
+
+
 def resources_to_json(df: DataFrame, drop_null_fields: bool = True) -> DataFrame:
     """Serialize resource rows to JSON strings with nulls dropped —
     whistle emits no field for nil values (SURVEY.md §7 risk 4);

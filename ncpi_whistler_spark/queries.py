@@ -759,13 +759,10 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity reported in exact integer ppm (no float rounding hazard).
     The scalable fuzzy-dedup verifier (operators/dedup.ngram_jaccard_pairs
     is the float-API variant; this query inlines the ppm form)."""
-    from ncpi_whistler_spark.operators.dedup import shingles
+    from ncpi_whistler_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    ex = shingle_rows(docs, "text", "doc_id", 3)
     a = ex.select("shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     b = ex.select("shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     common = (
@@ -958,6 +955,72 @@ def q33_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             _dsum("value").alias("sum_value"),
         )
+    )
+
+
+@query(
+    "q34_fhir_observations",
+    """
+    SELECT 'TPCH.part.' || p_partkey || '.' || p_partkey AS ident,
+           CAST(3 AS INT) AS n_components,
+           p_size AS val_int,
+           p_retailprice AS val_qty,
+           p_brand AS cc_text,
+           'Observation' AS resourceType
+    FROM part
+    """,
+)
+def q34_fhir_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 end-to-end: schema-driven Observation-with-components built from
+    a table + inline DD, then scalars re-extracted from the nested
+    resource struct for oracle comparison — proves the resource pipeline
+    (identifier building, type-dispatched components, struct nesting) in
+    one declarative plan."""
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.resources import observations_with_components
+    from ncpi_whistler_spark.sources.dd import DataDictionary
+
+    part = load_table(spark, sf_dir, "part")
+    dd = DataDictionary.from_rows(
+        "part",
+        [
+            {"variable_name": "p_brand", "data_type": "enumeration"},
+            {"variable_name": "p_size", "data_type": "integer"},
+            {"variable_name": "p_retailprice", "data_type": "number"},
+        ],
+    )
+    study = StudyConfig(study_id="TPCH", identifier_prefix="https://example.org/tpch")
+    obs = observations_with_components(part, dd, study, "part", "p_partkey")
+    comp = F.col("component")
+    return obs.select(
+        F.col("identifier")[0]["value"].alias("ident"),
+        F.size(comp).alias("n_components"),
+        comp[1]["valueInteger"].cast("int").alias("val_int"),
+        comp[2]["valueQuantity"]["value"].alias("val_qty"),
+        comp[0]["valueCodeableConcept"]["text"].alias("cc_text"),
+        "resourceType",
+    )
+
+
+@query("q35_winnowing", None)  # xxhash64-based: rows-only
+def q35_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: shared sparse k-gram hashes
+    between documents (plagiarism-detection shape)."""
+    from ncpi_whistler_spark.operators.text import winnowing_fingerprint_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    # window=16/keep_every=16: sparse selection keeps the inverted index
+    # small on low-entropy corpora; require a large shared-hash count so
+    # the pair set stays near-dup-sized at any sf
+    fp = winnowing_fingerprint_rows(docs, window=16, keep_every=16)
+    a = fp.select("fp", F.col("id").alias("id_a"))
+    b = fp.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 10)
     )
 
 

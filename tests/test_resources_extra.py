@@ -1,0 +1,144 @@
+"""G4/G5/G6 generators, builddd inference, igload sources, and the
+remaining harmonize wrappers."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import pyspark.sql.functions as F
+
+from ncpi_whistler_spark.functions.harmonize import (
+    ethnicity_extension,
+    extract_official_identifier,
+    race_extension,
+)
+from ncpi_whistler_spark.operators.harmonize import harmonize
+from ncpi_whistler_spark.operators.profiling import profile_columns
+from ncpi_whistler_spark.plans.config import StudyConfig
+from ncpi_whistler_spark.plans.resources import (
+    dd_from_profile,
+    dd_observation_definitions,
+    dd_valuesets,
+    harmony_skeleton,
+)
+from ncpi_whistler_spark.sources.dd import DataDictionary
+from ncpi_whistler_spark.sources.harmony import ConceptMap
+from ncpi_whistler_spark.sources.igload import load_ig_files, load_ig_zip
+
+STUDY = StudyConfig(study_id="S", identifier_prefix="https://x.org/s")
+
+DD = DataDictionary.from_rows(
+    "visits",
+    [
+        {"variable_name": "Visit ID", "data_type": "identifier"},
+        {"variable_name": "Status", "data_type": "enumeration", "enumerations": "a=Active;d=Done"},
+        {"variable_name": "BMI", "data_type": "number", "min": "10", "max": "80", "units": "kg/m2"},
+        {"variable_name": "OK", "data_type": "enumeration", "enumerations": "yes;no"},
+    ],
+)
+
+
+def test_observation_definitions(spark):
+    od = dd_observation_definitions(spark, {"visits": DD}, STUDY)
+    rows = {r["identifier_value"]: r for r in od.collect()}
+    bmi = rows["S.visits.bmi"]
+    assert bmi["permittedDataType"] == ["Quantity"]
+    assert bmi["quantitativeDetails"]["unit"] == "kg/m2"
+    assert bmi["qualifiedInterval"]["range"]["low"] == 10.0
+    status = rows["S.visits.status"]
+    assert status["permittedDataType"] == ["CodeableConcept"]
+    assert status["validCodedValueSet"] == "ValueSet/visits-status"
+
+
+def test_valuesets(spark):
+    vs = dd_valuesets(spark, {"visits": DD}, STUDY)
+    rows = {r["name"]: r for r in vs.collect()}
+    inc = rows["visits_status"]["compose"]["include"][0]
+    assert inc["system"].endswith("/visits/status")
+    assert {c["code"]: c["display"] for c in inc["concept"]} == {"a": "Active", "d": "Done"}
+    assert rows["visits_status"]["url"].count("/ValueSet/") == 1
+
+
+def test_harmony_skeleton():
+    rows = harmony_skeleton({"visits": DD})
+    codes = {(r["local code system"], r["local code"]) for r in rows}
+    assert ("status", "a") in codes
+    # yes/no values skipped (wstlr/harmony.py:77-123)
+    assert not any(r["local code"] in ("yes", "no") for r in rows)
+
+
+def test_dd_from_profile(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5, "x"), ("b", 2.5, "y"), ("c", 3.5, "x")] * 30,
+        "cat string, num double, flag string",
+    )
+    prof = [r.asDict() for r in profile_columns(df).collect()]
+    dd = dd_from_profile(prof, "t")
+    types = {v.varname: v.data_type for v in dd.variables}
+    assert types["num"] == "number"
+    assert types["cat"] == "enumeration"
+    assert types["flag"] == "enumeration"
+
+
+def test_igload_zip_and_files(spark, tmp_path):
+    cs = {"resourceType": "CodeSystem", "url": "http://x/cs"}
+    bundle = {
+        "resourceType": "Bundle",
+        "entry": [{"resource": {"resourceType": "ValueSet", "url": "http://x/vs"}}],
+    }
+    zp = tmp_path / "defs.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("cs.json", json.dumps(cs))
+        z.writestr("bundle.json", json.dumps(bundle))
+        z.writestr("excluded-thing.json", json.dumps(cs))
+    df = load_ig_zip(spark, str(zp), exclusions=["excluded"])
+    assert sorted(r["resourceType"] for r in df.collect()) == ["CodeSystem", "ValueSet"]
+
+    (tmp_path / "one.json").write_text(json.dumps(cs))
+    df2 = load_ig_files(spark, [str(tmp_path / "one.json")])
+    assert df2.count() == 1
+
+
+def test_race_ethnicity_extensions(spark):
+    cm = ConceptMap.from_rows(
+        spark,
+        [("White", "White", "race", "2106-3", "White", "urn:oid:2.16")],
+    )
+    df = spark.createDataFrame(
+        [("P1", "White"), ("P2", "NA"), ("P3", "Other")], "pid string, race string"
+    )
+    h = harmonize(df, "race", "race", cm)
+    out = {
+        r["pid"]: r
+        for r in h.select(
+            "pid",
+            race_extension("codings", "race").alias("race_ext"),
+            ethnicity_extension("codings", "race").alias("eth_ext"),
+        ).collect()
+    }
+    assert out["P1"]["race_ext"]["ombCategory"]["code"] == "2106-3"
+    assert out["P1"]["race_ext"]["text"] == "White"
+    assert out["P2"]["race_ext"] is None  # NA guard
+    assert out["P3"]["race_ext"]["ombCategory"] is None  # fallback text-only
+    assert out["P3"]["race_ext"]["text"] == "Other"
+
+
+def test_extract_official_identifier(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    {"system": "http://other/x", "value": "v1", "use": "official"},
+                    {"system": "https://x.org/s/patient", "value": "v2", "use": None},
+                ],
+            )
+        ],
+        "identifier array<struct<system:string,value:string,use:string>>",
+    )
+    row = df.select(
+        extract_official_identifier("identifier", "^https://x.org/s").alias("a"),
+        extract_official_identifier("identifier", "^nomatch", has_use_field=True).alias("b"),
+    ).collect()[0]
+    assert row["a"]["value"] == "v2"  # prefix match wins
+    assert row["b"]["value"] == "v1"  # falls back to use=official
