@@ -88,6 +88,25 @@ def _component_for(var: DdVariable, study: StudyConfig, table: str) -> Column:
     return F.struct(*[v.alias(k) for k, v in fields.items()])
 
 
+def explode_for_table_type(
+    df: DataFrame, table_type: str, nested_col: str | None = None
+) -> DataFrame:
+    """G7 table-type dispatch (wstlr/__init__.py:53-57, template branches
+    at observation_w_components.wstl:106-125): Default rows pass through;
+    Grouped tables iterate ``content[]``; Embedded tables iterate the
+    child array — both become explode + struct-flatten so every
+    downstream builder sees flat rows."""
+    if table_type == "default":
+        return df
+    col = nested_col or ("content" if table_type == "grouped" else None)
+    if col is None:
+        raise ValueError("embedded table type requires nested_col")
+    keys = [c for c in df.columns if c != col]
+    ex = df.select(*keys, F.explode(col).alias("_r"))
+    inner = [f.name for f in ex.schema["_r"].dataType.fields]
+    return ex.select(*keys, *[F.col(f"_r.{n}").alias(n) for n in inner])
+
+
 def observations_with_components(
     df: DataFrame,
     dd: DataDictionary,

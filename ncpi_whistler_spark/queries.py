@@ -1024,6 +1024,99 @@ def q35_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q36_price_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q36_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the definition). The exact variant is
+    the verification path; at 100 TB swap in ``approx_percentile``
+    (t-digest, no full sort) — same plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "q37_cube_volumes",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q37_cube_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four grouping combinations in one
+    shuffle (Catalyst expands to a single Expand+Aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("volume"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "volume",
+        )
+    )
+
+
+@query(
+    "q38_range_join_events",
+    """
+    WITH bounds AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_first_day,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS first_day_value
+    FROM events e JOIN bounds b
+      ON e.user_id = b.user_id
+     AND e.ts >= b.first_ts AND e.ts < b.first_ts + INTERVAL 24 HOURS
+    GROUP BY e.user_id
+    """,
+)
+def q38_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate join (absent in the reference): each user's events
+    inside 24h of their first event. The bounds side is tiny →
+    broadcast; the range predicate evaluates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    e = ev.alias("e")
+    b = F.broadcast(bounds).alias("b")
+    return (
+        e.join(
+            b,
+            (F.col("e.user_id") == F.col("b.user_id"))
+            & (F.col("e.ts") >= F.col("b.first_ts"))
+            & (F.col("e.ts") < F.col("b.first_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_first_day"),
+            _dsum("value").alias("first_day_value"),
+        )
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -100,6 +100,25 @@ def test_igload_zip_and_files(spark, tmp_path):
     assert df2.count() == 1
 
 
+def test_explode_for_table_type(spark):
+    from ncpi_whistler_spark.operators.nest import embed, group_to_nested
+    from ncpi_whistler_spark.plans.resources import explode_for_table_type
+
+    df = spark.createDataFrame(
+        [("g1", "a", 1), ("g1", "b", 2), ("g2", "c", 3)], "k string, v string, n long"
+    )
+    flat = explode_for_table_type(group_to_nested(df, "k"), "grouped")
+    assert sorted((r["k"], r["v"]) for r in flat.collect()) == [
+        ("g1", "a"), ("g1", "b"), ("g2", "c"),
+    ]
+
+    parent = spark.createDataFrame([("p1",), ("p2",)], "pid string")
+    child = spark.createDataFrame([("p1", "x")], "pid string, c string")
+    emb = embed(parent, child, "pid", "kids", tag_table_name=False)
+    flat2 = explode_for_table_type(emb, "embedded", nested_col="kids")
+    assert [(r["pid"], r["c"]) for r in flat2.collect()] == [("p1", "x")]
+
+
 def test_race_ethnicity_extensions(spark):
     cm = ConceptMap.from_rows(
         spark,

@@ -1,0 +1,58 @@
+"""Storage-layout helpers: pruning + bucketed zero-exchange joins."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from ncpi_whistler_spark.storage import (
+    repartition_for_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, grp string"
+    )
+    out = str(tmp_path / "part")
+    write_partitioned(df, out, ["grp"])
+    assert os.path.isdir(os.path.join(out, "grp=a"))
+    back = spark.read.parquet(out).where(F.col("grp") == "a")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter reaches the scan — only grp=a files are listed
+    assert back.count() == 50
+    files = glob.glob(os.path.join(out, "grp=a", "*.parquet"))
+    assert files
+    _ = plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # tables land in ./spark-warehouse (gitignored); dropped in finally
+    left = spark.createDataFrame([(i, i * 10) for i in range(1000)], "k long, v long")
+    right = spark.createDataFrame([(i, i % 7) for i in range(1000)], "k long, w long")
+    write_bucketed(left, "t_left", ["k"], num_buckets=8, sort_by=["k"])
+    write_bucketed(right, "t_right", ["k"], num_buckets=8, sort_by=["k"])
+    # disable broadcast so the join would otherwise shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_left").join(spark.table("t_right"), on="k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_repartition_for_join(spark):
+    a = spark.createDataFrame([(1, "x")], "k long, a string")
+    b = spark.createDataFrame([(1, "y")], "k long, b string")
+    ra, rb = repartition_for_join(a, b, ["k"], partitions=4)
+    assert ra.rdd.getNumPartitions() == 4
+    assert rb.rdd.getNumPartitions() == 4
