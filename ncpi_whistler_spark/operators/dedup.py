@@ -273,6 +273,75 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair set — the verify
+    stage of the two-phase dedup pipeline (candidates from LSH, exact
+    similarity only where it matters). Cost ∝ |candidates| × shingles,
+    never corpus².
+
+    ``pairs``: (id_a, id_b). Output: (id_a, id_b, n_common, jaccard_ppm).
+    """
+    sh = shingle_rows(df, text_col, id_col, n)
+    sizes = sh.select("id", "n_sh").dropDuplicates(["id"])
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
+    common = (
+        pairs.select("id_a", "id_b")
+        .join(sa, on="id_a")
+        .join(
+            sb,
+            on=(F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), on="id_b")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.expr("(1000000 * n_common) div (n_a + n_b - n_common)").alias("jaccard_ppm"),
+    )
+
+
+def fuzzy_dedup_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_ppm: int = 800_000,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The end-to-end fuzzy-dedup pipeline: MinHash+LSH candidates →
+    exact Jaccard verify on candidates only → greedy min-id keeper rule
+    (drop any doc with a ≥threshold pair to a lower id).
+
+    This is the canonical 100 TB dedup shape (Lee et al. dedup pipelines):
+    every stage is inverted-index bounded; the corpus is never compared
+    all-pairs. Returns the kept rows of ``df``.
+    """
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    verified = jaccard_for_pairs(df, cands, text_col, id_col, shingle_n)
+    dupes = (
+        verified.where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash (near-dup via Hamming distance on a 64-bit sketch)
 # --------------------------------------------------------------------------

@@ -1117,6 +1117,46 @@ def q38_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q39_fuzzy_dedup_pipeline",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shs
+      FROM t
+    ),
+    ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+    dup_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      HAVING (1000000 * COUNT(*)) // (a.n_sh + b.n_sh - COUNT(*)) >= 800000
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM dup_pairs)
+    """,
+)
+def q39_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: the two-phase fuzzy-dedup pipeline — MinHash
+    LSH candidate generation, exact Jaccard verification restricted to
+    candidates, greedy min-id keeper. The oracle computes ground truth
+    with full exact Jaccard; the pipelines agree because near-1.0-Jaccard
+    pairs always collide in some band (identical signatures)."""
+    from ncpi_whistler_spark.operators.dedup import fuzzy_dedup_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_dedup_keep(docs, threshold_ppm=800_000, shingle_n=3).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -73,6 +73,15 @@ def session_counts_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys arriving within the
+    watermark horizon (state is bounded by the watermark — the streaming
+    twin of the batch dropDuplicates dedup A5)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_sec: int = 120
 ) -> None:

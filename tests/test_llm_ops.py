@@ -102,6 +102,34 @@ def test_embedding_dup_lsh_prefilter_contains_high_sim(emb):
     assert apairs <= epairs
 
 
+def test_jaccard_for_pairs_matches_full(docs, spark):
+    """Candidate-restricted Jaccard must equal the full inverted-index
+    Jaccard on the same pairs."""
+    from ncpi_whistler_spark.operators.dedup import jaccard_for_pairs
+
+    full = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = full.select("id_a", "id_b")
+    restricted = jaccard_for_pairs(docs, pairs, n=3)
+    f = {(r["id_a"], r["id_b"]): r["n_common"] for r in full.collect()}
+    r = {(r["id_a"], r["id_b"]): r["n_common"] for r in restricted.collect()}
+    assert f == r
+
+
+def test_fuzzy_dedup_keep(spark):
+    from ncpi_whistler_spark.operators.dedup import fuzzy_dedup_keep
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (3, "completely different words appear in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = fuzzy_dedup_keep(df, threshold_ppm=800_000)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
 def test_shingles_shape(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     out = df.select(shingles("text", 2).alias("s")).collect()[0]["s"]

@@ -31,6 +31,27 @@ def test_hourly_stream_matches_batch(spark):
     assert got == want
 
 
+def test_dedup_stream(spark):
+    from ncpi_whistler_spark.streaming.windows import dedup_stream
+
+    stream = dedup_stream(read_events_stream(spark, SF_DIR), ["user_id", "event_type"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_test").count()
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .dropDuplicates(["user_id", "event_type"])
+        .count()
+    )
+    assert got == want
+
+
 def test_session_stream_sane(spark):
     stream = session_counts_stream(read_events_stream(spark, SF_DIR))
     run_stream_to_memory(stream, "session_test")
