@@ -1157,6 +1157,17 @@ def q39_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q40_embedding_neardup_blocked", None)  # BLAS summation: rows-only
+def q40_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matmul embedding near-dup (the Arrow/numpy scale path);
+    agrees with exact q26 to ~1e-15 (tested), rows-only here because BLAS
+    pairwise summation isn't bit-identical to the oracle's fold."""
+    from ncpi_whistler_spark.operators.similarity import embedding_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pairs_blocked(emb, threshold=0.4)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

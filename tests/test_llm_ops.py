@@ -92,6 +92,25 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.4, f"recall={recall}"
 
 
+def test_blocked_matmul_matches_fold(emb):
+    """Blocked numpy path must agree with the exact expression-fold path
+    on rounded similarities (1e-15 BLAS-vs-fold differences vanish at 6
+    decimals for non-boundary values)."""
+    from ncpi_whistler_spark.operators.similarity import embedding_pairs_blocked
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert set(exact) == set(blocked)
+    for k in exact:
+        assert abs(exact[k] - blocked[k]) < 1e-9
+
+
 def test_embedding_dup_lsh_prefilter_contains_high_sim(emb):
     """Bucketed near-dup pairs are a subset of exact pairs and keep the
     very-highest-similarity ones for this corpus."""

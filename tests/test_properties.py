@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the pure scalar surface — the
+testing layer the reference lacks (SURVEY.md §5 implication)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ncpi_whistler_spark.functions.core import (
+    clean_values,
+    evaluate_bool,
+    fix_fieldname,
+    parse_enumerations,
+)
+
+text = st.text(max_size=80)
+
+
+@given(text)
+@settings(max_examples=200)
+def test_fix_fieldname_idempotent(s):
+    once = fix_fieldname(s)
+    assert fix_fieldname(once) == once
+
+
+@given(text)
+@settings(max_examples=200)
+def test_fix_fieldname_no_forbidden_chars(s):
+    out = fix_fieldname(s)
+    assert "(" not in out and ")" not in out and "/" not in out
+    assert " " not in out.strip() or out == out.strip()
+    assert out == out.lower()
+
+
+@given(st.one_of(st.none(), text))
+@settings(max_examples=200)
+def test_clean_values_total_and_idempotent(s):
+    out = clean_values(s)
+    assert isinstance(out, str)
+    assert clean_values(out) == out
+
+
+@given(st.one_of(st.none(), st.booleans(), st.integers(), text))
+@settings(max_examples=200)
+def test_evaluate_bool_total(v):
+    assert evaluate_bool(v) in (True, False)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(exclude_characters=";=\n"), min_size=1, max_size=10),
+            st.text(alphabet=st.characters(exclude_characters=";=\n"), max_size=10),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=200)
+def test_parse_enumerations_roundtrip(pairs):
+    enc = ";".join(f"{k}={v}" for k, v in pairs)
+    out = parse_enumerations(enc)
+    # every parsed key must come from the input, first-dup wins
+    seen: dict[str, str] = {}
+    for k, v in pairs:
+        k2, v2 = k.strip(), v.strip()
+        # reference semantics: clean_values collapses '; ' runs, then
+        # split on ';' — values with leading spaces after a ';' are merged
+        if k2 and k2 not in seen:
+            seen[k2] = v2
+    for k in out:
+        assert k in seen
