@@ -52,6 +52,38 @@ def test_dedup_stream(spark):
     assert got == want
 
 
+def test_stateful_running_totals(spark):
+    import pyspark.sql.functions as FF
+
+    from ncpi_whistler_spark.streaming.stateful import running_user_totals_stream
+
+    stream = running_user_totals_stream(read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user == batch totals
+    got_df = spark.table("stateful_test")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(FF.col("n_events").desc())
+    final = (
+        got_df.withColumn("rn", FF.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 2)) for r in final.collect()}
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(FF.count(FF.lit(1)).alias("n"), FF.sum("value").alias("t"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["t"], 2)) for r in batch.collect()}
+    assert got == want
+
+
 def test_session_stream_sane(spark):
     stream = session_counts_stream(read_events_stream(spark, SF_DIR))
     run_stream_to_memory(stream, "session_test")
