@@ -89,11 +89,13 @@ def shingle_rows(
         ex.select("id", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
         .where(F.col(f"t{n - 1}").isNotNull())
         .select("id", F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("shingle"))
-        .dropDuplicates(["id", "shingle"])
     )
-    wn = Window.partitionBy("id")
-    return sh.withColumn("n_sh", F.count(F.lit(1)).over(wn)).select(
-        "id", "n_sh", "shingle"
+    # collect_set per id: dedups AND counts in one aggregation that
+    # REUSES the window's hash partitioning on id — the whole operator is
+    # a single shuffle (vs window + dropDuplicates + count-window = 3)
+    agg = sh.groupBy("id").agg(F.collect_set("shingle").alias("shs"))
+    return agg.select(
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
     )
 
 
@@ -339,7 +341,9 @@ def fuzzy_dedup_keep(
         .select(F.col("id_b").alias(id_col))
         .dropDuplicates()
     )
-    return df.join(dupes, on=id_col, how="left_anti")
+    # the dup-id set is tiny relative to the corpus — broadcast the anti
+    # join so the kept-side never shuffles
+    return df.join(F.broadcast(dupes), on=id_col, how="left_anti")
 
 
 # --------------------------------------------------------------------------
