@@ -1,0 +1,171 @@
+"""Differential tests: run the REFERENCE implementation (read-only import
+from /root/reference, with its unavailable deps stubbed) against this
+engine's operators on identical inputs. This is behavior-parity evidence
+stronger than any re-derived unit expectation.
+
+Skipped automatically when the reference checkout isn't present.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def wstlr():
+    import os
+
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    # stub the reference's external deps (FHIR client, rich console)
+    for name, attrs in [("ncpi_fhir_client", ["fhir_auth"]), ("rich", ["print"])]:
+        try:
+            __import__(name)
+            continue
+        except ImportError:
+            pass
+        m = types.ModuleType(name)
+        for a in attrs:
+            setattr(m, a, print if a == "print" else types.SimpleNamespace())
+        sys.modules[name] = m
+    import wstlr
+
+    return wstlr
+
+
+def test_fix_fieldname_differential(wstlr):
+    from ncpi_whistler_spark.functions.core import fix_fieldname
+
+    cases = [
+        "Participant ID", "Age (years)", "Weight/Height Note", "  PADDED  ",
+        "already_ok", "A/B (C) D", "", "MiXeD CaSe", "tabs\tstay", "a  b",
+        "(((", "///", "trailing ", " leading",
+    ]
+    for c in cases:
+        assert fix_fieldname(c) == wstlr.fix_fieldname(c), c
+
+
+def test_clean_values_differential(wstlr):
+    from ncpi_whistler_spark.functions.core import clean_values
+
+    for c in ["a;  b;c", "  x ; y  ", "", "a;b", ";;", "a;\n b", None]:
+        assert clean_values(c) == wstlr.clean_values(c), repr(c)
+
+
+def test_evaluate_bool_differential(wstlr):
+    from ncpi_whistler_spark.functions.core import evaluate_bool
+
+    for v in ["TRUE", "yes", "1", 1, True, "no", "0", 0, None, "True ", 2, "on"]:
+        assert evaluate_bool(v) == wstlr.evaluate_bool(v), repr(v)
+
+
+def test_dd_system_url_differential(wstlr):
+    from ncpi_whistler_spark.functions.core import dd_system_url
+
+    combos = [
+        ("http://x", "CodeSystem", None, "My Table", "My Var"),
+        ("http://x", "ValueSet", "Group A", "t", None),
+        ("http://x", "CodeSystem", "", "T/T", "v(1)"),
+    ]
+    for c in combos:
+        assert dd_system_url(*c) == wstlr.dd_system_url(*c), c
+
+
+def test_groupby_differential(wstlr, spark):
+    """Reference GroupBy.parse/collect vs group_to_nested on the same
+    rows: same keys, same per-group content, same input-order content."""
+    from wstlr.extractor import GroupBy
+
+    from ncpi_whistler_spark.operators.nest import group_to_nested
+
+    rows = [
+        {"sample_id": "S1", "barcode": "b1", "vol": "1"},
+        {"sample_id": "S2", "barcode": "b2", "vol": "2"},
+        {"sample_id": "S1", "barcode": "b3", "vol": "3"},
+        {"sample_id": "S1", "barcode": "b4", "vol": ""},
+    ]
+    ref = GroupBy(config="Sample ID")
+    for r in rows:
+        ref.parse(dict(r))
+    ref_out = {
+        g["sample_id"]: [c["barcode"] for c in g["content"]] for g in ref.collect()
+    }
+
+    df = spark.createDataFrame(
+        [(r["sample_id"], r["barcode"], r["vol"], i) for i, r in enumerate(rows)],
+        "sample_id string, barcode string, vol string, _rid long",
+    )
+    mine = group_to_nested(df, "Sample ID", order_by="_rid")
+    mine_out = {
+        r["sample_id"]: [c["barcode"] for c in r["content"]] for r in mine.collect()
+    }
+    assert mine_out == ref_out
+
+
+def test_embed_differential(wstlr, spark, tmp_path):
+    """Reference EmbedableTable build/probe vs the embed operator on the
+    same CSV: same children per parent (incl. table_name tag and empty
+    list on miss)."""
+    from wstlr.embedable import EmbedableTable
+
+    from ncpi_whistler_spark.operators.nest import embed
+    from ncpi_whistler_spark.sources.csv_source import scan_csv
+
+    child_csv = tmp_path / "manifest.csv"
+    child_csv.write_text(
+        "Sample ID,File Name\nS1,f1.bam\nS1,f2.vcf\nS3,f3.bam\n"
+    )
+    ref = EmbedableTable("file_manifest", "specimen", "Sample ID")
+    ref.load_data(str(child_csv))
+    parents = [{"sample_id": "S1"}, {"sample_id": "S2"}, {"sample_id": "S3"}]
+    ref_rows = []
+    for p in parents:
+        row = dict(p)
+        row["file_manifest"] = ref.get_rows(row["sample_id"])
+        ref_rows.append(row)
+    ref_out = {
+        r["sample_id"]: sorted(c["file_name"] for c in r["file_manifest"])
+        for r in ref_rows
+    }
+    ref_tags = {
+        c["table_name"] for r in ref_rows for c in r["file_manifest"]
+    }
+
+    parent_df = spark.createDataFrame([(p["sample_id"],) for p in parents], "sample_id string")
+    child_df = scan_csv(spark, str(child_csv))
+    mine = embed(parent_df, child_df, "sample_id", "file_manifest")
+    mine_out = {
+        r["sample_id"]: sorted(c["file_name"] for c in r["file_manifest"])
+        for r in mine.collect()
+    }
+    mine_tags = {
+        c["table_name"] for r in mine.collect() for c in r["file_manifest"]
+    }
+    assert mine_out == ref_out
+    assert mine_tags == ref_tags == {"file_manifest"}
+
+
+def test_aggregator_classification_differential(wstlr):
+    import re
+
+    from wstlr.extractor import AggregateColumns
+
+    from ncpi_whistler_spark.operators.aggregators import classify_columns
+
+    cols = ["subject_id", "med_aspirin", "med_statin", "sym_fever", "visit"]
+    ref_std, ref_agg = AggregateColumns(
+        {re.compile("^med_", re.I): "medications", re.compile("^sym_", re.I): "symptoms"},
+        cols,
+    )
+    std, agg = classify_columns(cols, {"medications": "^med_", "symptoms": "^sym_"})
+    assert set(std) == set(ref_std)
+    assert {k: set(v) for k, v in agg.items()} == {
+        k: set(v) for k, v in ref_agg.items()
+    }
