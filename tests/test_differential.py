@@ -152,6 +152,49 @@ def test_embed_differential(wstlr, spark, tmp_path):
     assert mine_tags == ref_tags == {"file_manifest"}
 
 
+def test_conceptmap_differential(wstlr, spark, tmp_path):
+    """Reference BuildConceptMap vs this engine's ConceptMap: identical
+    mapping-edge sets (source, local_code, target_system, target_code)
+    including the implicit self group and curie prefixing. Shapes differ
+    by design (the reference preserves file order; the engine sorts), so
+    the comparison is on canonical edges."""
+    import json
+
+    from wstlr.conceptmap import BuildConceptMap
+
+    from ncpi_whistler_spark.functions.harmonize import SELF_SYSTEM
+    from ncpi_whistler_spark.sources.harmony import ConceptMap
+
+    harmony = tmp_path / "harmony.csv"
+    harmony.write_text(
+        "local code,text,local code system,code,display,code system\n"
+        "1,Male,sex,male,Male,http://hl7.org/fhir/administrative-gender\n"
+        "2,Female,sex,female,Female,http://hl7.org/fhir/administrative-gender\n"
+        "1,Male,sex,M,MaleV2,http://terminology.hl7.org/v2\n"
+        "seiz,Seizure,dx,0001250,Seizure,http://purl.obolibrary.org/obo/hp.owl\n"
+        "1,Male,sex,male,Male,http://hl7.org/fhir/administrative-gender\n"  # dup row
+    )
+    curies = {"http://purl.obolibrary.org/obo/hp.owl": "HP"}
+    out = tmp_path / "harmony.json"
+    BuildConceptMap([str(harmony)], curies, name_prefix="t", outname=str(out))
+    ref = json.loads(out.read_text())
+    ref_edges = set()
+    for grp in ref["group"]:
+        for el in grp["element"]:
+            for tgt in el["target"]:
+                ref_edges.add((grp["source"], el["code"], grp["target"], tgt["code"]))
+
+    cm = ConceptMap.from_csv(spark, str(harmony), curies=curies)
+    mine_edges = set()
+    for r in cm.codings_df().collect():
+        for c in r["codings"]:
+            if c["system"] == SELF_SYSTEM:
+                mine_edges.add((r["local_system"], r["local_code"], "self", c["code"]))
+            else:
+                mine_edges.add((r["local_system"], r["local_code"], c["system"], c["code"]))
+    assert mine_edges == ref_edges
+
+
 def test_aggregator_classification_differential(wstlr):
     import re
 
