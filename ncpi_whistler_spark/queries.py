@@ -1242,6 +1242,59 @@ def q42_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q43_global_topk",
+    """
+    SELECT p_partkey, p_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_partkey, p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+    """,
+)
+def q43_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT: compiles to TakeOrderedAndProject — each
+    partition keeps its local top-10, the driver merges k·partitions
+    rows; no global sort ever materializes."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)", "DECIMAL(24,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q44_above_average",
+    """
+    SELECT p_brand, COUNT(*) AS n_premium
+    FROM part
+    WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def q44_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: parts above the average retail price.
+    The aggregate is a broadcast scalar (one extra stage), not a
+    per-row recompute. AVG is count-division over an exact decimal sum →
+    deterministic threshold on both engines."""
+    p = load_table(spark, sf_dir, "part")
+    avg_price = p.agg(
+        (F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(avg_price))
+        .where(F.col("p_retailprice") > F.col("avg_price"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_premium"))
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
