@@ -1295,6 +1295,106 @@ def q44_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q45_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_symbols
+    FROM documents
+    """,
+)
+def q45_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter runs / digit runs / single
+    symbols — the GPT-2 pre-tokenizer shape) — the token-budget estimator
+    for training-data pipelines, pure regexp_count."""
+    from ncpi_whistler_spark.operators.text import BPE_ISH_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_ISH_RE)).cast("long").alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_number_runs"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("long").alias("n_symbols"),
+    )
+
+
+@query(
+    "q46_bigram_frequencies",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in generate_series(1, greatest(len(toks)-1, 0))]) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def q46_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table (language-model counts): total and
+    document frequency per bigram, top-50 with deterministic tiebreak.
+    Non-distinct shingling → window-stitched bigram rows, one aggregation."""
+    from pyspark.sql.window import Window
+
+    from ncpi_whistler_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        F.col("doc_id"), F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = ex.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).alias("_next"),
+    ).where(F.col("_next").isNotNull())
+    return (
+        bi.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "q47_returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    """,
+)
+def q47_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer — selective
+    fact filter pushed to the scan, dims broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)", "DECIMAL(24,6)").alias("revenue"))
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

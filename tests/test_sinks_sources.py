@@ -91,6 +91,29 @@ def test_purge_order_constant():
     assert order[-1] == "CustomThing"
 
 
+def test_dd_from_json_model():
+    model = {
+        "name": "anvil-style model",
+        "tables": [
+            {
+                "table": "subject",
+                "columns": [
+                    {"variable_name": "Subject ID", "data_type": "identifier"},
+                    {"variable_name": "Status", "data_type": "enumeration",
+                     "enumerations": "a=Active;i=Inactive"},
+                ],
+            }
+        ],
+    }
+    dd = DataDictionary.from_json_model(model, "subject")
+    assert [v.varname for v in dd.variables] == ["subject_id", "status"]
+    assert dd.variables[1].enumerations == {"a": "Active", "i": "Inactive"}
+    import pytest
+
+    with pytest.raises(KeyError):
+        DataDictionary.from_json_model(model, "missing_table")
+
+
 def test_dd_csv_roundtrip(spark, tmp_path):
     rows = [
         {"variable_name": "Participant ID", "data_type": "identifier"},
