@@ -111,6 +111,74 @@ def cmd_inspect(args) -> int:
     return 0 if not any(checks.values()) else 2
 
 
+def cmd_builddd(args) -> int:
+    """builddd analog: profile observed data → inferred DD CSV
+    (reference wstlr/dd/dd_from_fhir.py)."""
+    from ncpi_whistler_spark.operators.profiling import profile_columns
+    from ncpi_whistler_spark.plans.resources import dd_from_profile
+
+    spark = _spark(args)
+    df = (
+        spark.read.parquet(args.table)
+        if args.table.endswith(("parquet", "/"))
+        else spark.read.option("header", True).csv(args.table)
+    )
+    prof = [r.asDict() for r in profile_columns(df).collect()]
+    dd = dd_from_profile(prof, args.name)
+    dd.to_csv(args.out)
+    print(f"wrote inferred DD: {args.out} ({len(dd.variables)} variables)")
+    return 0
+
+
+def cmd_igload(args) -> int:
+    """igload analog: IG definitions → resource frame parquet
+    (reference wstlr/igload/__init__.py)."""
+    from ncpi_whistler_spark.sources.igload import load_ig_files, load_ig_zip
+
+    spark = _spark(args)
+    exclusions = args.exclude or []
+    if args.source.endswith(".zip"):
+        df = load_ig_zip(spark, args.source, exclusions)
+    else:
+        df = load_ig_files(spark, [args.source], exclusions)
+    df.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {df.count()} IG resources: {args.out}")
+    return 0
+
+
+def cmd_studyids(args) -> int:
+    """studyids analog: show the ledgered ids per (study, host, type)
+    (reference wstlr/studyids.py)."""
+    from ncpi_whistler_spark.sinks.ledger import read_ledger
+
+    spark = _spark(args)
+    ledger = read_ledger(spark, args.ledger)
+    ledger.groupBy("study_id", "host", "resource_type").count().orderBy(
+        "study_id", "host", "resource_type"
+    ).show(1000, truncate=False)
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """delfhir analog: dependency-ordered purge of a study's ledgered ids
+    (reference wstlr/purge.py). Dry-run by default — pass --execute with
+    a transport module for real deletes."""
+    import json as _json
+
+    from ncpi_whistler_spark.sinks.ledger import purge_study
+
+    spark = _spark(args)
+    deleted: list = []
+
+    def dry_delete(rt: str, fid: str) -> bool:
+        return True  # dry run counts only
+
+    counts = purge_study(spark, args.ledger, args.study_id, args.host, dry_delete)
+    print(_json.dumps({"would_delete": counts, "order": list(counts)}, indent=2))
+    _ = deleted
+    return 0
+
+
 def cmd_profile(args) -> int:
     from ncpi_whistler_spark.operators.profiling import profile_columns
 
@@ -148,6 +216,28 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser("profile", help="per-column profile of a table")
     pp.add_argument("table")
     pp.set_defaults(fn=cmd_profile)
+
+    pb = sub.add_parser("builddd", help="infer a data dictionary from data")
+    pb.add_argument("table")
+    pb.add_argument("--name", default="table")
+    pb.add_argument("--out", required=True)
+    pb.set_defaults(fn=cmd_builddd)
+
+    pg = sub.add_parser("igload", help="load FHIR IG definitions")
+    pg.add_argument("source", help="definitions zip, json file, or directory")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--exclude", nargs="*")
+    pg.set_defaults(fn=cmd_igload)
+
+    ps = sub.add_parser("studyids", help="show ledgered study ids")
+    ps.add_argument("ledger")
+    ps.set_defaults(fn=cmd_studyids)
+
+    pd = sub.add_parser("purge", help="dependency-ordered purge (dry run)")
+    pd.add_argument("ledger")
+    pd.add_argument("--study-id", required=True)
+    pd.add_argument("--host", required=True)
+    pd.set_defaults(fn=cmd_purge)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -31,6 +31,35 @@ def test_cli_extract(spark, study_dir, tmp_path):  # noqa: F811
     assert back.count() == 3
 
 
+def test_cli_builddd_igload_ledger(spark, study_dir, tmp_path):  # noqa: F811
+    import json as _json
+
+    # builddd from the participant fixture CSV
+    dd_out = str(tmp_path / "inferred-dd.csv")
+    rc = cli.main(["builddd", str(study_dir / "participant.csv"), "--name",
+                   "participant", "--out", dd_out])
+    assert rc == 0 and os.path.exists(dd_out)
+
+    # igload from a json file
+    ig = tmp_path / "cs.json"
+    ig.write_text(_json.dumps({"resourceType": "CodeSystem", "url": "http://x"}))
+    ig_out = str(tmp_path / "ig_parquet")
+    assert cli.main(["igload", str(ig), "--out", ig_out]) == 0
+    assert spark.read.parquet(ig_out).count() == 1
+
+    # ledger + purge dry run
+    from ncpi_whistler_spark.sinks.ledger import append_ledger
+
+    ledger = str(tmp_path / "ledger")
+    ids = spark.createDataFrame(
+        [("S1", "dev", "Patient", "p1")],
+        "study_id string, host string, resource_type string, fhir_id string",
+    )
+    append_ledger(spark, ledger, ids)
+    assert cli.main(["studyids", ledger]) == 0
+    assert cli.main(["purge", ledger, "--study-id", "S1", "--host", "dev"]) == 0
+
+
 def test_cli_resources_and_inspect(spark, study_dir, tmp_path):  # noqa: F811
     out = str(tmp_path / "resources")
     rc = cli.main(
