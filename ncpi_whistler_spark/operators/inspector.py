@@ -46,8 +46,18 @@ def observations_without_code(resources: DataFrame) -> DataFrame:
 
 
 def module_summary(resources: DataFrame) -> DataFrame:
-    """module × resourceType counts with percent-of-total (A3)."""
-    return count_summary(resources, ["module", "resourceType"])
+    """module × resourceType counts with percent of that resourceType's
+    total (reference semantics: the %% column is per-type, not global —
+    wstlr/module_summary.py:36-41)."""
+    from pyspark.sql.window import Window
+
+    counts = resources.groupBy("module", "resourceType").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_type = Window.partitionBy("resourceType")
+    return counts.withColumn(
+        "pct", F.round(F.col("n") * 100.0 / F.sum("n").over(per_type), 2)
+    )
 
 
 def run_inspections(resources: DataFrame) -> dict[str, int]:

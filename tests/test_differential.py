@@ -195,6 +195,40 @@ def test_conceptmap_differential(wstlr, spark, tmp_path):
     assert mine_edges == ref_edges
 
 
+def test_module_summary_differential(wstlr, spark):
+    """Reference ModuleSummary counts + per-type percentages vs the
+    DataFrame module_summary on the same resources."""
+    from wstlr.module_summary import ModuleSummary
+
+    from ncpi_whistler_spark.operators.inspector import module_summary
+    from ncpi_whistler_spark.sources.json_source import parse_bundle_dict
+
+    bundle = {
+        "patient": [{"resourceType": "Patient"}] * 3
+        + [{"resourceType": "Observation"}],
+        "source_data": [{"resourceType": "Observation"}] * 4,
+    }
+    ref = ModuleSummary()
+    for module, resources in bundle.items():
+        for r in resources:
+            ref.summary(module, r)
+    ref_out = {
+        (m, rt): (
+            ref.module_summary[m][rt],
+            round(100.0 * ref.module_summary[m][rt] / ref.resource_summary[rt], 2),
+        )
+        for m in ref.module_summary
+        for rt in ref.module_summary[m]
+    }
+
+    res = parse_bundle_dict(spark, bundle)
+    mine = {
+        (r["module"], r["resourceType"]): (r["n"], r["pct"])
+        for r in module_summary(res).collect()
+    }
+    assert mine == ref_out
+
+
 def test_aggregator_classification_differential(wstlr):
     import re
 

@@ -50,7 +50,9 @@ def test_parse_bundle_and_inspect(spark):
         (r["module"], r["resourceType"]): (r["n"], r["pct"])
         for r in module_summary(res).collect()
     }
-    assert summary[("patient", "Patient")] == (2, 66.67)
+    # pct is per-resourceType (reference semantics): both Patients live in
+    # the patient module → 100% of the Patient type
+    assert summary[("patient", "Patient")] == (2, 100.0)
     checks = run_inspections(res)
     assert checks["duplicate_identifiers"] == 1
     assert checks["observations_without_code"] == 1
