@@ -185,22 +185,28 @@ def curie_prefix_col(code: Column, system: Column, curies: Mapping[str, str]) ->
 
 def parse_enumerations(enum_string: str | None) -> dict[str, str]:
     """';'- or newline-delimited ``code=desc`` pairs; bare codes map to
-    themselves; first duplicate wins."""
+    themselves; first duplicate wins.
+
+    Reference-exact semantics (wstlr/dd/variable.py:92-116, verified by
+    tests/test_differential.py): ';' wins over newline as the splitter
+    when both appear, and a single bare value without any separator is
+    NOT an enumeration (yields {}).
+    """
     values: dict[str, str] = {}
     if not enum_string:
         return values
-    splitter = "\n" if "\n" in enum_string else ";"
-    for chunk in clean_values(enum_string).split(splitter):
-        chunk = chunk.strip()
-        if not chunk:
-            continue
+    splitter = ";" if ";" in enum_string else "\n"
+    chunks = enum_string.split(splitter)
+    for chunk in chunks:
         if "=" in chunk:
             code, _, desc = chunk.partition("=")
+            code = code.strip()
+            if code and code not in values:
+                values[code] = desc.strip()
         else:
-            code, desc = chunk, chunk
-        code = code.strip()
-        if code and code not in values:
-            values[code] = desc.strip()
+            bare = chunk.strip()
+            if len(chunks) > 1 and bare:
+                values[bare] = bare
     return values
 
 

@@ -195,6 +195,39 @@ def test_conceptmap_differential(wstlr, spark, tmp_path):
     assert mine_edges == ref_edges
 
 
+def test_ddvariable_differential(wstlr):
+    """Reference DdVariable enum parsing / field naming / type mapping vs
+    this engine's parse_enumerations + fix_fieldname + standardize maps."""
+    from wstlr.dd.variable import DdVariable
+
+    from ncpi_whistler_spark.functions.core import (
+        fix_fieldname,
+        parse_enumerations,
+    )
+
+    def mk(**kw):
+        kw.setdefault("data_type", "string")
+        kw.setdefault("description", "")
+        return DdVariable("study", "tbl", **kw)
+
+    enum_cases = [
+        "1=Male;2=Female",
+        "A\nB\nA",
+        "x=first;x=second",
+        "a;  b ;c=See",
+        "a=1;b\nc",        # ';' wins over newline
+        "single_bare",      # no separator → not an enumeration
+        "yes;no",
+        "",
+    ]
+    for enums in enum_cases:
+        ref = mk(variable_name="V", enumerations=enums)
+        assert parse_enumerations(enums) == ref.enumerations, repr(enums)
+
+    ref = mk(variable_name="Age (years)")
+    assert fix_fieldname("Age (years)") == ref.fieldname
+
+
 def test_module_summary_differential(wstlr, spark):
     """Reference ModuleSummary counts + per-type percentages vs the
     DataFrame module_summary on the same resources."""
