@@ -51,15 +51,18 @@ def aggregate_columns(
     aggregators: Mapping[str, str],
     splitter: str | None = None,
     code_rename: Mapping[str, str] | None = None,
-    drop_missing: bool = True,
+    code_details: Mapping[str, str] | None = None,
+    drop_missing: bool = False,
     missing_values: tuple[str, ...] = ("", "NA", "Not Provided"),
 ) -> DataFrame:
     """Rewrite wide measurement columns into per-group struct arrays.
 
     ``code_rename`` applies the DD varname lookup to codes (P1 interplay,
-    wstlr/extractor.py:168-183). With ``drop_missing`` entries whose value
-    is in the missing vocabulary are filtered out of the arrays (the
-    reference's missing handling, wstlr/extractor.py:209,226-228).
+    wstlr/extractor.py:168-183). ``code_details`` adds the harmony
+    ``text`` member when the ORIGINAL column name appears in the map
+    (wstlr/extractor.py:183-187). The reference keeps missing values in
+    the arrays (filtering happens later in whistle guards); pass
+    ``drop_missing=True`` to filter at the pivot instead.
     """
     standard, matched = classify_columns(df.columns, aggregators)
     selects: list[Column] = [F.col(c) for c in standard]
@@ -68,12 +71,17 @@ def aggregate_columns(
         for c in cols:
             code = _code_of(c, splitter)
             if code_rename:
-                code = code_rename.get(code, code)
+                code = code_rename.get(f"{newvar}:{code}", code_rename.get(code, code))
+            text = (code_details or {}).get(c)
             entries.append(
-                F.struct(F.lit(code).alias("code"), F.col(c).cast("string").alias("value"))
+                F.struct(
+                    F.lit(code).alias("code"),
+                    F.col(c).cast("string").alias("value"),
+                    F.lit(text).cast("string").alias("text"),
+                )
             )
         arr = F.array(*entries) if entries else F.array().cast(
-            "array<struct<code:string,value:string>>"
+            "array<struct<code:string,value:string,text:string>>"
         )
         if drop_missing and entries:
             arr = F.filter(

@@ -49,16 +49,41 @@ def harmonize(
 def add_display_columns(
     df: DataFrame,
     columns: list[str],
+    code_details: dict[str, str],
+    suffix: str = "_display",
+) -> DataFrame:
+    """P2 (reference-exact): for every listed column whose VALUE appears
+    in the code_details map (local code → display, keyed by value only —
+    wstlr/extractor.py:189-191,274-282), add ``<col><suffix>``.
+
+    The map is config-scale, so it compiles to a ``create_map`` literal —
+    a pure map-side lookup, no join at all.
+    """
+    if not code_details:
+        return df
+    pairs: list[Column] = []
+    for k, v in code_details.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    lookup = F.create_map(*pairs)
+    out = df
+    for c in columns:
+        out = out.withColumn(
+            c + suffix, F.element_at(lookup, F.col(c).cast("string"))
+        )
+        # reference omits the key entirely on miss; NULL + null-dropping
+        # serialization reproduces that (SURVEY §7 risk 4)
+    return out
+
+
+def add_display_columns_scoped(
+    df: DataFrame,
+    columns: list[str],
     concept_map: ConceptMap,
     suffix: str = "_display",
 ) -> DataFrame:
-    """P2: for every listed column, add ``<col><suffix>`` with the harmony
-    display for its value (reference: wstlr/extractor.py:189-191, display
-    dict built per local_system at :274-282).
-
-    One broadcast join per column, all map-side. The local_system for a
-    column is the column name itself (the reference keys the display dict
-    on parent_varname).
+    """Stricter variant: display scoped per (column == local_system) via
+    broadcast joins — avoids cross-column code collisions the reference's
+    global map allows. Not reference-exact; offered as the safer option.
     """
     disp = concept_map.display_map_df()
     out = df

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType as _ArrayType
 
 from ncpi_whistler_spark.operators.aggregators import aggregate_columns
 from ncpi_whistler_spark.operators.harmonize import add_display_columns
@@ -79,25 +80,31 @@ def extract_table(
         rename = dd.rename_map()
         df = df.toDF(*[rename.get(c, c) for c in df.columns])
 
+    code_details: dict[str, str] = {}
+    if tbl.code_harmonization:
+        from ncpi_whistler_spark.sources.harmony import read_code_details
+
+        code_details = read_code_details(tbl.code_harmonization)
+
     if tbl.aggregators:
         code_rename = dd.rename_map() if dd else None
-        keep = [c for c in df.columns if c == ROW_ID]
         df = aggregate_columns(
             df,
             tbl.aggregators,
             splitter=tbl.aggregator_splitter,
             code_rename=code_rename,
-            missing_values=tuple(config.missing_values),
+            code_details=code_details,
         )
-        _ = keep  # ROW_ID passes through as a standard column
 
-    if concept_map is not None and tbl.code_harmonization:
-        harmonized_cols = [
-            r["local_system"]
-            for r in concept_map.mappings.select("local_system").distinct().collect()
-            if r["local_system"] in df.columns
+    if code_details:
+        # reference-exact: every standard column whose value matches a
+        # harmony local code gains <col>_display (global value-keyed map)
+        display_cols = [
+            c
+            for c in df.columns
+            if c != ROW_ID and not isinstance(df.schema[c].dataType, _ArrayType)
         ]
-        df = add_display_columns(df, harmonized_cols, concept_map)
+        df = add_display_columns(df, display_cols, code_details)
 
     if tbl.group_by:
         df = group_to_nested(df, tbl.group_by, order_by=ROW_ID if keep_order else None)

@@ -48,8 +48,13 @@ def scan_csv(
         .option("mode", "PERMISSIVE")
         # all-string schema: reference parity (csv.DictReader yields str)
         .option("inferSchema", False)
+        .option("emptyValue", "")
         .csv(paths)
     )
+    # empty cells are empty STRINGS, not NULLs (csv.DictReader semantics —
+    # the missing-value vocabulary includes "" by design; Spark's parser
+    # yields null for unquoted empties regardless of nullValue)
+    df = df.na.fill("")
     df = df.toDF(*[fix_fieldname(c) for c in df.columns])
     if row_id:
         from pyspark.sql import functions as F

@@ -52,6 +52,24 @@ def scan_harmony_csv(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     )
 
 
+def read_code_details(paths: str | list[str]) -> dict[str, str]:
+    """The extractor's code_details map: local code → display, last
+    occurrence wins, keyed by VALUE ONLY (not scoped per column) —
+    reference-exact (wstlr/extractor.py:274-282). Driver-side: harmony
+    files are config-scale and the last-wins rule depends on file order."""
+    import csv
+
+    if isinstance(paths, str):
+        paths = [p.strip() for p in paths.split(",") if p.strip()]
+    details: dict[str, str] = {}
+    for path in paths:
+        with open(path, newline="") as fh:
+            for row in csv.DictReader(fh, delimiter=",", quotechar='"'):
+                row = {(k or "").lower(): v for k, v in row.items()}
+                details[row["local code"]] = row.get("display", "")
+    return details
+
+
 class ConceptMap:
     """A harmonization dictionary backed by a small mapping DataFrame.
 

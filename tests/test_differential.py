@@ -228,6 +228,63 @@ def test_ddvariable_differential(wstlr):
     assert fix_fieldname("Age (years)") == ref.fieldname
 
 
+def test_objectify_csv_differential(wstlr, spark, tmp_path):
+    """Full ObjectifyCSV parity: the survey fixture (aggregators +
+    splitter + code_details displays) through the reference extractor vs
+    this engine's scan→aggregate→display plan, compared row-for-row
+    (engine NULLs ≡ reference absent keys)."""
+    from wstlr.extractor import BuildAggregators, GroupBy, ObjectifyCSV
+
+    from ncpi_whistler_spark.operators.aggregators import aggregate_columns
+    from ncpi_whistler_spark.operators.harmonize import add_display_columns
+    from ncpi_whistler_spark.sources.csv_source import scan_csv
+
+    csv_path = tmp_path / "survey.csv"
+    csv_path.write_text(
+        "Subject ID,Visit,med_aspirin,med_statin,sym_fever\n"
+        "P1,V1,81,NA,yes\n"
+        "P2,V2,,325,no\n"
+    )
+    code_details = {"81": "81 milligrams", "yes": "Fever present", "V1": "Visit one"}
+    aggs = {"medications": "^med_", "symptoms": "^sym_"}
+
+    with open(csv_path) as fh:
+        ref_rows = ObjectifyCSV(
+            fh,
+            aggregators=BuildAggregators(aggs),
+            grouper=GroupBy(None),
+            agg_splitter="_",
+            code_details=code_details,
+        )
+
+    df = scan_csv(spark, str(csv_path))
+    df = aggregate_columns(df, aggs, splitter="_", code_details=code_details)
+    df = add_display_columns(df, ["subject_id", "visit"], code_details)
+    def canon(rows):
+        # the REFERENCE's aggregated-entry order is nondeterministic (it
+        # iterates a defaultdict(set), wstlr/extractor.py:148-158); this
+        # engine emits column order. Compare arrays order-insensitively.
+        out = []
+        for r in sorted(rows, key=lambda r: r["subject_id"]):
+            row = {}
+            for k, v in r.items():
+                if isinstance(v, list):
+                    row[k] = sorted(
+                        (
+                            {kk: vv for kk, vv in item.items() if vv is not None}
+                            for item in v
+                        ),
+                        key=lambda d: d.get("code", ""),
+                    )
+                elif v is not None:
+                    row[k] = v
+            out.append(row)
+        return out
+
+    mine_rows = canon(r.asDict(recursive=True) for r in df.collect())
+    assert mine_rows == canon(ref_rows)
+
+
 def test_module_summary_differential(wstlr, spark):
     """Reference ModuleSummary counts + per-type percentages vs the
     DataFrame module_summary on the same resources."""

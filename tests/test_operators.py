@@ -76,7 +76,8 @@ def test_aggregate_columns_pivot(spark):
         "subject_id string, visit string, med_aspirin string, med_statin string, sym_fever string, sym_cough string",
     )
     out = aggregate_columns(
-        df, {"medications": "^med_", "symptoms": "^sym_"}, splitter="_"
+        df, {"medications": "^med_", "symptoms": "^sym_"}, splitter="_",
+        drop_missing=True,
     )
     assert set(out.columns) == {"subject_id", "visit", "medications", "symptoms"}
     row = out.collect()[0]
@@ -128,15 +129,28 @@ def test_harmonize_function_family(spark):
 
 
 def test_display_columns(spark):
+    # reference-exact global value-keyed map
+    out = add_display_columns(
+        spark.createDataFrame([("P1", "White"), ("P2", "Other")], "pid string, race string"),
+        ["race"],
+        {"White": "White(display)"},
+    )
+    rows = {r["pid"]: r for r in out.collect()}
+    assert rows["P1"]["race_display"] == "White(display)"
+    assert rows["P2"]["race_display"] is None
+
+    # scoped variant: per-column local_system
+    from ncpi_whistler_spark.operators.harmonize import add_display_columns_scoped
+
     cm = ConceptMap.from_rows(
         spark,
         [("White", "White", "race", "2106-3", "White", "urn:oid:2.16.840.1.113883.6.238")],
     )
     df = spark.createDataFrame([("P1", "White"), ("P2", "Other")], "pid string, race string")
-    out = add_display_columns(df, ["race"], cm)
-    rows = {r["pid"]: r for r in out.collect()}
-    assert rows["P1"]["race_display"] == "White"
-    assert rows["P2"]["race_display"] is None
+    out2 = add_display_columns_scoped(df, ["race"], cm)
+    rows2 = {r["pid"]: r for r in out2.collect()}
+    assert rows2["P1"]["race_display"] == "White"
+    assert rows2["P2"]["race_display"] is None
 
 
 def test_curie_prefixing(spark):
