@@ -31,6 +31,33 @@ def harmonize(
     codings for (value, local_system). Unmapped values get an empty array
     (whistle returns nil; empty array keeps downstream HOFs total)."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
+    empty = F.array().cast("array<struct<code:string,display:string,system:string>>")
+    # Fast path: config-scale maps (the reference's always are — harmony
+    # CSVs are human-authored) compile to a create_map literal. Pure
+    # map-side expression: no join, no extra Spark jobs building the
+    # lookup, and on a 100 TB fact table no broadcast to ship.
+    table = concept_map.codings_lookup(local_system)
+    if table is not None:
+        if not table:
+            return df.withColumn(output_col, empty)
+        pairs: list[Column] = []
+        for lc, codings in table.items():
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("code"),
+                        F.lit(d).alias("display"),
+                        F.lit(s).alias("system"),
+                    )
+                    for c, d, s in codings
+                ]
+            )
+            pairs.extend([F.lit(lc), arr])
+        m = F.create_map(*pairs)
+        return df.withColumn(
+            output_col,
+            F.coalesce(F.try_element_at(m, value.cast("string")), empty),
+        )
     lookup = (
         concept_map.codings_df()
         .where(F.col("local_system") == local_system)
@@ -42,7 +69,6 @@ def harmonize(
     out = df.join(
         F.broadcast(lookup), on=value.cast("string") == F.col("__h_code"), how="left"
     ).drop("__h_code")
-    empty = F.array().cast("array<struct<code:string,display:string,system:string>>")
     return out.withColumn(output_col, F.coalesce(F.col(output_col), empty))
 
 
@@ -107,22 +133,20 @@ def harmonize_map_expr(
     (map_expr, keys) where map_expr is a ``create_map`` literal usable as
     ``element_at(map, col)``. Driver-collects the map — only for
     config-sized dictionaries (the reference's are always config-sized)."""
-    rows = (
-        concept_map.codings_df()
-        .where(F.col("local_system") == local_system)
-        .collect()
-    )
+    table = concept_map.codings_lookup(local_system)
+    if table is None:
+        raise ValueError("concept map too large for a literal map expression")
     pairs: list[Column] = []
-    for r in rows:
+    for lc, codings in table.items():
         arr = F.array(
             *[
                 F.struct(
-                    F.lit(c["code"]).alias("code"),
-                    F.lit(c["display"]).alias("display"),
-                    F.lit(c["system"]).alias("system"),
+                    F.lit(c).alias("code"),
+                    F.lit(d).alias("display"),
+                    F.lit(s).alias("system"),
                 )
-                for c in r["codings"]
+                for c, d, s in codings
             ]
         )
-        pairs.extend([F.lit(r["local_code"]), arr])
-    return F.create_map(*pairs), F.lit([r["local_code"] for r in rows])
+        pairs.extend([F.lit(lc), arr])
+    return F.create_map(*pairs), F.lit(list(table))

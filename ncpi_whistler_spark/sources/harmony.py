@@ -77,6 +77,11 @@ class ConceptMap:
     system — one row per (local → target) edge, already deduped.
     """
 
+    #: cap for driver-side materialization (`codings_lookup`). Reference
+    #: concept maps are human-authored harmony CSVs — config scale, never
+    #: data scale — so this only guards against misuse.
+    MAX_DRIVER_ROWS = 10_000
+
     def __init__(self, mappings: DataFrame, curies: Mapping[str, str] | None = None):
         mappings = mappings.dropDuplicates(
             ["local_system", "local_code", "system", "code"]
@@ -86,6 +91,9 @@ class ConceptMap:
                 "code", curie_prefix_col(F.col("code"), F.col("system"), curies)
             )  # F6, wstlr/conceptmap.py:83-85
         self.mappings = mappings
+        # driver-side caches (config-scale maps only)
+        self._rows: list | None | bool = None  # None=unknown, False=too big
+        self._lookup_cache: dict[str, dict[str, list[tuple]]] = {}
 
     @classmethod
     def from_csv(
@@ -110,7 +118,30 @@ class ConceptMap:
             "local_code string, text string, local_system string, "
             "code string, display string, system string",
         )
-        return cls(df, curies)
+        cm = cls(df, curies)
+        if not curies:
+            # rows are already on the driver — prefill the cache so the
+            # literal-map path never runs a Spark job (same keep-one
+            # dedupe as __init__'s dropDuplicates)
+            seen: set[tuple] = set()
+            deduped = []
+            for lc, text, ls, code, display, system in rows:
+                k = (ls, lc, system, code)
+                if k in seen:
+                    continue
+                seen.add(k)
+                deduped.append(
+                    {
+                        "local_code": lc,
+                        "text": text,
+                        "local_system": ls,
+                        "code": code,
+                        "display": display,
+                        "system": system,
+                    }
+                )
+            cm._rows = deduped
+        return cm
 
     def codings_df(self) -> DataFrame:
         """One row per (local_code, local_system) with all target codings
@@ -143,6 +174,44 @@ class ConceptMap:
             .groupBy("local_code", "local_system")
             .agg(F.array_sort(F.collect_list("coding")).alias("codings"))
         )
+
+    def _collected(self) -> list | None:
+        """Mappings rows collected to the driver, or None when the map
+        exceeds MAX_DRIVER_ROWS (callers then use the DataFrame path)."""
+        if self._rows is None:
+            got = self.mappings.limit(self.MAX_DRIVER_ROWS + 1).collect()
+            self._rows = False if len(got) > self.MAX_DRIVER_ROWS else got
+        return self._rows if self._rows is not False else None
+
+    def codings_lookup(self, local_system: str) -> dict[str, list[tuple]] | None:
+        """Driver-side twin of ``codings_df`` for one local_system:
+        ``local_code → [(code, display, system), ...]`` with the self
+        coding included and the exact ordering ``array_sort`` would give
+        (struct field order (code, display, system); null fields first,
+        matching Spark's ascending null-first struct comparison).
+
+        Returns None when the map exceeds MAX_DRIVER_ROWS; used by
+        ``operators.harmonize`` to compile config-scale maps into literal
+        ``create_map`` expressions — zero joins, zero extra jobs."""
+        if local_system in self._lookup_cache:
+            return self._lookup_cache[local_system]
+        rows = self._collected()
+        if rows is None:
+            return None
+        out: dict[str, list[tuple]] = {}
+        texts: dict[str, str] = {}
+        for r in rows:
+            if r["local_system"] != local_system:
+                continue
+            lc = r["local_code"]
+            out.setdefault(lc, []).append((r["code"], r["display"], r["system"]))
+            texts.setdefault(lc, r["text"])
+        key = lambda t: tuple((x is not None, x or "") for x in t)  # noqa: E731
+        for lc, codings in out.items():
+            codings.append((lc, texts[lc], SELF_SYSTEM))
+            codings.sort(key=key)
+        self._lookup_cache[local_system] = out
+        return out
 
     def display_map_df(self) -> DataFrame:
         """(local_system, local_code) → first display, for the extractor's
