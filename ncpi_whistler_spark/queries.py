@@ -1651,6 +1651,158 @@ def q52_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q53_setops_all",
+    """
+    WITH a AS (SELECT o_custkey FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         c AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+    SELECT * FROM (
+      (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      INTERSECT ALL
+      SELECT * FROM c)
+    """,
+)
+def q53_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL — q17 covers
+    only the distinct forms). Catalyst compiles both to aggregate+generate
+    over per-side counts: one shuffle each, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    c = o.where(F.col("o_totalprice") > 100000.0).select("o_custkey")
+    return a.exceptAll(b).intersectAll(c)
+
+
+@query(
+    "q54_grouping_sets",
+    """
+    SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() disambiguation — the
+    combinations ROLLUP (q10) and CUBE (q37) cannot express. One
+    Expand+Aggregate, one shuffle for all three sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice").alias("revenue"),
+        )
+        .select(
+            "g_rf",
+            "g_ls",
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q55_trailing_hour_window",
+    """
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q55_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (value-ranged, not row-counted):
+    trailing one-hour event count + exact-decimal sum per event type.
+    Spark range frames are numeric, so the order key is unix_micros(ts)
+    with a ±microsecond frame — bit-identical membership to DuckDB's
+    INTERVAL frame. One shuffle on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing"),
+    )
+
+
+@query(
+    "q56_rank_family",
+    """
+    SELECT s_suppkey, s_nationkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q56_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic rank family (dense_rank / percent_rank / ntile /
+    cume_dist) in one window pass — fully tiebroken ordering makes every
+    one deterministic on both engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "q57_lateral_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(generate_series(1, least(len(toks), 5))) AS pos,
+           unnest(toks[1:least(len(toks), 5)]) AS tok
+    FROM t
+    """,
+)
+def q57_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral table-function join (correlated generate_series in the
+    oracle): the leading 5 tokens of every document with their 1-based
+    positions. Spark-side this is a posexplode generator — pure map-side
+    fan-out, zero shuffles."""
+    from ncpi_whistler_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.slice(tokens("text"), 1, 5)).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
