@@ -250,3 +250,139 @@ def cosine_topk_lsh(
         F.col("rank").cast("long").alias("rank"),
         F.round("sim", 6).alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed-list search
+# --------------------------------------------------------------------------
+
+
+def _centroid_score_structs(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """(score, cid) structs scoring ``vec`` against every centroid literal.
+    Score is dot/(centroid norm) — rank-equivalent to cosine for a fixed
+    vec, one sqrt cheaper. Centroid norms fold at plan time."""
+    import math
+
+    out = []
+    for cid, cvec in enumerate(centroids):
+        norm = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        out.append(
+            F.struct(
+                (dot_product(vec, arr) / F.lit(norm)).alias("score"),
+                F.lit(cid).alias("cid"),
+            ).cast("struct<score:double,cid:int>")
+        )
+    return out
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (max cosine; ties → higher cid — array_max
+    compares (score, cid) structs field-by-field). Pure map-side
+    expression: at 100 TB list assignment never shuffles."""
+    return F.array_max(F.array(*_centroid_score_structs(vec, centroids)))["cid"]
+
+
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means coarse quantizer.
+
+    Init = embeddings of the ``nlist`` lowest ids (seedless, reproducible).
+    Each iteration: map-side assignment (centroid literals, no shuffle) →
+    per-(cid, dim) mean via posexplode + one aggregation — decimal-cast
+    sums make centroids bit-stable under any partial-agg schedule. Only
+    nlist×dim aggregate rows ever reach the driver, so training cost is
+    iters scans of the corpus regardless of corpus size. Empty clusters
+    keep their previous centroid."""
+    init = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        stats = (
+            corpus.select(
+                ivf_assign(F.col(vec_col), cents).alias("cid"),
+                F.posexplode(vec_col).alias("pos", "val"),
+            )
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = float(r["s"]) / r["n"]
+        cents = [
+            [by_cid[cid][p] for p in range(dim)] if cid in by_cid else cents[cid]
+            for cid in range(nlist)
+        ]
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors — the third ANN tier next to
+    brute force (cosine_topk) and hyperplane LSH (cosine_topk_lsh).
+
+    Index: corpus rows labeled with their nearest of ``nlist`` k-means
+    centroids (map-side; at scale the list id is the partition/cluster
+    key, so a probe touches ~nprobe/nlist of the data). Search: each query
+    expands to its ``nprobe`` closest lists, joins candidates on the list
+    id, exact cosine + top-k. ``nprobe == nlist`` degrades gracefully to
+    exact brute force (tested equal to cosine_topk).
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
+    cosine_topk."""
+    cents = ivf_train(corpus, nlist, iters, corpus_vec, corpus_id)
+    indexed = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
+        ivf_assign(F.col(corpus_vec), cents).alias("cid"),
+    )
+    scored_lists = F.array(*_centroid_score_structs(F.col(query_vec), cents))
+    probes = F.slice(F.reverse(F.array_sort(scored_lists)), 1, nprobe)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
+        F.explode(F.transform(probes, lambda s: s["cid"])).alias("cid"),
+    )
+    scored = F.broadcast(q).join(indexed, on="cid")
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    )
+    top = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("cos_sim"),
+    )

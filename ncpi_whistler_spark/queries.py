@@ -1803,6 +1803,17 @@ def q57_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
 
 
+@query("q58_ivf_topk", None)  # k-means quantizer: engine-specific, rows-only
+def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer, nprobe-list
+    search. Tests assert nprobe==nlist reproduces brute force exactly and
+    partial-probe recall; at scale the list id is the partition key."""
+    from ncpi_whistler_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") < 16), emb, k=5, nlist=8, nprobe=4, iters=2)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

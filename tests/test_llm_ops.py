@@ -206,3 +206,30 @@ def test_multimodal_decode_plumbing(spark):
     frames = frame_sample_plan(df, every_n=2)
     fcount = frames.groupBy("media_id").count().collect()
     assert {r["media_id"]: r["count"] for r in fcount}[2] >= 2
+
+
+def test_ivf_full_probe_equals_exact(emb):
+    """nprobe == nlist searches every inverted list — the IVF path must
+    then reproduce brute force exactly (same rows, same ranks)."""
+    from ncpi_whistler_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 8)
+    exact = cosine_topk(q, emb, k=5)
+    full = ivf_topk(q, emb, k=5, nlist=8, nprobe=8, iters=2)
+    assert exact.exceptAll(full).count() == 0
+    assert full.exceptAll(exact).count() == 0
+
+
+def test_ivf_probe_recall(emb):
+    """nprobe=4 of nlist=8 must recover most exact neighbours (fixture
+    vectors are deterministic; bound is loose on purpose)."""
+    from ncpi_whistler_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 16)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, emb, k=5, nlist=8, nprobe=4, iters=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall={recall}"
