@@ -17,6 +17,8 @@ operators/dedup.cosine).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -277,10 +279,22 @@ def _centroid_score_structs(vec: Column, centroids: list[list[float]]) -> list[C
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id (max cosine; ties → higher cid — array_max
-    compares (score, cid) structs field-by-field). Pure map-side
-    expression: at 100 TB list assignment never shuffles."""
-    return F.array_max(F.array(*_centroid_score_structs(vec, centroids)))["cid"]
+    """Nearest-centroid id (max cosine; ties → lowest cid). Arrow-batched
+    numpy matmul (vectors × centroidᵀ in one BLAS call per batch) — the
+    interpreted-HOF fold was ~10× slower per pass. Pure map-side: at
+    100 TB list assignment never shuffles."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(s.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax((v @ C.T) / cn, axis=1).astype(np.int32))
+
+    return assign(vec)
 
 
 def ivf_train(
@@ -303,25 +317,27 @@ def ivf_train(
     cents = [[float(x) for x in r[vec_col]] for r in init]
     dim = len(cents[0])
     for _ in range(iters):
+        # columnar mean: dim plain decimal sums in whole-stage codegen
+        # (an exploded plan would re-evaluate the assignment expression
+        # per element — the interpreted-HOF quadratic trap)
         stats = (
             corpus.select(
                 ivf_assign(F.col(vec_col), cents).alias("cid"),
-                F.posexplode(vec_col).alias("pos", "val"),
+                *[
+                    F.col(vec_col)[p].cast("decimal(28,12)").alias(f"d{p}")
+                    for p in range(dim)
+                ],
             )
-            .groupBy("cid", "pos")
+            .groupBy("cid")
             .agg(
-                F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"d{p}").alias(f"d{p}") for p in range(dim)],
             )
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
+        cents = list(cents)
         for r in stats:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = float(r["s"]) / r["n"]
-        cents = [
-            [by_cid[cid][p] for p in range(dim)] if cid in by_cid else cents[cid]
-            for cid in range(nlist)
-        ]
+            cents[r["cid"]] = [float(r[f"d{p}"]) / r["n"] for p in range(dim)]
     return cents
 
 

@@ -1811,7 +1811,7 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.where(F.col("vec_id") < 16), emb, k=5, nlist=8, nprobe=4, iters=2)
+    return ivf_topk(emb.where(F.col("vec_id") < 16), emb, k=5, nlist=8, nprobe=4, iters=1)
 
 
 def names() -> list[str]:
