@@ -69,3 +69,32 @@ def repartition_for_join(
         left.repartition(n, *on),
         right.repartition(n, *on),
     )
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    partitions: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Linear clustering for range predicates (the data-skipping
+    complement to hash bucketing): range-repartition on the sort keys,
+    sort within partitions, write. Every file then covers one narrow,
+    non-overlapping key range, so parquet footer min/max statistics prune
+    whole files for ``BETWEEN``/``>=`` filters — at 100 TB a date-range
+    query reads only the files whose range intersects the predicate.
+
+    For multi-column ``sort_by`` the clustering is lexicographic (leading
+    column dominates) — put the most-filtered column first."""
+    n = partitions
+    if n is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.repartitionByRange(n, *sort_by)
+        .sortWithinPartitions(*sort_by)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

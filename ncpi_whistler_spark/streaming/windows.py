@@ -95,3 +95,21 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def enriched_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming twin of the
+    dim/harmonize broadcast lookups (J3): the static side is re-read per
+    micro-batch and broadcast, so the stream side never shuffles and the
+    operator holds NO state (no watermark needed; works in append mode).
+    At scale this is how a 100 TB/day event stream picks up
+    slowly-changing dimensions without restarting the query."""
+    cols = cols or ["c_mktsegment"]
+    lookup = dim.select(F.col(on_right).alias(on_left), *cols)
+    return events.join(F.broadcast(lookup), on=on_left, how="left")

@@ -56,3 +56,23 @@ def test_repartition_for_join(spark):
     ra, rb = repartition_for_join(a, b, ["k"], partitions=4)
     assert ra.rdd.getNumPartitions() == 4
     assert rb.rdd.getNumPartitions() == 4
+
+
+def test_range_sorted_files_are_disjoint(spark, tmp_path):
+    from ncpi_whistler_spark.storage import write_range_sorted
+
+    df = spark.createDataFrame(
+        [((i * 37) % 1000, i) for i in range(1000)], "k long, v long"
+    )
+    out = str(tmp_path / "ranged")
+    write_range_sorted(df, out, ["k"], partitions=8)
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"

@@ -94,3 +94,32 @@ def test_session_stream_sane(spark):
     # session windows must respect the 30-min gap: end-start covers events
     for r in rows[:50]:
         assert r["session_end"] > r["session_start"]
+
+
+def test_enriched_stream_matches_batch(spark):
+    from ncpi_whistler_spark.streaming.windows import enriched_stream
+
+    cust = load_table(spark, SF_DIR, "customer")
+    stream = enriched_stream(read_events_stream(spark, SF_DIR), cust)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.table("enrich_test").select("event_id", "c_mktsegment").collect()
+    }
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .join(
+            cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            on="user_id",
+            how="left",
+        )
+    )
+    want = {(r["event_id"], r["c_mktsegment"]) for r in batch.collect()}
+    assert got == want
