@@ -1814,6 +1814,115 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.where(F.col("vec_id") < 16), emb, k=5, nlist=8, nprobe=4, iters=1)
 
 
+@query(
+    "q59_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 25
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q59_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-average-quantity lineitems — the
+    correlated scalar AVG decorrelates into one per-part aggregate over
+    the (part-filtered) lineitems, joined back on the part key. The part
+    filter broadcasts, so the threshold aggregate and the final filter
+    read the fact side exactly twice with one shuffle (on l_partkey,
+    reused via exchange reuse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 25)
+    )
+    lif = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    thr = lif.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (_dsum("l_quantity") / F.count(F.lit(1)))).alias("__thr")
+    )
+    return (
+        lif.join(thr, on="l_partkey")
+        .where(F.col("l_quantity") < F.col("__thr"))
+        .agg((_dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q60_large_volume_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey
+    """,
+)
+def q60_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with large-volume orders — the IN
+    aggregate subquery becomes a semi join on the order key; both the
+    HAVING aggregate and the final per-order sum hash-partition on
+    l_orderkey, so the second shuffle reuses the first exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("q"))
+        .where(F.col("q") > 150.0)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, on="l_orderkey", how="left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "q61_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, rev
+    WHERE s_suppkey = l_suppkey
+      AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q61_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the maximum-revenue supplier(s) for a quarter —
+    the view + scalar MAX subquery becomes one revenue aggregate reused
+    twice (exchange reuse) with the MAX broadcast back as a one-row
+    cross join. Revenue is decimal-summed, so the equality compare is
+    exact on both engines."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        _dsum("l_extendedprice * (1 - l_discount)", "DECIMAL(24,6)").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
