@@ -1863,9 +1863,10 @@ def q59_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q60_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with large-volume orders — the IN
-    aggregate subquery becomes a semi join on the order key; both the
-    HAVING aggregate and the final per-order sum hash-partition on
-    l_orderkey, so the second shuffle reuses the first exchange."""
+    aggregate subquery becomes a semi join on the order key
+    (broadcast at test scale, shuffle-hash at 100 TB via AQE); the
+    qualifying-order set is tiny relative to the fact, so the second
+    scan's semi join filters early."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -1902,10 +1903,12 @@ def q60_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q61_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: the maximum-revenue supplier(s) for a quarter —
-    the view + scalar MAX subquery becomes one revenue aggregate reused
-    twice (exchange reuse) with the MAX broadcast back as a one-row
-    cross join. Revenue is decimal-summed, so the equality compare is
+    """TPC-H Q15 shape: the maximum-revenue supplier(s) for a quarter.
+    The scalar MAX subquery becomes a global window over the revenue
+    aggregate — rev is |suppliers| rows, so the single-partition window
+    is trivial and the fact table is scanned exactly ONCE (a broadcast
+    max-join plan rescans it: exchange reuse can't unify the two agg
+    branches). Revenue is decimal-summed, so the equality compare is
     exact on both engines."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1915,10 +1918,11 @@ def q61_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = l.groupBy("l_suppkey").agg(
         _dsum("l_extendedprice * (1 - l_discount)", "DECIMAL(24,6)").alias("total_revenue")
     )
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    mx = F.max("total_revenue").over(Window.partitionBy())
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        rev.withColumn("__mx", mx)
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

@@ -18,9 +18,14 @@ text = st.text(max_size=80)
 
 @given(text)
 @settings(max_examples=200)
-def test_fix_fieldname_idempotent(s):
-    once = fix_fieldname(s)
-    assert fix_fieldname(once) == once
+def test_fix_fieldname_stabilizes(s):
+    """fix_fieldname is reference-exact (wstlr/__init__.py:153-161) and
+    the REFERENCE is not idempotent: strip() runs before paren-dropping,
+    so '(\\x1f0' → '\\x1f0' → '0' (dropping a paren can expose
+    stripped-on-the-next-pass whitespace). The second application is a
+    fixpoint: its output has no parens/spaces left to expose anything."""
+    twice = fix_fieldname(fix_fieldname(s))
+    assert fix_fieldname(twice) == twice
 
 
 @given(text)
