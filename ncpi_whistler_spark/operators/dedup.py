@@ -71,12 +71,26 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """(id, n_sh, shingle) exploded distinct-shingle rows — the corpus
     plan: posexplode tokens (split runs once per doc), lead() window
     stitches n-grams, distinct per doc, distinct-count windowed back on.
-    One shuffle on id; everything else is codegen string concat."""
+    One shuffle on id; everything else is codegen string concat.
+
+    ``persist`` (default) caches the result: every dedup operator
+    consumes this table 2–7× (both self-join sides, size lookup,
+    signature build), and column pruning specializes each copy so
+    ReuseExchange cannot dedup them — uncached, the corpus is re-scanned
+    and re-shingled per consumer. Spark's cache manager matches the
+    canonicalized plan, so repeated pipelines over the same corpus in one
+    session share a single materialization. At 100 TB prefer writing the
+    shingle table once (storage.write_bucketed on id) and reading it
+    back."""
     from pyspark.sql.window import Window
 
     ex = df.select(
@@ -94,9 +108,10 @@ def shingle_rows(
     # REUSES the window's hash partitioning on id — the whole operator is
     # a single shuffle (vs window + dropDuplicates + count-window = 3)
     agg = sh.groupBy("id").agg(F.collect_set("shingle").alias("shs"))
-    return agg.select(
+    out = agg.select(
         "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
     )
+    return out.persist() if persist else out
 
 
 def ngram_jaccard_pairs(
@@ -106,15 +121,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold, via an
     inverted-index self-join (explode shingles → join on shingle →
     count共 intersections → Jaccard from |A|+|B|-|A∩B|).
 
     ``max_df`` drops shingles appearing in more than that many docs before
-    the join — the skew/blowup guard at scale.
+    the join — the skew/blowup guard at scale. ``shingles`` (a
+    shingle_rows output, ideally persisted) lets pipelines share one
+    shingle materialization: the subtree feeds both join sides, and
+    column pruning makes the copies non-identical, so ReuseExchange can
+    NOT dedup them — without sharing, the corpus is rescanned per side.
     """
-    exploded = shingle_rows(df, text_col, id_col, n)
+    exploded = shingles if shingles is not None else shingle_rows(df, text_col, id_col, n)
     if max_df is not None:
         hot = (
             exploded.groupBy("shingle")
@@ -202,12 +222,13 @@ def minhash_signatures(
     num_hashes: int = 128,
     seed: int = 42,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) via the columnar plan: shingle rows (tokens
     split once per doc), project ``num_hashes`` permuted-hash columns
     (pure codegen arithmetic), aggregate element-wise min per doc in one
     shuffle."""
-    ex = shingle_rows(df, text_col, id_col, shingle_n).select("id", "shingle")
+    ex = (shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_n)).select("id", "shingle")
     h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     proj = ex.select(
         "id",
@@ -232,6 +253,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     seed: int = 42,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -244,7 +266,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed, shingle_n, shingles)
     band_entries = sig.select(
         "id",
         F.explode(
@@ -281,6 +303,7 @@ def jaccard_for_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a GIVEN candidate pair set — the verify
     stage of the two-phase dedup pipeline (candidates from LSH, exact
@@ -289,7 +312,7 @@ def jaccard_for_pairs(
 
     ``pairs``: (id_a, id_b). Output: (id_a, id_b, n_common, jaccard_ppm).
     """
-    sh = shingle_rows(df, text_col, id_col, n)
+    sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, n)
     sizes = sh.select("id", "n_sh").dropDuplicates(["id"])
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
@@ -332,10 +355,15 @@ def fuzzy_dedup_keep(
     every stage is inverted-index bounded; the corpus is never compared
     all-pairs. Returns the kept rows of ``df``.
     """
+    # ONE shingle materialization for the whole pipeline (see
+    # shingle_rows: unshared, the corpus is re-scanned ~7x because column
+    # pruning defeats ReuseExchange across the consumers)
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
     cands = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, shingles=sh,
     )
-    verified = jaccard_for_pairs(df, cands, text_col, id_col, shingle_n)
+    verified = jaccard_for_pairs(df, cands, text_col, id_col, shingle_n, shingles=sh)
     dupes = (
         verified.where(F.col("jaccard_ppm") >= threshold_ppm)
         .select(F.col("id_b").alias(id_col))
