@@ -1927,6 +1927,25 @@ def q61_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q62_salted_skew_counts",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q62_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling template, oracle-proven: the two-phase salted
+    aggregation over a 3-value key (the skew extreme — every key is hot)
+    must produce exactly the plain GROUP BY's counts. Phase 1 shuffles
+    (key, salt) so no reducer sees a whole hot key; phase 2 merges
+    |keys|×|salts| partials. The salt column never leaves the job."""
+    from ncpi_whistler_spark.operators.relational import salted_group_count
+
+    o = load_table(spark, sf_dir, "orders")
+    return salted_group_count(o, ["o_orderstatus"], salt_buckets=16)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
