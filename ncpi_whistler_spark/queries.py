@@ -1946,6 +1946,49 @@ def q62_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_group_count(o, ["o_orderstatus"], salt_buckets=16)
 
 
+@query(
+    "q63_deterministic_splits",
+    """
+    SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS min_id
+    FROM (
+      SELECT doc_id, lang,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    GROUP BY lang, split
+    """,
+)
+def q63_deterministic_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data splits by multiplicative hash (Knuth constant) on
+    the document id — reproducible train/val/test assignment with plain
+    integer arithmetic both engines compute identically (no engine hash
+    functions). Pure map-side; at 100 TB the split column is a free
+    partition key for downstream writes."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@query("q64_approx_distinct", None)  # HLL sketch: engine-specific, rows-only
+def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per order priority — the sketch
+    aggregate whose shuffle carries one fixed-size sketch per group
+    instead of the distinct-key set (the 100 TB COUNT(DISTINCT)).
+    Relative-error bound vs exact is test-asserted."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -177,3 +177,29 @@ def test_as_of_join(spark):
     assert rows["t1"] == 100.0  # quote@5 is latest <= 10
     assert rows["t2"] == 101.0  # quote@15
     assert rows["t3"] is None  # no quote <= 15 for B
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=2% must land within 5% of the exact distinct count
+    per group on the fixture orders table."""
+    import pyspark.sql.functions as F
+
+    from ncpi_whistler_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    approx = {
+        r["o_orderpriority"]: r["a"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["e"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("e"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
