@@ -98,3 +98,90 @@ def write_range_sorted(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_mb`` (the 100 TB housekeeping pass — streaming
+    sinks and over-parallel writes leave thousands of tiny files whose
+    open/footer costs dominate scans). Sizing uses the directory's actual
+    bytes, so partition count adapts to the data. Optional ``sort_by``
+    re-establishes clustering while rewriting (see write_range_sorted).
+    Returns the new file count.
+
+    The rewrite goes through a temp dir + atomic-ish rename so a reader
+    never sees a half-written directory (at cluster scale use a table
+    format's transactional rewrite instead)."""
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n) if n < len(files) else df.repartition(n)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column — multi-dimensional clustering where ANY filtered dimension
+    gets file-skipping, vs lexicographic sort where only the leading
+    column prunes. Callers quantize first (rank/bucketize into
+    [0, 2^bits)); the expression is pure codegen bit math, no UDF.
+    Pair with repartitionByRange+sortWithinPartitions on the key (see
+    write_zordered)."""
+    from pyspark.sql import functions as F
+
+    exprs = [
+        (F.col(c) if isinstance(c, str) else c).cast("long") for c in cols
+    ]
+    key = F.lit(0).cast("long")
+    ndim = len(exprs)
+    for b in range(bits):
+        for i, c in enumerate(exprs):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * ndim + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    partitions: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: every file covers a compact hyper-cube
+    of the key space, so parquet min/max stats prune files for filters on
+    ANY of ``cols`` — the multi-dimensional complement of
+    write_range_sorted (test-measured: a second-dimension filter skips
+    files under Z-order and none under linear sort)."""
+    n = partitions
+    if n is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    key = zorder_key(cols, bits).alias("__z")
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -76,3 +76,50 @@ def test_range_sorted_files_are_disjoint(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_compact_parquet(spark, tmp_path):
+    from ncpi_whistler_spark.storage import compact_parquet
+
+    out = str(tmp_path / "many")
+    df = spark.createDataFrame([(i, i % 5) for i in range(10_000)], "id long, g long")
+    df.repartition(64).write.parquet(out)
+    before = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert before >= 32
+    after = compact_parquet(spark, out, target_file_mb=256)
+    assert after < before
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_zorder_prunes_second_dimension(spark, tmp_path):
+    """For a filter on the SECOND clustering column, the Z-ordered layout
+    must have strictly fewer files intersecting the predicate range than
+    the lexicographic layout (where every file spans all of y)."""
+    from ncpi_whistler_spark.storage import write_range_sorted, write_zordered
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def files_overlapping_y(path, lo, hi):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+            .collect()
+        )
+        return len(per_file), sum(1 for r in per_file if r["hi"] >= lo and r["lo"] <= hi)
+
+    lin = str(tmp_path / "linear")
+    zor = str(tmp_path / "zorder")
+    write_range_sorted(df, lin, ["x", "y"], partitions=16)
+    write_zordered(df, zor, ["x", "y"], bits=6, partitions=16)
+    n_lin, hit_lin = files_overlapping_y(lin, 0, 7)
+    n_zor, hit_zor = files_overlapping_y(zor, 0, 7)
+    assert n_lin >= 8 and n_zor >= 8
+    assert hit_lin == n_lin  # linear: every file spans all of y
+    assert hit_zor < n_zor, (hit_zor, n_zor)
+    # both layouts return identical data
+    got = spark.read.parquet(zor).where((F.col("y") >= 0) & (F.col("y") <= 7)).count()
+    assert got == 64 * 8
