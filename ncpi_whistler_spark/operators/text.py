@@ -205,3 +205,46 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         quality_bucket(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Overlapping token-window chunking — the training-window op: every
+    document becomes ceil-strided chunks of ``size`` tokens stepping by
+    ``stride`` (the last chunk may be short; empty docs produce none).
+
+    Output: (id, chunk_id, n_tok, chunk). Pure per-row expressions +
+    explode — map-side only, no shuffle; at 100 TB chunking parallelism
+    is scan parallelism. The chunk count per doc is small (~n/stride), so
+    the per-chunk slice() lambda cost is linear in document length."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2·stride, … while start < n, keeping a
+    # start only if the PREVIOUS chunk didn't already reach the document
+    # end (no fully-redundant tail windows)
+    starts = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: (s == 0) | (s + size - stride < n),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    ch = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.slice(toks, s + 1, size).alias("ctoks"),
+        ),
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(ch).alias("c"))
+    return ex.select(
+        "id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.ctoks").cast("long").alias("n_tok"),
+        F.array_join("c.ctoks", " ").alias("chunk"),
+    )

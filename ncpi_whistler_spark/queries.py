@@ -1989,6 +1989,36 @@ def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q65_token_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest([s for s in generate_series(0, greatest(len(toks) - 1, 0), 32)
+                     if len(toks) > 0 AND (s = 0 OR s + 64 - 32 < len(toks))]) AS st
+      FROM t
+    )
+    SELECT doc_id, CAST(st / 32 AS BIGINT) AS chunk_id,
+           CAST(len(toks[st + 1:st + 64]) AS BIGINT) AS n_tok,
+           array_to_string(toks[st + 1:st + 64], ' ') AS chunk
+    FROM s
+    """,
+)
+def q65_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: overlapping 64-token windows, stride 32,
+    redundant tail windows dropped. Map-side explode only — chunking
+    parallelism IS scan parallelism at 100 TB."""
+    from ncpi_whistler_spark.operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, size=64, stride=32).withColumnRenamed("id", "doc_id")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

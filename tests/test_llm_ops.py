@@ -233,3 +233,28 @@ def test_ivf_probe_recall(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall={recall}"
+
+
+def test_chunk_tokens_edges(spark):
+    from ncpi_whistler_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # 8 toks: chunks [0:4], [2:6], [4:8]
+            (2, "a b c"),             # shorter than size: one chunk
+            (3, ""),                  # empty: no chunks
+            (4, "a b c d"),           # exactly size: one chunk (tail dropped)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id"], r["chunk_id"]): (r["n_tok"], r["chunk"])
+        for r in chunk_tokens(df, size=4, stride=2).collect()
+    }
+    assert got == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "c d e f"),
+        (1, 2): (4, "e f g h"),
+        (2, 0): (3, "a b c"),
+        (4, 0): (4, "a b c d"),
+    }
