@@ -6,10 +6,13 @@ target codings for (code, source-system), including the ``self`` entry that
 carries the original display text. Every downstream Harmonize* variant
 (functions/harmonize.py) is a filter/selector over that array.
 
-Scale design: the ConceptMap side is grouped to one row per key and
-broadcast, so harmonizing a column on a 100 TB fact table is a map-side
-hash join — zero shuffle of the fact side, and N harmonized columns are N
-independent broadcast joins Catalyst can pipeline in one stage.
+Scale design: config-scale maps (the reference's always are — harmony
+CSVs are human-authored) compile to a literal ``create_map`` expression
+driver-side, so harmonizing a column on a 100 TB fact table is a pure
+map-side expression: no join, nothing broadcast, and N harmonized columns
+are N expressions in one projection. Maps above the driver cap fall back
+to a grouped-and-broadcast hash join — still zero shuffle of the fact
+side.
 """
 
 from __future__ import annotations
