@@ -258,3 +258,34 @@ def test_chunk_tokens_edges(spark):
         (2, 0): (3, "a b c"),
         (4, 0): (4, "a b c d"),
     }
+
+
+def test_chunk_tokens_matches_python_model(spark):
+    """Randomized (seeded) corpus vs a plain-Python model of the chunking
+    contract: same chunk ids, same token windows, same tails."""
+    import random
+
+    from ncpi_whistler_spark.operators.text import chunk_tokens
+
+    rnd = random.Random(42)
+    docs = [
+        (i, " ".join(rnd.choice("abcdefg") for _ in range(rnd.randint(0, 40))))
+        for i in range(60)
+    ]
+    size, stride = 8, 3
+    model = {}
+    for i, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        starts = (
+            [s for s in range(0, len(toks), stride) if s == 0 or s + size - stride < len(toks)]
+            if toks
+            else []
+        )
+        for s in starts:
+            model[(i, s // stride)] = (len(toks[s : s + size]), " ".join(toks[s : s + size]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["chunk_id"]): (r["n_tok"], r["chunk"])
+        for r in chunk_tokens(df, size=size, stride=stride).collect()
+    }
+    assert got == model

@@ -123,3 +123,16 @@ def test_zorder_prunes_second_dimension(spark, tmp_path):
     # both layouts return identical data
     got = spark.read.parquet(zor).where((F.col("y") >= 0) & (F.col("y") <= 7)).count()
     assert got == 64 * 8
+
+
+def test_zorder_key_bijective_on_grid(spark):
+    """Distinct (x, y) points must map to distinct Morton keys (the key
+    is a bijection on [0, 2^bits)^2 — any collision would silently merge
+    clustering cells)."""
+    from ncpi_whistler_spark.storage import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+    n = df.select(zorder_key(["x", "y"], bits=6).alias("z")).distinct().count()
+    assert n == 64 * 64
