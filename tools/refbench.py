@@ -1,0 +1,123 @@
+"""Head-to-head extraction throughput: the REFERENCE's row-at-a-time
+ObjectifyCSV (wstlr/extractor.py) vs this engine's scan→aggregate→display
+DataFrame plan, on an identical synthetic survey CSV.
+
+The reference publishes no benchmark numbers (BASELINE.md), so this is the
+"matches-or-beats the reference's single-node throughput" evidence: same
+input, same logical output (row objects with aggregated entries + display
+columns — parity proven separately by tests/test_differential.py), wall
+time per side. The reference side is pure in-memory iteration (no JSON
+serialization — favorable to the reference); the engine side pays the full
+Spark plan including the noop sink.
+
+Usage: PYTHONPATH=/root/repo python tools/refbench.py [rows] [reps]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import types
+
+REFERENCE = "/root/reference"
+
+
+def _import_reference():
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    for name, attrs in [("ncpi_fhir_client", ["fhir_auth"]), ("rich", ["print"])]:
+        try:
+            __import__(name)
+            continue
+        except ImportError:
+            pass
+        m = types.ModuleType(name)
+        for a in attrs:
+            setattr(m, a, print if a == "print" else types.SimpleNamespace())
+        sys.modules[name] = m
+    from wstlr.extractor import BuildAggregators, GroupBy, ObjectifyCSV
+
+    return BuildAggregators, GroupBy, ObjectifyCSV
+
+
+def _write_csv(path: str, rows: int) -> None:
+    meds = [f"med_{m}" for m in ("aspirin", "statin", "metformin", "lisinopril")]
+    syms = [f"sym_{s}" for s in ("fever", "cough", "fatigue")]
+    with open(path, "w") as fh:
+        fh.write("Subject ID,Visit,Age (years)," + ",".join(meds + syms) + "\n")
+        for i in range(rows):
+            med_vals = [str((i * 7 + j) % 400) if (i + j) % 3 else "NA" for j in range(len(meds))]
+            sym_vals = ["yes" if (i + j) % 2 else "no" for j in range(len(syms))]
+            fh.write(f"P{i},V{i % 4},{20 + i % 60}," + ",".join(med_vals + sym_vals) + "\n")
+
+
+def main() -> int:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    BuildAggregators, GroupBy, ObjectifyCSV = _import_reference()
+
+    aggs = {"medications": "^med_", "symptoms": "^sym_"}
+    code_details = {"81": "81 milligrams", "yes": "present", "V1": "Visit one"}
+
+    tmp = tempfile.mkdtemp()
+    csv_path = os.path.join(tmp, "survey.csv")
+    _write_csv(csv_path, rows)
+
+    # --- reference: row-at-a-time Python ---
+    ref_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        with open(csv_path) as fh:
+            out = ObjectifyCSV(
+                fh,
+                aggregators=BuildAggregators(aggs),
+                grouper=GroupBy(None),
+                agg_splitter="_",
+                code_details=code_details,
+            )
+            n_ref = len(out)
+        ref_times.append(time.perf_counter() - t0)
+    ref_sec = min(ref_times)
+
+    # --- engine: DataFrame plan (warm session, full plan incl. sink) ---
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ncpi_whistler_spark import get_spark
+    from ncpi_whistler_spark.operators.aggregators import aggregate_columns
+    from ncpi_whistler_spark.operators.harmonize import add_display_columns
+    from ncpi_whistler_spark.sources.csv_source import scan_csv
+
+    spark = get_spark(app_name="refbench")
+    scan_csv(spark, csv_path).count()  # warm JVM + file listing
+    eng_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = scan_csv(spark, csv_path)
+        df = aggregate_columns(df, aggs, splitter="_", code_details=code_details)
+        df = add_display_columns(df, ["subject_id", "visit"], code_details)
+        df.write.format("noop").mode("overwrite").save()
+        eng_times.append(time.perf_counter() - t0)
+    eng_sec = min(eng_times)
+    n_eng = df.count()
+
+    assert n_ref == n_eng == rows, (n_ref, n_eng, rows)
+    print(
+        json.dumps(
+            {
+                "rows": rows,
+                "reference_sec": round(ref_sec, 3),
+                "engine_sec": round(eng_sec, 3),
+                "reference_rows_per_sec": round(rows / ref_sec),
+                "engine_rows_per_sec": round(rows / eng_sec),
+                "speedup": round(ref_sec / eng_sec, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
