@@ -266,7 +266,9 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed, shingle_n, shingles)
+    # |docs|-row signature frame feeds both band-join sides: persist so
+    # the signature aggregation runs once
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed, shingle_n, shingles).persist()
     band_entries = sig.select(
         "id",
         F.explode(
@@ -443,7 +445,10 @@ def simhash_pairs(
     chunk → join on (block_idx, chunk) then verify the full distance.
     One shuffle on the chunk key; no all-pairs."""
     width = 64 // blocks
-    s = simhash_sketches(df, text_col, id_col)
+    # the sketch frame is |docs| rows (tiny next to the corpus) and feeds
+    # BOTH self-join sides — persist so the token explode + 64-column
+    # aggregation runs once, not twice
+    s = simhash_sketches(df, text_col, id_col).persist()
     chunk_structs = [
         F.struct(
             F.lit(i).alias("blk"),
