@@ -1015,6 +1015,10 @@ def q35_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window=16/keep_every=16: sparse selection keeps the inverted index
     # small on low-entropy corpora; require a large shared-hash count so
     # the pair set stays near-dup-sized at any sf
+    # NOT persisted (measured): with only two consumers of this mid-size
+    # frame, columnar cache build costs more than one recompute — persist
+    # pays at 3+ consumers (shingles) or for doc-count-sized frames
+    # (minhash/simhash sketches)
     fp = winnowing_fingerprint_rows(docs, window=16, keep_every=16)
     a = fp.select("fp", F.col("id").alias("id_a"))
     b = fp.select("fp", F.col("id").alias("id_b"))
