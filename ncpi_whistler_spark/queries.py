@@ -2023,6 +2023,62 @@ def q65_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_tokens(docs, size=64, stride=32).withColumnRenamed("id", "doc_id")
 
 
+@query(
+    "q66_full_outer_nations",
+    """
+    SELECT COALESCE(cn, sn) AS nationkey,
+           COALESCE(c_cnt, 0) AS customers,
+           COALESCE(s_cnt, 0) AS suppliers
+    FROM (SELECT c_nationkey AS cn, COUNT(*) AS c_cnt FROM customer GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS sn, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) b
+      ON cn = sn
+    """,
+)
+def q66_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one outer-join flavor the registry lacked):
+    per-nation customer vs supplier presence, nulls where either side has
+    no rows. Both inputs are post-aggregation (|nations| rows), so the
+    outer join is trivially small however large the base tables."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.groupBy(F.col("c_nationkey").alias("cn")).agg(F.count(F.lit(1)).alias("c_cnt"))
+    b = s.groupBy(F.col("s_nationkey").alias("sn")).agg(F.count(F.lit(1)).alias("s_cnt"))
+    return a.join(b, a.cn == b.sn, "full_outer").select(
+        F.coalesce("cn", "sn").alias("nationkey"),
+        F.coalesce("c_cnt", F.lit(0)).alias("customers"),
+        F.coalesce("s_cnt", F.lit(0)).alias("suppliers"),
+    )
+
+
+@query(
+    "q67_pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q67_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot (groupBy().pivot() with explicit values — no
+    distinct-scan planning pass): order counts per priority × status.
+    Catalyst rewrites to one conditional aggregation, one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
