@@ -73,3 +73,24 @@ def test_cli_resources_and_inspect(spark, study_dir, tmp_path):  # noqa: F811
     # inspect returns 0 (clean) or 2 (violations) — both valid exits
     rc2 = cli.main(["inspect", out])
     assert rc2 in (0, 2)
+
+
+def test_demo_study_example(spark, monkeypatch, tmp_path):
+    """The shipped examples/demo_study config extracts end-to-end (paths
+    are repo-root relative, like the README commands)."""
+    import os
+
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.pipeline import extract_dataset
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(root)
+    cfg = StudyConfig.from_yaml("examples/demo_study/study.yaml")
+    ds = extract_dataset(spark, cfg)
+    assert set(ds.tables) == {"participant", "specimen"}
+    part = {r["participant_id"]: r for r in ds.tables["participant"].collect()}
+    assert part["P0001"]["sex_display"] == "Male"
+    meds = {m["code"]: m for m in part["P0001"]["medications"]}
+    assert meds["aspirin"]["value"] == "81"
+    spec = {r["sample_id"]: r for r in ds.tables["specimen"].collect()}
+    assert len(spec["S1"]["file_manifest"]) == 2
