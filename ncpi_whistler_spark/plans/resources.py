@@ -203,16 +203,27 @@ def questionnaire_responses(
 
 def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> DataFrame:
     """G3: CodeSystem per table + per enumerated variable
-    (wlib_dd_terms_codesystem.wstl:30-79). DDs are plan metadata —
-    createDataFrame of driver-built rows (they are inherently tiny)."""
+    (wlib_dd_terms_codesystem.wstl:30-79), tagged with StudyMeta like the
+    reference (wlib_dd_terms_codesystem.wstl:35 + _study_meta.wstl:5-9).
+    DDs are plan metadata — createDataFrame of driver-built rows (they
+    are inherently tiny)."""
     rows = []
     prefix = study.dd_prefix or study.identifier_prefix
+    meta = {
+        "tag": [
+            {
+                "system": "https://ncpi-fhir.github.io/fhir-study-metadata",
+                "code": study.study_id,
+            }
+        ]
+    }
     for tname, dd in dds.items():
         url = dd_system_url(prefix, "CodeSystem", None, tname, None)
         rows.append(
             {
                 "module": "data_dictionary",
                 "resourceType": "CodeSystem",
+                "meta": meta,
                 "url": url,
                 "name": fix_fieldname(tname),
                 "title": f"Data dictionary for table {tname}",
@@ -231,6 +242,7 @@ def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) ->
                 {
                     "module": "data_dictionary",
                     "resourceType": "CodeSystem",
+                    "meta": meta,
                     "url": vurl,
                     "name": fix_fieldname(f"{tname}_{v.varname}"),
                     "title": f"Values for {tname}.{v.varname}",
@@ -241,7 +253,9 @@ def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) ->
                 }
             )
     schema = (
-        "module string, resourceType string, url string, name string, "
+        "module string, resourceType string, "
+        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "url string, name string, "
         "title string, status string, concept array<struct<code:string,display:string>>"
     )
     return spark.createDataFrame(rows, schema)
