@@ -201,6 +201,19 @@ def questionnaire_responses(
     )
 
 
+def _study_meta_dict(study: StudyConfig) -> dict:
+    """Driver-side twin of functions.harmonize.study_meta — the meta.tag
+    the reference stamps on every DD resource (_study_meta.wstl:5-9)."""
+    return {
+        "tag": [
+            {
+                "system": "https://ncpi-fhir.github.io/fhir-study-metadata",
+                "code": study.study_id,
+            }
+        ]
+    }
+
+
 def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> DataFrame:
     """G3: CodeSystem per table + per enumerated variable
     (wlib_dd_terms_codesystem.wstl:30-79), tagged with StudyMeta like the
@@ -209,14 +222,7 @@ def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) ->
     are inherently tiny)."""
     rows = []
     prefix = study.dd_prefix or study.identifier_prefix
-    meta = {
-        "tag": [
-            {
-                "system": "https://ncpi-fhir.github.io/fhir-study-metadata",
-                "code": study.study_id,
-            }
-        ]
-    }
+    meta = _study_meta_dict(study)
     for tname, dd in dds.items():
         url = dd_system_url(prefix, "CodeSystem", None, tname, None)
         rows.append(
@@ -267,7 +273,8 @@ def dd_observation_definitions(
     """G4: ObservationDefinition per DD variable — permittedDataType from
     the DD type map (wlib_dd_tables_and_vars.wstl:113-127: string→string/
     CodeableConcept, number/int→Quantity, boolean→boolean), units, and
-    the min/max interval when present (wlib_dd_tables_and_vars.wstl:36-141)."""
+    the min/max interval when present (wlib_dd_tables_and_vars.wstl:36-141).
+    Tagged with StudyMeta like the reference (wstl:37)."""
     permitted = {
         "string": "string",
         "date": "dateTime",
@@ -278,6 +285,7 @@ def dd_observation_definitions(
     }
     prefix = study.dd_prefix or study.identifier_prefix
     rows = []
+    meta = _study_meta_dict(study)
     for tname, dd in dds.items():
         for v in dd.variables:
             url = dd_system_url(prefix, "CodeSystem", None, tname, None)
@@ -285,6 +293,7 @@ def dd_observation_definitions(
                 {
                     "module": "data_dictionary",
                     "resourceType": "ObservationDefinition",
+                    "meta": meta,
                     "identifier_value": f"{study.study_id}.{tname}.{v.varname}",
                     "code": {"coding": [{"code": v.varname, "display": v.description or v.varname, "system": url}]},
                     "permittedDataType": [permitted[v.data_type]],
@@ -309,7 +318,9 @@ def dd_observation_definitions(
                 }
             )
     schema = (
-        "module string, resourceType string, identifier_value string, "
+        "module string, resourceType string, "
+        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "identifier_value string, "
         "code struct<coding:array<struct<code:string,display:string,system:string>>>, "
         "permittedDataType array<string>, "
         "quantitativeDetails struct<unit:string>, "
@@ -321,9 +332,11 @@ def dd_observation_definitions(
 
 def dd_valuesets(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> DataFrame:
     """G3/G5: ValueSet per enumerated variable (wlib_dd_terms_valueset
-    .wstl:12-33) — one compose.include per variable code system."""
+    .wstl:12-33) — one compose.include per variable code system. Tagged
+    with StudyMeta like the reference (wstl:13)."""
     prefix = study.dd_prefix or study.identifier_prefix
     rows = []
+    meta = _study_meta_dict(study)
     for tname, dd in dds.items():
         for v in dd.variables:
             if not v.enumerations:
@@ -333,6 +346,7 @@ def dd_valuesets(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> D
                 {
                     "module": "data_dictionary",
                     "resourceType": "ValueSet",
+                    "meta": meta,
                     "url": cs_url.replace("/CodeSystem/", "/ValueSet/"),
                     "name": fix_fieldname(f"{tname}_{v.varname}"),
                     "status": "active",
@@ -350,7 +364,9 @@ def dd_valuesets(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> D
                 }
             )
     schema = (
-        "module string, resourceType string, url string, name string, status string, "
+        "module string, resourceType string, "
+        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "url string, name string, status string, "
         "compose struct<include:array<struct<system:string,"
         "concept:array<struct<code:string,display:string>>>>>"
     )

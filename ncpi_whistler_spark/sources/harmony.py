@@ -221,10 +221,14 @@ class ConceptMap:
             F.min("display").alias("display")
         )
 
-    def to_fhir_conceptmap(self, cm_id: str, version: str = "v1") -> DataFrame:
+    def to_fhir_conceptmap(
+        self, cm_id: str, version: str = "v1", study_id: str | None = None
+    ) -> DataFrame:
         """Nested FHIR ConceptMap shape (G5, wstlr/conceptmap.py:430-538):
         group[] by (source-system, target-system), element[] per local code,
-        target[] per coding — two-level collect_list."""
+        target[] per coding — two-level collect_list. ``study_id`` adds
+        the StudyMeta tag the reference stamps on the ConceptMap
+        (wlib_dd_conceptmap.wstl:72 + _study_meta.wstl:5-9)."""
         m = self.mappings
         elements = (
             m.groupBy("local_system", "system", "local_code")
@@ -242,9 +246,22 @@ class ConceptMap:
                 ).alias("element")
             )
         )
+        meta_cols = []
+        if study_id is not None:
+            meta_cols = [
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.lit("https://ncpi-fhir.github.io/fhir-study-metadata").alias("system"),
+                            F.lit(study_id).alias("code"),
+                        )
+                    ).alias("tag")
+                ).alias("meta")
+            ]
         return elements.select(
             F.lit(cm_id).alias("id"),
             F.lit("ConceptMap").alias("resourceType"),
+            *meta_cols,
             F.lit(version).alias("version"),
             F.col("local_system").alias("source"),
             F.col("system").alias("target"),
