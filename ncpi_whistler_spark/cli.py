@@ -50,9 +50,13 @@ def cmd_resources(args) -> int:
     from ncpi_whistler_spark.plans.config import StudyConfig
     from ncpi_whistler_spark.plans.pipeline import extract_dataset
     from ncpi_whistler_spark.plans.resources import (
+        dd_activity_definitions,
         dd_codesystems,
+        dd_observation_definitions,
+        dd_valuesets,
         observations_with_components,
         questionnaire_responses,
+        questionnaires,
         resources_to_json,
     )
     from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
@@ -85,7 +89,10 @@ def cmd_resources(args) -> int:
             )
         )
     if ds.dds:
-        frames.append(resources_to_json(dd_codesystems(spark, ds.dds, cfg)))
+        # the full DD resource set the reference's play pipeline emits
+        for gen in (dd_codesystems, dd_valuesets, dd_observation_definitions,
+                    dd_activity_definitions, questionnaires):
+            frames.append(resources_to_json(gen(spark, ds.dds, cfg)))
     if not frames:
         print("no resource frames produced (check subject_id/id_colname)", file=sys.stderr)
         return 1

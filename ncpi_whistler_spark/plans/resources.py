@@ -193,7 +193,11 @@ def questionnaire_responses(
             )
         ).alias("identifier"),
         F.lit("completed").alias("status"),
-        F.lit(f"Questionnaire/{study.study_id}-{table_name}").alias("questionnaire"),
+        # canonical URL of the table Questionnaire (questionnaires.wstl:106)
+        F.lit(
+            f"{study.identifier_prefix}/data-dictionary/rl-questionnaire/"
+            f"{study.study_id}/{table_name.lower()}"
+        ).alias("questionnaire"),
         reference_key_identifier(
             F.col(subject_col).cast("string"), study.identifier_prefix, "Patient"
         ).alias("subject"),
@@ -443,3 +447,148 @@ def resources_to_json(df: DataFrame, drop_null_fields: bool = True) -> DataFrame
             {"ignoreNullFields": "true" if drop_null_fields else "false"},
         ).alias("resource_json"),
     )
+
+
+def dd_activity_definitions(
+    spark, dds: dict[str, DataDictionary], study: StudyConfig
+) -> DataFrame:
+    """G4 (table half): ActivityDefinition per table — the DD
+    representation of a table's ObservationDefinition set
+    (wlib_dd_tables_and_vars.wstl:83-101: StudyMeta tag, official
+    identifier, '<study>.<table>-vars' name, UMLS Research topic,
+    observationResultRequirement reference per variable)."""
+    prefix = study.dd_prefix or study.identifier_prefix
+    rows = []
+    meta = _study_meta_dict(study)
+    for tname, dd in dds.items():
+        cs_url = dd_system_url(prefix, "CodeSystem", None, tname, None)
+        rows.append(
+            {
+                "module": "data_dictionary",
+                "resourceType": "ActivityDefinition",
+                "meta": meta,
+                "identifier": [
+                    {
+                        "value": tname,
+                        "system": f"{prefix}/activitydefinition",
+                        "use": "official",
+                    }
+                ],
+                "name": f"{study.study_id}.{tname}-vars",
+                "title": f"Variables for table {study.study_id}.{tname}",
+                "url": cs_url.replace("/CodeSystem/", "/ActivityDefinition/"),
+                "topic": [
+                    {
+                        "coding": [
+                            {
+                                "code": "C0035168",
+                                "display": "Research",
+                                "system": "https://uts.nlm.nih.gov/uts/umls",
+                            }
+                        ]
+                    }
+                ],
+                "observationResultRequirement": [
+                    {
+                        "identifier": {
+                            "value": f"{study.study_id}.{tname}.{v.varname}",
+                            "system": f"{prefix}/observationdefinition",
+                        }
+                    }
+                    for v in dd.variables
+                ],
+                "status": "active",
+            }
+        )
+    schema = (
+        "module string, resourceType string, "
+        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "identifier array<struct<value:string,system:string,use:string>>, "
+        "name string, title string, url string, "
+        "topic array<struct<coding:array<struct<code:string,display:string,system:string>>>>, "
+        "observationResultRequirement array<struct<identifier:struct<value:string,system:string>>>, "
+        "status string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def questionnaire_url(study: StudyConfig, table_name: str) -> str:
+    """BuildQuestionnaireURL (questionnaires.wstl:1-3)."""
+    return (
+        f"{study.identifier_prefix}/data-dictionary/rl-questionnaire/"
+        f"{study.study_id}/{table_name.lower()}"
+    )
+
+
+def questionnaires(
+    spark, dds: dict[str, DataDictionary], study: StudyConfig
+) -> DataFrame:
+    """G2 (table half): one Questionnaire per table — DD-driven item[]
+    (questionnaires.wstl:64-96: StudyMeta tag, official identifier,
+    canonical URL, LOINC 74468-0 form code, choice items with
+    answerValueSet for enumerations, string/integer/decimal otherwise)."""
+    prefix = study.dd_prefix or study.identifier_prefix
+    type_map = {
+        "enumeration": "choice",
+        "string": "string",
+        "int": "integer",
+        "integer": "integer",
+        "number": "decimal",
+        "float": "decimal",
+    }
+    rows = []
+    meta = _study_meta_dict(study)
+    for tname, dd in dds.items():
+        items = []
+        for v in dd.variables:
+            vtype = type_map.get(v.data_type, "string")
+            answer_vs = None
+            if v.enumerations:
+                vtype = "choice"
+                cs_url = dd_system_url(prefix, "CodeSystem", None, tname, v.varname)
+                answer_vs = cs_url.replace("/CodeSystem/", "/ValueSet/")
+            items.append(
+                {
+                    "linkId": v.varname,
+                    "text": v.description or v.varname,
+                    "type": vtype,
+                    "answerValueSet": answer_vs,
+                }
+            )
+        rows.append(
+            {
+                "module": "questionnaire",
+                "resourceType": "Questionnaire",
+                "meta": meta,
+                "identifier": [
+                    {
+                        "value": f"{study.study_id}.{tname}",
+                        "system": f"{study.identifier_prefix}/questionnaire",
+                        "use": "official",
+                    }
+                ],
+                "url": questionnaire_url(study, tname),
+                "name": tname,
+                "title": tname,
+                "status": "active",
+                "subjectType": ["Patient"],
+                "code": [
+                    {
+                        "code": "74468-0",
+                        "display": "Questionnaire form definition Document",
+                        "system": "https://loinc.org/",
+                    }
+                ],
+                "item": items,
+            }
+        )
+    schema = (
+        "module string, resourceType string, "
+        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "identifier array<struct<value:string,system:string,use:string>>, "
+        "url string, name string, title string, status string, "
+        "subjectType array<string>, "
+        "code array<struct<code:string,display:string,system:string>>, "
+        "item array<struct<linkId:string,text:string,type:string,answerValueSet:string>>"
+    )
+    return spark.createDataFrame(rows, schema)

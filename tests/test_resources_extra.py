@@ -161,3 +161,42 @@ def test_extract_official_identifier(spark):
     ).collect()[0]
     assert row["a"]["value"] == "v2"  # prefix match wins
     assert row["b"]["value"] == "v1"  # falls back to use=official
+
+
+def test_dd_activity_definitions(spark):
+    """G4 table half: one ActivityDefinition per table with the reference
+    shape (StudyMeta tag, -vars name, UMLS Research topic, one
+    observationResultRequirement per variable)."""
+    from ncpi_whistler_spark.plans.resources import dd_activity_definitions
+
+    rows = {
+        r["name"]: r
+        for r in dd_activity_definitions(spark, {"visits": DD}, STUDY).collect()
+    }
+    r = rows["S.visits-vars"]
+    assert r["resourceType"] == "ActivityDefinition"
+    assert r["meta"]["tag"][0]["code"] == "S"
+    assert r["topic"][0]["coding"][0]["code"] == "C0035168"
+    assert "/ActivityDefinition/" in r["url"]
+    want = {f"S.visits.{v.varname}" for v in DD.variables}
+    got = {o["identifier"]["value"] for o in r["observationResultRequirement"]}
+    assert got == want
+
+
+def test_questionnaires(spark):
+    """G2 table half: Questionnaire per table — choice items carry the
+    variable ValueSet, numeric/string map to integer/decimal/string, and
+    every QuestionnaireResponse's link matches the canonical URL."""
+    from ncpi_whistler_spark.plans.resources import questionnaire_url, questionnaires
+
+    q = {r["name"]: r for r in questionnaires(spark, {"visits": DD}, STUDY).collect()}
+    r = q["visits"]
+    assert r["resourceType"] == "Questionnaire"
+    assert r["meta"]["tag"][0]["code"] == "S"
+    assert r["url"] == questionnaire_url(STUDY, "visits")
+    assert r["code"][0]["code"] == "74468-0"
+    items = {i["linkId"]: i for i in r["item"]}
+    assert items["status"]["type"] == "choice"
+    assert items["status"]["answerValueSet"].count("/ValueSet/") == 1
+    assert items["bmi"]["type"] == "decimal"
+    assert items["bmi"]["answerValueSet"] is None
