@@ -93,6 +93,14 @@ def cmd_resources(args) -> int:
         for gen in (dd_codesystems, dd_valuesets, dd_observation_definitions,
                     dd_activity_definitions, questionnaires):
             frames.append(resources_to_json(gen(spark, ds.dds, cfg)))
+    if ds.concept_map is not None:
+        from ncpi_whistler_spark.plans.resources import (
+            harmony_conceptmap,
+            harmony_valuesets,
+        )
+
+        frames.append(resources_to_json(harmony_conceptmap(spark, ds.concept_map, cfg)))
+        frames.append(resources_to_json(harmony_valuesets(spark, ds.concept_map, cfg)))
     if not frames:
         print("no resource frames produced (check subject_id/id_colname)", file=sys.stderr)
         return 1

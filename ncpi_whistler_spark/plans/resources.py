@@ -592,3 +592,184 @@ def questionnaires(
         "item array<struct<linkId:string,text:string,type:string,answerValueSet:string>>"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def harmony_valuesets(spark, concept_map, study: StudyConfig) -> DataFrame:
+    """G5 (valueset half): the two harmony ValueSets — "sources" (local
+    codes grouped per (local system, table, parent variable) with
+    constructed CodeSystem urls) and "targets" (target codes grouped per
+    real ontology system), mirroring wlib_dd_concept_valusets.wstl:10-57
+    + wstlr/conceptmap.py:144-180. Deviation (documented): concept lists
+    are deduped and code-sorted — the reference appends one entry per CSV
+    row in file order, duplicating a local code that maps to several
+    targets."""
+    prefix = study.dd_prefix or study.identifier_prefix
+    rows = concept_map._collected() or []
+    meta = _study_meta_dict(study)
+
+    def g(r, k):  # Row or prefilled dict; optional columns default ""
+        try:
+            return r[k] or ""
+        except (KeyError, ValueError):
+            return ""
+
+    # ObjectifyHarmony's gate (conceptmap.py:53): only rows with a table
+    # name feed the harmony vocabularies — unless none carry one
+    if any(g(r, "table_name") for r in rows):
+        rows = [r for r in rows if g(r, "table_name")]
+    src_groups: dict[tuple, dict] = {}
+    tgt_groups: dict[str, dict] = {}
+    for r in rows:
+        skey = (r["local_system"], g(r, "table_name"), g(r, "parent_varname"))
+        grp = src_groups.setdefault(
+            skey,
+            {
+                "system": dd_system_url(
+                    prefix, "CodeSystem", None, skey[1], r["local_system"]
+                ),
+                "codes": {},
+            },
+        )
+        grp["codes"].setdefault(r["local_code"], r["text"])
+        tgrp = tgt_groups.setdefault(r["system"], {"system": r["system"], "codes": {}})
+        tgrp["codes"].setdefault(r["code"], r["display"])
+
+    def vs_row(vs_name: str, groups) -> dict:
+        return {
+            "module": "harmony",
+            "resourceType": "ValueSet",
+            "meta": meta,
+            "identifier": [
+                {
+                    "value": f"{study.study_id}.cm-valueset.{vs_name}",
+                    "system": f"{study.identifier_prefix}/valueset",
+                    "use": "official",
+                }
+            ],
+            "name": f"{study.study_id}.concept-map-vs.{vs_name}",
+            "title": (
+                f"ValueSet for values associated with {vs_name} codes in data "
+                f"harmonization from study, {study.study_id}."
+            ),
+            "url": (
+                f"{study.identifier_prefix}/data-dictionary/ConceptMap/ValueSet/"
+                f"{study.study_id}/{vs_name}"
+            ),
+            "compose": {
+                "include": [
+                    {
+                        "system": grp["system"],
+                        "concept": [
+                            {"code": c, "display": d}
+                            for c, d in sorted(grp["codes"].items())
+                        ],
+                    }
+                    for _, grp in sorted(groups.items())
+                ]
+            },
+            "status": "active",
+            "publisher": "INCLUDE FHIR Working Group",
+        }
+
+    out = [vs_row("sources", src_groups), vs_row("targets", tgt_groups)]
+    schema = (
+        "module string, resourceType string, "
+        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "identifier array<struct<value:string,system:string,use:string>>, "
+        "name string, title string, url string, "
+        "compose struct<include:array<struct<system:string,"
+        "concept:array<struct<code:string,display:string>>>>>, "
+        "status string, publisher string"
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def harmony_conceptmap(spark, concept_map, study: StudyConfig) -> DataFrame:
+    """G5 (ConceptMap half): the single FHIR ConceptMap resource
+    (wlib_dd_conceptmap.wstl:67-88 over wstlr/conceptmap.py:35-219):
+    official identifier '<study>.concept-map', fixed ncpi-fhir-ig url,
+    source/target ValueSet uris, one group per (local system, target
+    system) with constructed source CodeSystem urls and
+    equivalence=equivalent targets.
+
+    Reference-exact: rows with an empty table_name are excluded (the
+    ObjectifyHarmony gate, conceptmap.py:53) — unless the map carries no
+    table names at all (config-literal maps), in which case all rows are
+    used with an empty table segment. Deviation (documented): groups/
+    elements/targets are code-sorted; the reference keeps file order."""
+    prefix = study.dd_prefix or study.identifier_prefix
+    rows = concept_map._collected() or []
+
+    def g(r, k):
+        try:
+            return r[k] or ""
+        except (KeyError, ValueError):
+            return ""
+
+    any_table = any(g(r, "table_name") for r in rows)
+    if any_table:
+        rows = [r for r in rows if g(r, "table_name")]
+    groups: dict[tuple, dict] = {}
+    for r in rows:
+        lcs = r["local_system"]
+        src_url = dd_system_url(prefix, "CodeSystem", None, g(r, "table_name"), lcs)
+        key = (src_url, r["system"])
+        grp = groups.setdefault(key, {})
+        el = grp.setdefault(r["local_code"], {"display": r["text"], "targets": {}})
+        el["targets"].setdefault(r["code"], r["display"])
+
+    def vocab_url(role: str) -> str:
+        return (
+            f"{study.identifier_prefix}/data-dictionary/ConceptMap/ValueSet/"
+            f"{study.study_id}/{role}"
+        )
+
+    out = [
+        {
+            "module": "harmony",
+            "resourceType": "ConceptMap",
+            "meta": _study_meta_dict(study),
+            "identifier": {
+                "value": f"{study.study_id}.concept-map",
+                "system": f"{study.identifier_prefix}/conceptmap",
+                "use": "official",
+            },
+            "status": "active",
+            "purpose": "Represent transformations applied to the dataset",
+            "url": (
+                "https://nih-ncpi.github.io/ncpi-fhir-ig/data-dictionary/"
+                f"conceptmap/{study.study_id}/data-to-public"
+            ),
+            "sourceUri": vocab_url("sources"),
+            "targetUri": vocab_url("targets"),
+            "group": [
+                {
+                    "source": src,
+                    "target": tgt,
+                    "element": [
+                        {
+                            "code": code,
+                            "display": el["display"],
+                            "target": [
+                                {"code": tc, "display": td, "equivalence": "equivalent"}
+                                for tc, td in sorted(el["targets"].items())
+                            ],
+                        }
+                        for code, el in sorted(grp.items())
+                    ],
+                }
+                for (src, tgt), grp in sorted(groups.items())
+            ],
+        }
+    ]
+    schema = (
+        "module string, resourceType string, "
+        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "identifier struct<value:string,system:string,use:string>, "
+        "status string, purpose string, url string, "
+        "sourceUri string, targetUri string, "
+        "group array<struct<source:string,target:string,"
+        "element:array<struct<code:string,display:string,"
+        "target:array<struct<code:string,display:string,equivalence:string>>>>>>"
+    )
+    return spark.createDataFrame(out, schema)

@@ -47,9 +47,16 @@ def scan_harmony_csv(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     missing = [k for k in _HARMONY_COLS if k not in lower]
     if missing:
         raise ValueError(f"harmony file missing required columns: {missing}")
-    return raw.select(
-        *[F.col(lower[src]).alias(dst) for src, dst in _HARMONY_COLS.items()]
-    )
+    cols = [F.col(lower[src]).alias(dst) for src, dst in _HARMONY_COLS.items()]
+    # optional grouping columns (used by the harmony ValueSets, G5):
+    # absent files get empty strings, matching the reference's defaults
+    for opt in ("table_name", "parent_varname"):
+        cols.append(
+            F.coalesce(F.col(lower[opt]), F.lit("")).alias(opt)
+            if opt in lower
+            else F.lit("").alias(opt)
+        )
+    return raw.select(*cols)
 
 
 def read_code_details(paths: str | list[str]) -> dict[str, str]:

@@ -200,3 +200,62 @@ def test_questionnaires(spark):
     assert items["status"]["answerValueSet"].count("/ValueSet/") == 1
     assert items["bmi"]["type"] == "decimal"
     assert items["bmi"]["answerValueSet"] is None
+
+
+def test_harmony_valuesets(spark):
+    """G5 valueset half: sources grouped per (local system, table) with
+    constructed CodeSystem urls; targets grouped per ontology system."""
+    from ncpi_whistler_spark.plans.resources import harmony_valuesets
+
+    cm = ConceptMap.from_rows(
+        spark,
+        [
+            ("1", "Male", "sex", "male", "Male", "http://hl7.org/fhir/administrative-gender"),
+            ("1", "Male", "sex", "M", "MaleV2", "http://terminology.hl7.org/v2"),
+            ("2", "Female", "sex", "female", "Female", "http://hl7.org/fhir/administrative-gender"),
+        ],
+    )
+    rows = {r["name"]: r for r in harmony_valuesets(spark, cm, STUDY).collect()}
+    src = rows["S.concept-map-vs.sources"]
+    assert src["meta"]["tag"][0]["code"] == "S"
+    assert src["identifier"][0]["value"] == "S.cm-valueset.sources"
+    inc = src["compose"]["include"]
+    assert len(inc) == 1 and inc[0]["system"].endswith("/sex")
+    assert {c["code"]: c["display"] for c in inc[0]["concept"]} == {"1": "Male", "2": "Female"}
+    tgt = rows["S.concept-map-vs.targets"]
+    by_sys = {i["system"]: i for i in tgt["compose"]["include"]}
+    assert {c["code"] for c in by_sys["http://hl7.org/fhir/administrative-gender"]["concept"]} == {"male", "female"}
+    assert {c["code"] for c in by_sys["http://terminology.hl7.org/v2"]["concept"]} == {"M"}
+
+
+def test_harmony_conceptmap_resource(spark, tmp_path):
+    """G5 ConceptMap half on a reference-style harmony CSV (with
+    table_name): one resource, constructed source urls, equivalent
+    targets, and the empty-table gate."""
+    from ncpi_whistler_spark.plans.resources import harmony_conceptmap
+
+    harmony = tmp_path / "harmony.csv"
+    harmony.write_text(
+        "local code,text,local code system,code,display,code system,table_name,parent_varname\n"
+        "1,Male,sex,male,Male,http://hl7.org/fhir/administrative-gender,participant,sex\n"
+        "2,Female,sex,female,Female,http://hl7.org/fhir/administrative-gender,participant,sex\n"
+        "1,Male,sex,M,MaleV2,http://terminology.hl7.org/v2,participant,sex\n"
+        "x,Skipped,other,y,Y,http://z,,\n"
+    )
+    cm = ConceptMap.from_csv(spark, str(harmony))
+    rows = harmony_conceptmap(spark, cm, STUDY).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["identifier"]["value"] == "S.cm" or r["identifier"]["value"] == "S.concept-map"
+    assert r["sourceUri"].endswith("/S/sources")
+    groups = {(grp["source"], grp["target"]): grp for grp in r["group"]}
+    # the empty-table_name row is excluded (ObjectifyHarmony gate)
+    assert not any("other" in s for s, _ in groups)
+    gender = next(
+        grp for (s, t), grp in groups.items()
+        if t == "http://hl7.org/fhir/administrative-gender"
+    )
+    assert "/participant/sex" in gender["source"]
+    els = {e["code"]: e for e in gender["element"]}
+    assert els["1"]["display"] == "Male"
+    assert els["1"]["target"][0]["equivalence"] == "equivalent"
