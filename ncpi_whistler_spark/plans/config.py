@@ -85,6 +85,9 @@ class StudyConfig:
     dd_prefix: str | None = None
     id_colname: str | None = None
     output_filename: str | None = None
+    #: stamp ncpi-fhir-ig meta.profile on DD resources — reference default
+    #: is ON (wstlr/init.py:92-113, --no-profiles to disable)
+    profiles: bool = True
     curies: dict[str, str] = field(default_factory=dict)
     active_tables: dict[str, bool] = field(default_factory=dict)
     missing_values: list[str] = field(default_factory=lambda: ["NA", "", "Not Provided"])
@@ -108,6 +111,7 @@ class StudyConfig:
             dd_prefix=d.get("dd_prefix"),
             id_colname=d.get("id_colname"),
             output_filename=d.get("output_filename"),
+            profiles=bool(d.get("profiles", True)),
             curies=d.get("curies", {}) or {},
             active_tables=d.get("active_tables", {}) or {},
             missing_values=missing,

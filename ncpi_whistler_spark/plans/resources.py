@@ -205,10 +205,16 @@ def questionnaire_responses(
     )
 
 
-def _study_meta_dict(study: StudyConfig) -> dict:
+_IG_PROFILE_BASE = "https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition"
+
+
+def _study_meta_dict(study: StudyConfig, profile: str | None = None) -> dict:
     """Driver-side twin of functions.harmonize.study_meta — the meta.tag
-    the reference stamps on every DD resource (_study_meta.wstl:5-9)."""
-    return {
+    the reference stamps on every DD resource (_study_meta.wstl:5-9),
+    plus the conditional ncpi-fhir-ig meta.profile (on by default,
+    wstlr/init.py:92-113; profile names per resource type in
+    wlib_dd_tables_and_vars.wstl:39,87 and wlib_dd_conceptmap.wstl:74)."""
+    meta: dict = {
         "tag": [
             {
                 "system": "https://ncpi-fhir.github.io/fhir-study-metadata",
@@ -216,6 +222,9 @@ def _study_meta_dict(study: StudyConfig) -> dict:
             }
         ]
     }
+    if profile and getattr(study, "profiles", True):
+        meta["profile"] = [f"{_IG_PROFILE_BASE}/{profile}"]
+    return meta
 
 
 def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> DataFrame:
@@ -264,7 +273,7 @@ def dd_codesystems(spark, dds: dict[str, DataDictionary], study: StudyConfig) ->
             )
     schema = (
         "module string, resourceType string, "
-        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "meta struct<tag:array<struct<system:string,code:string>>,profile:array<string>>, "
         "url string, name string, "
         "title string, status string, concept array<struct<code:string,display:string>>"
     )
@@ -289,7 +298,7 @@ def dd_observation_definitions(
     }
     prefix = study.dd_prefix or study.identifier_prefix
     rows = []
-    meta = _study_meta_dict(study)
+    meta = _study_meta_dict(study, "study-data-dictionary-variable")
     for tname, dd in dds.items():
         for v in dd.variables:
             url = dd_system_url(prefix, "CodeSystem", None, tname, None)
@@ -323,7 +332,7 @@ def dd_observation_definitions(
             )
     schema = (
         "module string, resourceType string, "
-        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "meta struct<tag:array<struct<system:string,code:string>>,profile:array<string>>, "
         "identifier_value string, "
         "code struct<coding:array<struct<code:string,display:string,system:string>>>, "
         "permittedDataType array<string>, "
@@ -369,7 +378,7 @@ def dd_valuesets(spark, dds: dict[str, DataDictionary], study: StudyConfig) -> D
             )
     schema = (
         "module string, resourceType string, "
-        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "meta struct<tag:array<struct<system:string,code:string>>,profile:array<string>>, "
         "url string, name string, status string, "
         "compose struct<include:array<struct<system:string,"
         "concept:array<struct<code:string,display:string>>>>>"
@@ -459,7 +468,7 @@ def dd_activity_definitions(
     observationResultRequirement reference per variable)."""
     prefix = study.dd_prefix or study.identifier_prefix
     rows = []
-    meta = _study_meta_dict(study)
+    meta = _study_meta_dict(study, "study-data-dictionary-table")
     for tname, dd in dds.items():
         cs_url = dd_system_url(prefix, "CodeSystem", None, tname, None)
         rows.append(
@@ -502,7 +511,7 @@ def dd_activity_definitions(
         )
     schema = (
         "module string, resourceType string, "
-        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "meta struct<tag:array<struct<system:string,code:string>>,profile:array<string>>, "
         "identifier array<struct<value:string,system:string,use:string>>, "
         "name string, title string, url string, "
         "topic array<struct<coding:array<struct<code:string,display:string,system:string>>>>, "
@@ -584,7 +593,7 @@ def questionnaires(
         )
     schema = (
         "module string, resourceType string, "
-        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "meta struct<tag:array<struct<system:string,code:string>>,profile:array<string>>, "
         "identifier array<struct<value:string,system:string,use:string>>, "
         "url string, name string, title string, status string, "
         "subjectType array<string>, "
@@ -674,7 +683,7 @@ def harmony_valuesets(spark, concept_map, study: StudyConfig) -> DataFrame:
     out = [vs_row("sources", src_groups), vs_row("targets", tgt_groups)]
     schema = (
         "module string, resourceType string, "
-        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "meta struct<tag:array<struct<system:string,code:string>>,profile:array<string>>, "
         "identifier array<struct<value:string,system:string,use:string>>, "
         "name string, title string, url string, "
         "compose struct<include:array<struct<system:string,"
@@ -728,7 +737,7 @@ def harmony_conceptmap(spark, concept_map, study: StudyConfig) -> DataFrame:
         {
             "module": "harmony",
             "resourceType": "ConceptMap",
-            "meta": _study_meta_dict(study),
+            "meta": _study_meta_dict(study, "study-data-dictionary-harmony"),
             "identifier": {
                 "value": f"{study.study_id}.concept-map",
                 "system": f"{study.identifier_prefix}/conceptmap",
@@ -764,7 +773,7 @@ def harmony_conceptmap(spark, concept_map, study: StudyConfig) -> DataFrame:
     ]
     schema = (
         "module string, resourceType string, "
-        "meta struct<tag:array<struct<system:string,code:string>>>, "
+        "meta struct<tag:array<struct<system:string,code:string>>,profile:array<string>>, "
         "identifier struct<value:string,system:string,use:string>, "
         "status string, purpose string, url string, "
         "sourceUri string, targetUri string, "

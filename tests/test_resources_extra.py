@@ -259,3 +259,25 @@ def test_harmony_conceptmap_resource(spark, tmp_path):
     els = {e["code"]: e for e in gender["element"]}
     assert els["1"]["display"] == "Male"
     assert els["1"]["target"][0]["equivalence"] == "equivalent"
+
+
+def test_profiles_flag(spark):
+    """Reference default: ncpi-fhir-ig meta.profile stamped on DD
+    variable/table/harmony resources; profiles=False removes them."""
+    from dataclasses import replace
+
+    from ncpi_whistler_spark.plans.resources import (
+        dd_activity_definitions,
+        dd_observation_definitions,
+    )
+
+    od = dd_observation_definitions(spark, {"visits": DD}, STUDY).collect()[0]
+    assert od["meta"]["profile"] == [
+        "https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/study-data-dictionary-variable"
+    ]
+    ad = dd_activity_definitions(spark, {"visits": DD}, STUDY).collect()[0]
+    assert ad["meta"]["profile"][0].endswith("study-data-dictionary-table")
+    off = replace(STUDY, profiles=False)
+    od2 = dd_observation_definitions(spark, {"visits": DD}, off).collect()[0]
+    assert od2["meta"]["profile"] is None
+    assert od2["meta"]["tag"][0]["code"] == "S"
