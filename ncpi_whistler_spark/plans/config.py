@@ -81,6 +81,10 @@ class StudyConfig:
     study_id: str
     study_title: str = ""
     study_desc: str = ""
+    study_accession: str = ""
+    url: str = ""
+    publisher: str = ""
+    annotations: dict = field(default_factory=dict)
     identifier_prefix: str = ""
     dd_prefix: str | None = None
     id_colname: str | None = None
@@ -107,6 +111,10 @@ class StudyConfig:
             study_id=d["study_id"],
             study_title=d.get("study_title", ""),
             study_desc=d.get("study_desc", ""),
+            study_accession=d.get("study_accession", ""),
+            url=d.get("url", ""),
+            publisher=d.get("publisher", ""),
+            annotations=d.get("annotations", {}) or {},
             identifier_prefix=d.get("identifier_prefix", ""),
             dd_prefix=d.get("dd_prefix"),
             id_colname=d.get("id_colname"),

@@ -165,13 +165,20 @@ def to_whistle_input(dataset: ExtractedDataset) -> dict:
     """Materialize the reference's whistle-input JSON document shape
     (wstlr/extractor.py:207-224) — golden-output parity/debug only; the
     engine itself never needs this collect."""
+    cfg = dataset.config
     doc: dict = {
-        "config": {"missing": dataset.config.missing_values},
+        "config": {"missing": cfg.missing_values},
         "study": {
-            "id": dataset.config.study_id,
-            "title": dataset.config.study_title,
-            "identifier-prefix": dataset.config.identifier_prefix,
-            "dd-prefix": dataset.config.dd_prefix or dataset.config.identifier_prefix,
+            "id": cfg.study_id,
+            "accession": cfg.study_accession,
+            "title": cfg.study_title,
+            "desc": cfg.study_desc,
+            "identifier-prefix": cfg.identifier_prefix,
+            "dd-prefix": cfg.dd_prefix or cfg.identifier_prefix,
+            "url": cfg.url,
+            "publisher": cfg.publisher,
+            "data-dictionary": [{"study": cfg.study_id, "values": []}],
+            "annotations": cfg.annotations,
         },
         "code-systems": [],
         "harmony": [],

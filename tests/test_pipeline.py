@@ -258,3 +258,19 @@ def test_rest_sink_with_backoff(spark):
     by_type = {r["resourceType"]: (r["ok"], r["err"]) for r in counts.collect()}
     assert by_type["CodeSystem"][0] == 1
     assert by_type["Patient"] == (2, 0)
+
+
+def test_whistle_input_doc_shape(extracted):
+    """Whistle-input document carries the reference's full study block
+    (wstlr/extractor.py:207-224) plus one key per extracted table."""
+    from ncpi_whistler_spark.plans.pipeline import to_whistle_input
+
+    doc = to_whistle_input(extracted)
+    assert set(doc["study"]) == {
+        "id", "accession", "title", "desc", "identifier-prefix",
+        "dd-prefix", "url", "publisher", "data-dictionary", "annotations",
+    }
+    assert doc["config"]["missing"] == extracted.config.missing_values
+    assert "participant" in doc and len(doc["participant"]) == 3
+    assert doc["harmony"]  # mappings included
+    assert doc["study"]["data-dictionary"] == [{"study": "TESTSTUDY", "values": []}]
