@@ -10,6 +10,11 @@ Subcommands:
                  parquet + optional bundle files) [play transform analog]
 - ``inspect``  — resource parquet → validation report [inspections]
 - ``profile``  — any table → per-column profile [builddd profiling pass]
+- ``buildcm``  — harmony CSVs → ConceptMap/ValueSets JSON [buildcm]
+- ``bundleup`` — resource parquet → transaction bundles [bundleup]
+- ``ddcsv``    — JSON data model → per-table DD CSVs [dd-json-to-csv]
+- ``harmonyskel`` — study DDs → starter harmony CSV [wstlr.harmony]
+- ``load``     — resource parquet → FHIR REST sink, dry-run default [load]
 
 All subcommands accept ``--master`` (default local[*]) so the same CLI
 drives a cluster via spark-submit.
@@ -194,6 +199,120 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_buildcm(args) -> int:
+    """buildcm analog: the study's harmony CSVs → FHIR ConceptMap +
+    sources/targets ValueSets as a module-keyed JSON document
+    (reference wstlr/conceptmap.py exec → harmony/<prefix>.json)."""
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.resources import (
+        harmony_conceptmap,
+        harmony_valuesets,
+        resources_to_json,
+    )
+    from ncpi_whistler_spark.sources.harmony import ConceptMap
+
+    spark = _spark(args)
+    cfg = StudyConfig.from_yaml(args.config)
+    harmony = cfg.harmony_files()
+    if not harmony:
+        print("config declares no harmony files", file=sys.stderr)
+        return 1
+    cm = ConceptMap.from_csv(spark, harmony, curies=cfg.curies)
+    doc: dict[str, list] = {}
+    for frame in (harmony_conceptmap(spark, cm, cfg), harmony_valuesets(spark, cm, cfg)):
+        for r in resources_to_json(frame).collect():
+            doc.setdefault(r["module"], []).append(json.loads(r["resource_json"]))
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    n = sum(len(v) for v in doc.values())
+    print(f"wrote {n} harmony resources: {args.out}")
+    return 0
+
+
+def cmd_bundleup(args) -> int:
+    """bundleup analog: resource parquet → chunked transaction-bundle
+    JSON files (reference wstlr/bundle.py:190-222)."""
+    from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
+
+    spark = _spark(args)
+    res = spark.read.parquet(args.resources)
+    write_bundles(prepare_bundle_entries(res), args.out, chunk=args.chunk)
+    print(f"wrote bundles: {args.out}")
+    return 0
+
+
+def cmd_ddcsv(args) -> int:
+    """dd-json-to-csv analog: AnVIL-style JSON data model → one DD CSV
+    per table (reference wstlr/dd/json_parser.py:54-87)."""
+    import os
+
+    from ncpi_whistler_spark.sources.dd import DataDictionary
+
+    with open(args.model) as fh:
+        model = json.load(fh)
+    os.makedirs(args.out, exist_ok=True)
+    names = [t.get("table") for t in model.get("tables", [])]
+    for name in names:
+        dd = DataDictionary.from_json_model(model, name)
+        dd.to_csv(os.path.join(args.out, f"{name}.csv"))
+        print(f"wrote DD: {name}.csv ({len(dd.variables)} variables)")
+    return 0 if names else 1
+
+
+def cmd_harmonyskel(args) -> int:
+    """Harmony-skeleton generator: study DDs → starter harmony CSV
+    (reference wstlr/harmony.py:77-123)."""
+    import csv
+
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.resources import harmony_skeleton
+    from ncpi_whistler_spark.sources.dd import DataDictionary
+
+    spark = _spark(args)
+    cfg = StudyConfig.from_yaml(args.config)
+    dds = {
+        name: DataDictionary.from_csv(spark, tbl.data_dictionary.filename, name)
+        for name, tbl in cfg.dataset.items()
+        if tbl.data_dictionary and tbl.data_dictionary.filename
+    }
+    rows = harmony_skeleton(dds)
+    if not rows:
+        print("no enumerated variables found in the study DDs", file=sys.stderr)
+        return 1
+    with open(args.out, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote harmony skeleton: {args.out} ({len(rows)} rows)")
+    return 0
+
+
+def cmd_load(args) -> int:
+    """load analog: resource parquet → FHIR REST sink (reference
+    wstlr/load.py:473-607). Dry run (in-memory transport) unless --url."""
+    from ncpi_whistler_spark.sinks.rest import (
+        HttpTransport,
+        InMemoryTransport,
+        load_resources,
+    )
+
+    spark = _spark(args)
+    res = spark.read.parquet(args.resources)
+    if args.module:
+        from pyspark.sql import functions as F
+
+        res = res.filter(F.col("module").isin(*args.module))
+    if args.url:
+        url = args.url
+        factory = lambda: HttpTransport(base_url=url)  # noqa: E731
+    else:
+        factory = lambda: InMemoryTransport()  # noqa: E731
+    counts = load_resources(res, factory, parallelism=args.threads)
+    rows = {r["resourceType"]: {"ok": r["ok"], "err": r["err"]} for r in counts.collect()}
+    print(json.dumps({"dry_run": not args.url, "counts": rows}, indent=2))
+    return 0 if all(v["err"] == 0 for v in rows.values()) else 2
+
+
 def cmd_profile(args) -> int:
     from ncpi_whistler_spark.operators.profiling import profile_columns
 
@@ -253,6 +372,34 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--study-id", required=True)
     pd.add_argument("--host", required=True)
     pd.set_defaults(fn=cmd_purge)
+
+    pc = sub.add_parser("buildcm", help="harmony CSVs → ConceptMap JSON (buildcm analog)")
+    pc.add_argument("config")
+    pc.add_argument("--out", required=True)
+    pc.set_defaults(fn=cmd_buildcm)
+
+    pu = sub.add_parser("bundleup", help="resource parquet → transaction bundles")
+    pu.add_argument("resources")
+    pu.add_argument("--out", required=True)
+    pu.add_argument("--chunk", type=int, default=15000)
+    pu.set_defaults(fn=cmd_bundleup)
+
+    pj = sub.add_parser("ddcsv", help="JSON data model → per-table DD CSVs")
+    pj.add_argument("model")
+    pj.add_argument("--out", required=True)
+    pj.set_defaults(fn=cmd_ddcsv)
+
+    ph = sub.add_parser("harmonyskel", help="study DDs → starter harmony CSV")
+    ph.add_argument("config")
+    ph.add_argument("--out", required=True)
+    ph.set_defaults(fn=cmd_harmonyskel)
+
+    pl = sub.add_parser("load", help="resource parquet → FHIR REST sink")
+    pl.add_argument("resources")
+    pl.add_argument("--url", help="FHIR base URL (omit for dry run)")
+    pl.add_argument("--threads", type=int, default=10)
+    pl.add_argument("--module", nargs="*", help="only load these modules")
+    pl.set_defaults(fn=cmd_load)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -58,6 +58,52 @@ class InMemoryTransport:
         return LoadResult(status=200, resource_type=resource_type)
 
 
+@dataclass
+class HttpTransport:
+    """Stdlib urllib transport for real FHIR servers (the reference uses
+    an external fhir client; wstlr/load.py:312-453). POST to
+    ``{base_url}/{resourceType}``; PUT to ``{base_url}/{resourceType}/{id}``
+    when the caller passes method=PUT with an id-bearing body. Constructed
+    per partition (one connection context per executor slot)."""
+
+    base_url: str
+    timeout: float = 30.0
+
+    def __call__(self, method: str, resource_type: str, body: str) -> LoadResult:
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        url = f"{self.base_url.rstrip('/')}/{resource_type}"
+        if method == "PUT":
+            try:
+                rid = _json.loads(body).get("id")
+            except Exception:
+                rid = None
+            if rid:
+                url = f"{url}/{rid}"
+        req = urllib.request.Request(
+            url,
+            data=body.encode("utf-8"),
+            method=method,
+            headers={"Content-Type": "application/fhir+json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read().decode("utf-8", "replace")
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            return LoadResult(status=e.code, resource_type=resource_type, error=str(e))
+        except OSError as e:  # connection refused, timeout, DNS
+            return LoadResult(status=599, resource_type=resource_type, error=str(e))
+        fid = None
+        try:
+            fid = _json.loads(raw).get("id")
+        except Exception:
+            pass
+        return LoadResult(status=status, resource_type=resource_type, fhir_id=fid)
+
+
 def _load_partition(
     rows: Iterator,
     transport_factory: Callable[[], Transport],

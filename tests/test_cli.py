@@ -94,3 +94,115 @@ def test_demo_study_example(spark, monkeypatch, tmp_path):
     assert meds["aspirin"]["value"] == "81"
     spec = {r["sample_id"]: r for r in ds.tables["specimen"].collect()}
     assert len(spec["S1"]["file_manifest"]) == 2
+
+
+def test_cli_buildcm_and_harmonyskel(spark, study_dir, tmp_path):  # noqa: F811
+    cm_out = str(tmp_path / "harmony.json")
+    rc = cli.main(["buildcm", str(study_dir / "study.yaml"), "--out", cm_out])
+    assert rc == 0
+    doc = json.loads(open(cm_out).read())
+    types = [r["resourceType"] for rs in doc.values() for r in rs]
+    assert types.count("ConceptMap") == 1 and "ValueSet" in types
+
+    skel = str(tmp_path / "skeleton.csv")
+    rc = cli.main(["harmonyskel", str(study_dir / "study.yaml"), "--out", skel])
+    assert rc == 0
+    import csv
+
+    rows = list(csv.DictReader(open(skel)))
+    # the DD's enumerated Sex variable (1=Male;2=Female) seeds the skeleton
+    assert {(r["local code"], r["text"]) for r in rows} >= {("1", "Male"), ("2", "Female")}
+    assert all(r["code"] == "" for r in rows)  # targets left blank for curation
+
+
+def test_cli_bundleup_load_ddcsv(spark, study_dir, tmp_path):  # noqa: F811
+    out = str(tmp_path / "resources")
+    assert cli.main(["resources", str(study_dir / "study.yaml"), "--out", out]) == 0
+
+    bundles = str(tmp_path / "bundles")
+    assert cli.main(["bundleup", out, "--out", bundles, "--chunk", "5"]) == 0
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(bundles)
+        for f in fs
+        if f.endswith(".json")
+    ]
+    assert files
+    with open(files[0]) as fh:
+        entry = json.loads(fh.readline())
+    assert entry["fullUrl"].startswith("urn:whistler/")
+    assert entry["request"]["method"] in ("POST", "PUT")
+
+    # dry-run load through the CLI (InMemoryTransport)
+    assert cli.main(["load", out]) == 0
+
+    # ddcsv: JSON model → per-table CSVs
+    model = {
+        "tables": [
+            {
+                "table": "subject",
+                "columns": [
+                    {"variable_name": "subject_id", "data_type": "string",
+                     "description": "id", "enumerations": ""},
+                    {"variable_name": "status", "data_type": "enumeration",
+                     "description": "status", "enumerations": "a=Active;i=Inactive"},
+                ],
+            }
+        ]
+    }
+    mpath = tmp_path / "model.json"
+    mpath.write_text(json.dumps(model))
+    dd_dir = str(tmp_path / "dds")
+    assert cli.main(["ddcsv", str(mpath), "--out", dd_dir]) == 0
+    import csv
+
+    rows = list(csv.DictReader(open(os.path.join(dd_dir, "subject.csv"))))
+    assert rows[1]["data_type"] == "enumeration"
+    assert "a=Active" in rows[1]["enumerations"]
+
+
+def test_http_transport_against_local_server(tmp_path):
+    """HttpTransport speaks real HTTP (stdlib server): POST path, PUT
+    with id in URL, 429 surfaced as a retryable status."""
+    import http.server
+    import threading
+
+    from ncpi_whistler_spark.sinks.rest import HttpTransport
+
+    seen = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _handle(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            seen.append((self.command, self.path, body.decode()))
+            if self.path.endswith("/Throttled"):
+                self.send_response(429)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/fhir+json")
+            self.end_headers()
+            self.wfile.write(b'{"id": "srv-1"}')
+
+        do_POST = _handle
+        do_PUT = _handle
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/fhir"
+        transport = HttpTransport(base_url=base)
+        r = transport("POST", "Patient", '{"resourceType": "Patient"}')
+        assert (r.status, r.fhir_id) == (200, "srv-1")
+        r2 = transport("PUT", "Patient", '{"resourceType": "Patient", "id": "p9"}')
+        assert r2.status == 200
+        r3 = transport("POST", "Throttled", "{}")
+        assert r3.status == 429
+    finally:
+        srv.shutdown()
+    assert ("POST", "/fhir/Patient", '{"resourceType": "Patient"}') in seen
+    assert any(m == "PUT" and p == "/fhir/Patient/p9" for m, p, _ in seen)
