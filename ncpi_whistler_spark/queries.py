@@ -2079,6 +2079,125 @@ def q67_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q68_repetition_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in generate_series(1, len(toks) - 2)] AS ngrams
+      FROM t
+    ),
+    d AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ngrams) = 0 THEN 0
+                  ELSE ((len(ngrams) - len(list_distinct(ngrams))) * 1000000)
+                       // len(ngrams)
+             END AS dup_ppm
+      FROM g
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dup_ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive,
+           CAST(SUM(dup_ppm) AS BIGINT) AS sum_dup_ppm
+    FROM d GROUP BY source
+    """,
+)
+def q68_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition rule: duplicate word-3-gram
+    fraction per doc (ppm — integer arithmetic, no float rounding), docs
+    over 10% flagged, rolled up per source. The n-gram build is the
+    explode + lead() plan (shingle arrays inside transform() re-evaluate
+    per element — NOTES perf lesson); totals and distincts come from ONE
+    aggregation reusing the window's hash partitioning on doc_id, so the
+    whole per-doc stage is a single shuffle. At 100 TB this is the cheap
+    first-pass corpus filter that runs before any cross-doc dedup join."""
+    from pyspark.sql.window import Window
+
+    from ncpi_whistler_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        ex.select(
+            "doc_id",
+            F.col("tok").alias("t0"),
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2").alias("ngram"))
+    )
+    per = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.size(F.collect_set("ngram")).alias("n_distinct"),
+    )
+    d = (
+        docs.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(
+                F.expr("((n_ngrams - n_distinct) * 1000000) div n_ngrams"), F.lit(0)
+            ).alias("dup_ppm"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("dup_ppm") > 100000).cast("long")).alias("n_repetitive"),
+        F.sum("dup_ppm").alias("sum_dup_ppm"),
+    )
+
+
+@query(
+    "q69_stratified_sample",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+                  ELSE 25 END AS rate,
+             (doc_id * 2654435761) % 100 AS h
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           MIN(CASE WHEN h < rate THEN doc_id END) AS min_sampled_id
+    FROM d GROUP BY source
+    """,
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: per-source keep rates
+    (the training-mix reweighting step — upsample rare sources, clip
+    dominant ones) decided by the same multiplicative hash as q63, so the
+    sample is reproducible across runs AND engines with plain integer
+    arithmetic. Pure map-side: selection is a rowwise predicate, the only
+    shuffle is the |sources|-group rollup — at 100 TB the sampled subset
+    streams straight to its writer with no extra pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 100)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 50)
+        .otherwise(25)
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    d = docs.select("source", "doc_id", rate.alias("rate"), h.alias("h"))
+    keep = F.col("h") < F.col("rate")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_sampled"),
+        F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_id"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
