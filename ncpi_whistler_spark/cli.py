@@ -313,6 +313,24 @@ def cmd_load(args) -> int:
     return 0 if all(v["err"] == 0 for v in rows.values()) else 2
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the fixture catalog (or any parquet dir laid out
+    as <dir>/<table>.parquet): the full Catalyst SQL surface as a CLI.
+    The reference has no query CLI at all — this is the 'general
+    relational query capability' extension (SURVEY.md §0)."""
+    from ncpi_whistler_spark.catalog import register_views
+
+    spark = _spark(args)
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote result: {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_profile(args) -> int:
     from ncpi_whistler_spark.operators.profiling import profile_columns
 
@@ -400,6 +418,13 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--threads", type=int, default=10)
     pl.add_argument("--module", nargs="*", help="only load these modules")
     pl.set_defaults(fn=cmd_load)
+
+    pq = sub.add_parser("sql", help="ad-hoc SQL over a parquet table dir")
+    pq.add_argument("query")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--out", help="write result parquet instead of showing")
+    pq.add_argument("--limit", type=int, default=50)
+    pq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -206,3 +206,16 @@ def test_http_transport_against_local_server(tmp_path):
         srv.shutdown()
     assert ("POST", "/fhir/Patient", '{"resourceType": "Patient"}') in seen
     assert any(m == "PUT" and p == "/fhir/Patient/p9" for m, p, _ in seen)
+
+
+def test_cli_sql(spark, tmp_path, capsys):
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "sqlout")
+    rc = cli.main(
+        ["sql", "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1",
+         "--sf-dir", SF_DIR, "--out", out]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.count() >= 2 and set(back.columns) == {"o_orderstatus", "n"}

@@ -1,0 +1,45 @@
+"""Plan-shape regression guards: the scale claims in SCALING.md are
+assertions about shuffle structure — lock the key ones in so a refactor
+that quietly adds an Exchange fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import re
+
+from ncpi_whistler_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _shuffles(df) -> int:
+    """Count shuffle exchanges (excludes BroadcastExchange)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"(?<!Broadcast)Exchange (?:hashpartitioning|SinglePartition|rangepartitioning)", plan))
+
+
+def test_q69_sampling_is_map_side(spark):
+    """Selection is a rowwise predicate; the only shuffle is the
+    |sources|-group audit rollup."""
+    df = REGISTRY["q69_stratified_sample"][0](spark, SF_DIR)
+    assert _shuffles(df) == 1
+
+
+def test_q68_per_doc_stage_single_shuffle(spark):
+    """N-gram window and per-doc totals/distinct agg share the doc-id
+    partitioning: one token-row shuffle + the final source rollup."""
+    df = REGISTRY["q68_repetition_filter"][0](spark, SF_DIR)
+    assert _shuffles(df) == 2
+
+
+def test_q01_partial_agg_single_shuffle(spark):
+    """Pricing summary: partial agg map-side, one exchange on the group
+    keys."""
+    df = REGISTRY["q01_pricing_summary"][0](spark, SF_DIR)
+    assert _shuffles(df) == 1
+
+
+def test_q41_dims_broadcast(spark):
+    """TPC-H Q7 shape: every dimension broadcasts; the only shuffles are
+    the lineitem⋈orders join and the final rollup."""
+    df = REGISTRY["q41_nation_trade_pairs"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan
