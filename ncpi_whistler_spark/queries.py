@@ -2198,6 +2198,74 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q70_promo_revenue",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS month,
+           CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(24,6))) AS DOUBLE) AS promo_rev,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(24,6))) AS DOUBLE) AS total_rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q70_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month — broadcast
+    dimension join + conditional decimal-exact aggregation. The month key
+    comes from date_format (string both engines, UTC session); only the
+    |months| rollup shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.expr("l_extendedprice * (1 - l_discount)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).cast("decimal(24,6)")
+            )
+            .cast("double")
+            .alias("promo_rev"),
+            _dsum("l_extendedprice * (1 - l_discount)", "DECIMAL(24,6)").alias("total_rev"),
+        )
+    )
+
+
+@query(
+    "q71_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+                AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q71_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: what-if revenue delta — every predicate
+    (timestamp range, discount band, quantity cap) pushes to the parquet
+    scan, and the global aggregate is map-side partials into a single
+    final row. The canonical scan-bound query: at 100 TB its cost IS the
+    pruned IO."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum("l_extendedprice * l_discount", "DECIMAL(24,6)").alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
