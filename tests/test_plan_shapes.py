@@ -43,3 +43,21 @@ def test_q41_dims_broadcast(spark):
     df = REGISTRY["q41_nation_trade_pairs"][0](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_q71_predicates_push_to_scan(spark):
+    """Every q71 predicate reaches the parquet scan and the read schema
+    is pruned to the four referenced columns."""
+    import contextlib
+    import io
+
+    df = REGISTRY["q71_forecast_revenue"][0](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # AQE hides scan details in executedPlan's toString
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_quantity,24.0)" in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
