@@ -2266,6 +2266,59 @@ def q71_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q72_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+      GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_viewers,
+           COUNT(p_ts) AS n_purchased,
+           CAST(SUM(CASE WHEN epoch_us(p_ts) - epoch_us(v_ts) <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h,
+           CAST(SUM(CASE WHEN epoch_us(p_ts) - epoch_us(v_ts) <= 3600000000
+                         THEN epoch_us(p_ts) - epoch_us(v_ts) END) AS BIGINT)
+             AS sum_latency_us
+    FROM v LEFT JOIN p USING (user_id)
+    """,
+)
+def q72_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: first view → first subsequent purchase per user,
+    converted = within one hour (integer µs arithmetic — deterministic
+    across engines). Both per-user aggregations and the final join hash
+    on user_id, so the funnel costs one logical repartition of the
+    events scan; the global rollup is a single-row reduce. The
+    event-sequence shape (step N after step N-1) the registry lacked."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    f = v.join(p, "user_id", "left")
+    lat = F.unix_micros("p_ts") - F.unix_micros("v_ts")
+    return f.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("p_ts").alias("n_purchased"),
+        F.sum(F.when(lat <= 3600000000, 1).otherwise(0)).cast("long").alias("n_converted_1h"),
+        F.sum(F.when(lat <= 3600000000, lat)).alias("sum_latency_us"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
