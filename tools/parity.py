@@ -11,7 +11,10 @@ Usage: python tools/parity.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
