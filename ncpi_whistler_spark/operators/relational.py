@@ -60,10 +60,23 @@ def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     return left.join(right.select(*on).dropDuplicates(on), on=on, how="left_semi")
 
 
-def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+def anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    broadcast_right: bool = False,
+) -> DataFrame:
     """NOT EXISTS: rows of left without a match in right (the reference's
-    unresolved-reference miss-set, wstlr/load.py:264-286, is exactly this)."""
-    return left.join(right.select(*on).dropDuplicates(on), on=on, how="left_anti")
+    unresolved-reference miss-set, wstlr/load.py:264-286, is exactly this).
+
+    broadcast_right=True ships the (deduped) exclusion set to every
+    executor — a broadcast anti join runs map-side with zero shuffle of
+    the probe side, the right plan whenever the exclusion list is
+    dimension-sized."""
+    keys = right.select(*on).dropDuplicates(on)
+    if broadcast_right:
+        keys = F.broadcast(keys)
+    return left.join(keys, on=on, how="left_anti")
 
 
 def as_of_join(

@@ -2319,6 +2319,279 @@ def q72_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q73_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, p_name, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'STANDARD' AND p_size <= 10
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost FROM costs GROUP BY 1
+    )
+    SELECT c.l_partkey AS p_partkey, c.p_name, s_name,
+           CAST(c.unit_cost AS DOUBLE) AS unit_cost
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    JOIN supplier ON c.l_suppkey = s_suppkey
+    """,
+)
+def q73_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table, so "cost" is the best
+    observed unit price in lineitem): for each STANDARD small part, the
+    supplier(s) achieving the minimum unit price — the correlated-min
+    subquery decorrelated into an aggregate + equality join. Both
+    aggregations hash on l_partkey, so the argmin join reuses the same
+    partitioning; the part filter broadcasts and prunes the fact scan
+    before any shuffle. The per-row double division is bit-identical in
+    both engines, making MIN and the equality join exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    costs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        costs.join(best, ["l_partkey"])
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q74_product_profit",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.55 * p_retailprice * l_quantity
+                         AS DECIMAL(24,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q74_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per order year for one
+    product family (supply cost proxied as 55% of retail price — the
+    fixture has no partsupp). Five-way join where part/supplier/nation
+    broadcast (the p_name filter shrinks part first) and only
+    lineitem⋈orders shuffles on the orderkey; the rollup then carries
+    |nations|×|years| rows. At 100 TB the plan is one fact-fact hash
+    join plus map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _dsum(
+                "l_extendedprice * (1 - l_discount) - 0.55 * p_retailprice * l_quantity",
+                "DECIMAL(24,6)",
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "q75_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(val AS DOUBLE)
+          > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM v)
+    """,
+)
+def q75_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value from one nation's
+    suppliers exceeds a fraction of that nation's total — the scalar
+    subquery becomes a single-row aggregate broadcast-crossed onto the
+    per-part frame, so the threshold costs no extra shuffle. The
+    per-part frame is computed once and feeds both sides (Spark reuses
+    the shuffle output via the exchange-reuse rule). Decimal sums on
+    both sides make the double threshold comparison bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
+    )
+    thresh = v.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("thresh"))
+    return (
+        v.join(F.broadcast(thresh))
+        .where(F.col("val").cast("double") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+    )
+
+
+@query(
+    "q76_ship_lag_priority",
+    """
+    SELECT CASE WHEN lag_days <= 30 THEN 'fast'
+                WHEN lag_days <= 90 THEN 'medium'
+                ELSE 'slow' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT datediff('day', o_orderdate, l_shipdate) AS lag_days,
+             o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) t
+    GROUP BY 1
+    """,
+)
+def q76_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixture has no l_shipmode, so lines
+    are bucketed by order→ship lag instead): conditional aggregation —
+    the CASE lives inside SUM so one pass produces both counts. The
+    orderkey equi-join is the only shuffle; the 3-bucket rollup is
+    map-side partials into 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(lag <= 30, "fast")
+            .when(lag <= 90, "medium")
+            .otherwise("slow")
+            .alias("ship_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q77_supplier_cnt",
+    """
+    SELECT p_brand, p_type,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_size BETWEEN 1 AND 15
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY 1, 2
+    """,
+)
+def q77_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem is the part↔supplier bridge and
+    the exclusion predicate is on s_name — the fixture has no partsupp
+    or s_comment): supplier diversity per (brand, type) with a NOT-IN
+    exclusion compiled to a broadcast anti join, so neither the
+    exclusion nor the dimension filter shuffles. COUNT(DISTINCT) is the
+    one real shuffle — Spark expands it to a two-phase distinct-then-
+    count on the same (brand, type) hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").between(1, 15)
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        anti_join(li, excl, on=["l_suppkey"], broadcast_right=True)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q78_dominant_supplier",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE CAST(qty AS DOUBLE) > 0.5 * CAST(total_qty AS DOUBLE)
+    """,
+)
+def q78_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "availqty > half of shipped" becomes
+    "supplier shipped more than half of a part's year volume" — no
+    partsupp in the fixture): the nested-IN chain decorrelated into two
+    aggregates over ONE scan (the per-pair frame feeds the per-part
+    total, reusing its shuffle) plus a broadcast supplier lookup.
+    Decimal quantity sums keep the share comparison bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    return (
+        shipped.join(tot, ["l_partkey"])
+        .where(F.col("qty").cast("double") > F.lit(0.5) * F.col("total_qty").cast("double"))
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
