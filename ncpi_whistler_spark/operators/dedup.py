@@ -542,3 +542,87 @@ def embedding_dup_pairs(
     return sim.where(F.col("sim") >= threshold).select(
         "id_a", "id_b", F.round("sim", 6).alias("cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components (near-dup pairs -> dedup clusters)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the missing
+    step between near-dup PAIRS and dedup GROUPS: transitive closure
+    assigns every document the minimum doc-id reachable through the
+    similarity graph, so exactly one keeper survives per cluster
+    (pairwise keeper rules double-drop on chains a~b~c).
+
+    Algorithm: iterative min-label propagation on DataFrames. labels
+    start as the node id; each round every node takes the min label over
+    itself and its neighbors (one shuffle join + one hash aggregation),
+    until the global label sum stops decreasing — labels only ever
+    decrease, so an unchanged sum IS the fixpoint, and the convergence
+    test is a cheap scalar aggregate instead of a change-count join.
+    Rounds needed = graph diameter. Near-dup graphs are unions of dense
+    near-cliques (banded LSH emits most intra-cluster pairs directly),
+    so 2-4 rounds close them in practice; for adversarially long chains
+    switch to the large-star/small-star rewrite (Kiveris et al., "CC in
+    MapReduce and Beyond") which converges in O(log n) rounds on the
+    same join+agg primitive.
+
+    Every round ends in an eager localCheckpoint(): iterative self-joins
+    otherwise stack an exponentially growing lineage that Catalyst
+    re-analyzes per round (the classic iterative-DataFrame trap). On a
+    real cluster use checkpoint() to reliable storage instead so a lost
+    executor doesn't recompute the whole chain.
+
+    ``vertices`` (single-column DataFrame) adds isolated nodes, which
+    come back as their own singleton component. The reference engine has
+    nothing transitive — its dedup is exact-key only
+    (wstlr/conceptmap.py:391); this is the corpus-curation extension.
+
+    Returns (``id_col``, component) with component = min reachable id.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = sym.select(F.col("u").alias(id_col))
+    if vertices is not None:
+        nodes = nodes.union(
+            vertices.select(F.col(vertices.columns[0]).cast("long").alias(id_col))
+        )
+    sym = sym.persist()
+    labels = (
+        nodes.distinct()
+        .select(F.col(id_col), F.col(id_col).alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        if prev is None:  # empty graph
+            break
+        prop = (
+            sym.join(labels.withColumnRenamed(id_col, "v"), on="v")
+            .select(F.col("u").alias(id_col), "component")
+        )
+        labels_new = (
+            labels.union(prop)
+            .groupBy(id_col)
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels_new.agg(F.sum("component")).first()[0]
+        converged = cur == prev
+        labels = labels_new
+        prev = cur
+        if converged:
+            break
+    sym.unpersist()
+    return labels

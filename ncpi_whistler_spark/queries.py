@@ -2592,6 +2592,76 @@ def q78_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q79_dedup_components",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shs
+      FROM t
+    ),
+    ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      WHERE (1000000 * n_common) // (n_a + n_b - n_common) >= 500000
+    ),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS root FROM documents
+      UNION
+      SELECT e.v AS node, r.root FROM reach r JOIN e ON e.u = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY 1
+    """,
+)
+def q79_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not pairs: the q24 Jaccard pair graph closed
+    into connected components (min-label propagation, one shuffle join +
+    hash agg per round, localCheckpoint lineage cut — see
+    operators/dedup.connected_components for the 100 TB argument).
+    Every document comes back labeled with the min doc-id reachable
+    through >=0.5-Jaccard edges — singletons label themselves — which is
+    the exact transitive semantics a pairwise keeper rule gets wrong on
+    chains. The oracle is DuckDB's recursive CTE computing the same
+    closure; matching it proves the iterative DataFrame loop converged
+    to the true fixpoint, not an iteration-capped approximation."""
+    from ncpi_whistler_spark.operators.dedup import connected_components, shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = shingle_rows(docs, "text", "doc_id", 3)
+    a = ex.select("shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    b = ex.select("shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = common.where(
+        F.expr("(1000000 * n_common) div (n_a + n_b - n_common)") >= 500000
+    )
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b", vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+    return cc.select("doc_id", "component")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

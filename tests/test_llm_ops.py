@@ -289,3 +289,70 @@ def test_chunk_tokens_matches_python_model(spark):
         for r in chunk_tokens(df, size=size, stride=stride).collect()
     }
     assert got == model
+
+
+# --------------------------------------------------------------------------
+# Connected components (pairs -> clusters)
+# --------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 5-node chain (diameter 4 — forces several propagation rounds),
+    a separate 2-clique, and an isolated vertex."""
+    from ncpi_whistler_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(7,), (1,)], "node long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (7, 7),
+    }
+
+
+def test_connected_components_empty_edges(spark):
+    from ncpi_whistler_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(3,), (9,)], "node long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {(3, 3), (9, 9)}
+
+
+def test_connected_components_matches_networkx_free_bruteforce(spark):
+    """Random-ish deterministic graph: compare against a driver-side
+    union-find (no external deps)."""
+    from ncpi_whistler_spark.operators.dedup import connected_components
+
+    pairs = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    expect = {}
+    for n in range(40):
+        expect.setdefault(find(n), []).append(n)
+    want = {(n, min(members)) for members in expect.values() for n in members}
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.createDataFrame([(n,) for n in range(40)], "node long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == want
