@@ -1740,7 +1740,7 @@ def q55_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -2310,7 +2310,11 @@ def q72_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("p_ts"))
     )
     f = v.join(p, "user_id", "left")
-    lat = F.unix_micros("p_ts") - F.unix_micros("v_ts")
+    # Parquet timestamps may surface as TIMESTAMP_NTZ; cast to TIMESTAMP
+    # (session tz is UTC, so the mapping is linear) for unix_micros.
+    lat = F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(
+        F.col("v_ts").cast("timestamp")
+    )
     return f.agg(
         F.count(F.lit(1)).alias("n_viewers"),
         F.count("p_ts").alias("n_purchased"),
