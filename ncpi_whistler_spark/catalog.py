@@ -37,6 +37,25 @@ def _ensure_runtime_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (session tz) — the only
+    type watermarks and ``unix_micros`` accept on PySpark 4.x.
+
+    Handles every shape the fixtures have surfaced: parquet TIMESTAMP(NANOS)
+    read as a nanos long (legacy conf), and plain TIMESTAMP_NTZ. Batch
+    ``load_table`` intentionally keeps NTZ (it matches DuckDB's naive
+    timestamps value-for-value in the driver compare); call this at the
+    points that *require* TIMESTAMP: streaming watermarks and
+    unix_micros-style consumers.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 

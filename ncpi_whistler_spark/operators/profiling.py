@@ -49,11 +49,13 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
                 num.alias("num"),
             ).agg(
                 F.first("variable").alias("variable"),
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct("value").alias("n_distinct"),
-                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
-                F.min("num").alias("min_num"),
-                F.max("num").alias("max_num"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.count_distinct("value").cast("long").alias("n_distinct"),
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                F.min("num").cast("double").alias("min_num"),
+                F.max("num").cast("double").alias("max_num"),
             )
         )
     out = parts[0]

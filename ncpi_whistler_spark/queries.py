@@ -385,19 +385,23 @@ def q12_count_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_profile_part",
     """
     WITH p AS (SELECT * FROM part)
-    SELECT 'p_brand' AS variable, COUNT(*) AS n, COUNT(DISTINCT p_brand) AS n_distinct,
-           SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS n_null,
-           MIN(TRY_CAST(p_brand AS DOUBLE)) AS min_num, MAX(TRY_CAST(p_brand AS DOUBLE)) AS max_num
+    SELECT 'p_brand' AS variable, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(MIN(TRY_CAST(p_brand AS DOUBLE)) AS DOUBLE) AS min_num,
+           CAST(MAX(TRY_CAST(p_brand AS DOUBLE)) AS DOUBLE) AS max_num
     FROM p
     UNION ALL
-    SELECT 'p_retailprice', COUNT(*), COUNT(DISTINCT p_retailprice),
-           SUM(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END),
-           MIN(TRY_CAST(p_retailprice AS DOUBLE)), MAX(TRY_CAST(p_retailprice AS DOUBLE))
+    SELECT 'p_retailprice', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT p_retailprice) AS BIGINT),
+           CAST(SUM(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(TRY_CAST(p_retailprice AS DOUBLE)) AS DOUBLE),
+           CAST(MAX(TRY_CAST(p_retailprice AS DOUBLE)) AS DOUBLE)
     FROM p
     UNION ALL
-    SELECT 'p_size', COUNT(*), COUNT(DISTINCT p_size),
-           SUM(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END),
-           MIN(TRY_CAST(p_size AS DOUBLE)), MAX(TRY_CAST(p_size AS DOUBLE))
+    SELECT 'p_size', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT p_size) AS BIGINT),
+           CAST(SUM(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(TRY_CAST(p_size AS DOUBLE)) AS DOUBLE),
+           CAST(MAX(TRY_CAST(p_size AS DOUBLE)) AS DOUBLE)
     FROM p
     """,
 )
@@ -2055,9 +2059,9 @@ def q66_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q67_pivot_order_status",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
     FROM orders GROUP BY o_orderpriority
     """,
 )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-directory stream of the events table (schema pinned from a
     batch read; nanos ts converted exactly like the batch catalog)."""
-    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.catalog import ensure_event_time, load_table
 
     batch = load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -31,8 +31,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks require TIMESTAMP; normalize bigint-nanos / TIMESTAMP_NTZ.
+    stream = ensure_event_time(stream, "ts")
     _ = batch  # keeps schema derivation honest if fixtures change
     return stream
 

@@ -38,6 +38,27 @@ def _norm(v):
     return v
 
 
+def compare_dtype_kinds(spark_df, oracle_pdf) -> list[str]:
+    """Driver-style type check: both sides rendered to pandas, compared by
+    dtype *kind* per column (int-vs-float is exactly the class of artifact —
+    e.g. DuckDB HUGEINT sums → float64 — that value-equality misses but the
+    driver's value-hash catches)."""
+    spdf = spark_df.toPandas()
+    problems = []
+    skinds = {c.lower(): spdf[c].dtype.kind for c in spdf.columns}
+    okinds = {c.lower(): oracle_pdf[c].dtype.kind for c in oracle_pdf.columns}
+    for c in sorted(skinds):
+        sk, ok = skinds.get(c), okinds.get(c)
+        # pandas renders nullable ints as float ('f' vs 'i') on either side
+        # depending on null presence; only flag genuinely different families.
+        fam = lambda k: "num" if k in ("i", "u", "f") else k
+        if ok is not None and sk != ok and (
+            fam(sk) != fam(ok) or {sk, ok} == {"i", "f"}
+        ):
+            problems.append(f"pandas dtype kind differs on '{c}': spark={sk} oracle={ok}")
+    return problems
+
+
 def compare(name: str, spark_df, oracle_rows, oracle_cols) -> list[str]:
     problems = []
     scols = sorted(spark_df.columns)
@@ -87,10 +108,13 @@ def main() -> int:
                 n = sdf.count()
                 print(f"  {name}: rows-only check, {n} rows ✓")
                 continue
+            opdf = con.execute(oracle).df()
             cur = con.execute(oracle)
             orows = cur.fetchall()
             ocols = [d[0] for d in cur.description]
             problems = compare(name, sdf, orows, ocols)
+            if not problems:
+                problems = compare_dtype_kinds(sdf, opdf)
             if problems:
                 failed.append(name)
                 print(f"✗ {name}:")
