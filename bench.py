@@ -43,15 +43,31 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full-name 3-decimal detail to a file; the stdout JSON line stays
+    # small (short qNN keys, 2 decimals) so the driver's tail capture
+    # can't overflow (round-1 BENCH had "parsed": null from a 3 KB line).
+    detail = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": short,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -125,6 +125,7 @@ def embedding_pairs_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_size: int = 512,
+    corpus_path: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via blocked numpy — the
     Arrow/mapInPandas scale path for embedding dedup, **bit-identical**
@@ -138,28 +139,50 @@ def embedding_pairs_blocked(
     last ulp. Vectorized across pairs, sequential across dims: ~50× the
     fold path's throughput with identical bits.
 
-    The corpus is broadcast to every executor (all-pairs requires every
-    row to see every other); for a corpus too big to broadcast,
-    pre-bucket with hyperplane_bucket and run per bucket — the block
-    shape is unchanged. Threshold is applied to the UNROUNDED similarity
-    (matching the oracle's WHERE); rounding happens after.
+    Corpus distribution (all-pairs requires every row to see every other):
+
+    - ``corpus_path`` given (the scale path): each EXECUTOR task reads the
+      corpus side straight from parquet via pyarrow — the driver never
+      collects anything, so driver memory is flat no matter the corpus
+      size. Executor memory bounds the corpus (~dim×8 bytes/row); beyond
+      that, pre-bucket with hyperplane_bucket (dedup.embedding_dup_pairs
+      bucket_bits>0, q40) — exact all-pairs at that size is the wrong
+      operator anyway (quadratic by definition).
+    - no ``corpus_path`` (in-memory test frames): falls back to a
+      driver-side collect + sc.broadcast. Small inputs only.
+
+    Threshold is applied to the UNROUNDED similarity (matching the
+    oracle's WHERE); rounding happens after.
     """
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.ascontiguousarray(np.array([r[1] for r in rows], dtype=np.float64))
-    norms = _seq_norms(mat)
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    if corpus_path is None:
+        rows = df.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.ascontiguousarray(np.array([r[1] for r in rows], dtype=np.float64))
+        b = df.sparkSession.sparkContext.broadcast((ids, mat, _seq_norms(mat)))
+
+        def _corpus():
+            return b.value
+
+    else:
+
+        def _corpus(_cache={}):
+            # one parquet read per python worker, reused across batches
+            if "c" not in _cache:
+                import pyarrow.dataset as ds
+
+                tbl = ds.dataset(corpus_path).to_table(columns=[id_col, vec_col])
+                ids = tbl[id_col].to_numpy().astype(np.int64)
+                mat = np.ascontiguousarray(
+                    np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
+                )
+                _cache["c"] = (ids, mat, _seq_norms(mat))
+            return _cache["c"]
 
     def _block(batches):
-        corpus_ids = b_ids.value
-        corpus = b_mat.value
-        corpus_norms = b_norms.value
+        corpus_ids, corpus, corpus_norms = _corpus()
         dim = corpus.shape[1]
         for pdf in batches:
             for start in range(0, len(pdf), block_size):
