@@ -302,14 +302,20 @@ def cmd_load(args) -> int:
         from pyspark.sql import functions as F
 
         res = res.filter(F.col("module").isin(*args.module))
-    if args.url:
-        url = args.url
+    url = args.url
+    if getattr(args, "host", None):
+        from ncpi_whistler_spark.sources.hostfile import resolve_host
+
+        url = resolve_host(args.host, getattr(args, "hosts_file", None))[
+            "target_service_url"
+        ]
+    if url:
         factory = lambda: HttpTransport(base_url=url)  # noqa: E731
     else:
         factory = lambda: InMemoryTransport()  # noqa: E731
     counts = load_resources(res, factory, parallelism=args.threads)
     rows = {r["resourceType"]: {"ok": r["ok"], "err": r["err"]} for r in counts.collect()}
-    print(json.dumps({"dry_run": not args.url, "counts": rows}, indent=2))
+    print(json.dumps({"dry_run": not url, "counts": rows}, indent=2))
     return 0 if all(v["err"] == 0 for v in rows.values()) else 2
 
 
@@ -415,6 +421,14 @@ def main(argv: list[str] | None = None) -> int:
     pl = sub.add_parser("load", help="resource parquet → FHIR REST sink")
     pl.add_argument("resources")
     pl.add_argument("--url", help="FHIR base URL (omit for dry run)")
+    pl.add_argument(
+        "--host",
+        help="named host from the fhir_hosts file (reference CLI contract: "
+        "play config.yaml --host dev; wstlr/hostfile.py)",
+    )
+    pl.add_argument(
+        "--hosts-file", help="hosts file path (default: ./fhir_hosts)"
+    )
     pl.add_argument("--threads", type=int, default=10)
     pl.add_argument("--module", nargs="*", help="only load these modules")
     pl.set_defaults(fn=cmd_load)

@@ -34,6 +34,27 @@ from ncpi_whistler_spark.functions.core import (
     standardize_dd_type,
 )
 
+def open_dd_file(filename: str):
+    """Open a DD source from a local path OR an http(s) URL — the
+    reference's loader contract (wstlr/dd/loader.py:51-65: URLs are
+    fetched and spooled to a temp file; anything else opens locally).
+    Driver-side by design: DDs are plan-time metadata, a few KB."""
+    import re
+    import tempfile
+    import urllib.request
+
+    if re.search(r"^http[s]*:", filename):
+        with urllib.request.urlopen(filename) as resp:  # noqa: S310
+            body = resp.read()
+        file = tempfile.TemporaryFile()
+        file.write(body)
+        file.seek(0)
+        import io
+
+        return io.TextIOWrapper(file, encoding="utf-8")
+    return open(filename, "rt")
+
+
 #: base alternate-name map (reference: wstlr/dd/loader.py:43-49)
 _BASE_COLNAMES = {
     "variable_name": ["variable_name", "varname", "name", "variable"],
@@ -140,10 +161,29 @@ class DataDictionary:
 
     @classmethod
     def from_csv(cls, spark: SparkSession, path: str, table_name: str) -> "DataDictionary":
+        """Parse a DD CSV from a local path, any Spark-readable filesystem,
+        or an http(s) URL (S5 URL path, wstlr/dd/loader.py:51-65)."""
+        import re
+
+        if re.search(r"^http[s]*:", path):
+            import csv as _csv
+
+            with open_dd_file(path) as fh:
+                rows = list(_csv.DictReader(fh))
+            return cls.from_rows(table_name, rows)
         rows = (
             spark.read.option("header", True).csv(path).na.fill("").collect()
         )
         return cls.from_rows(table_name, [r.asDict() for r in rows])
+
+    @classmethod
+    def from_json_path(cls, path: str, table_name: str) -> "DataDictionary":
+        """JSON data model from a local path or http(s) URL."""
+        import json
+
+        with open_dd_file(path) as fh:
+            model = json.load(fh)
+        return cls.from_json_model(model, table_name)
 
     @classmethod
     def from_json_model(cls, model: dict, table_name: str) -> "DataDictionary":
