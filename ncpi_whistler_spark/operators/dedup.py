@@ -177,6 +177,25 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 
 
+def h60(col: Column | str) -> Column:
+    """60-bit cross-engine hash: first 15 hex digits of md5, parsed base
+    16 — always positive, fits signed 64.
+
+    The DuckDB twin is ``('0x' || substring(md5(x), 1, 15))::BIGINT``
+    (verified bit-equal), which is what makes the sketch operators below
+    oracle-checkable: pass ``hash_fn='md5'`` and every signature, band
+    key, and sketch bit is reproducible in ANSI SQL. xxhash64 stays the
+    default for production (one JVM intrinsic vs md5's digest cost)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col: Column | str, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return h60(col)
+    return F.xxhash64(F.col(col) if isinstance(col, str) else col)
+
+
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) permutation parameters via an LCG (no numpy
     dependency in the plan; fixed seed ⇒ identical signatures every run)."""
@@ -223,13 +242,14 @@ def minhash_signatures(
     seed: int = 42,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) via the columnar plan: shingle rows (tokens
     split once per doc), project ``num_hashes`` permuted-hash columns
     (pure codegen arithmetic), aggregate element-wise min per doc in one
-    shuffle."""
+    shuffle. ``hash_fn='md5'`` → oracle-reproducible h60 base hash."""
     ex = (shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_n)).select("id", "shingle")
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    h = F.pmod(_base_hash("shingle", hash_fn), F.lit(_MERSENNE))
     proj = ex.select(
         "id",
         *[
@@ -254,6 +274,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -268,7 +289,9 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # |docs|-row signature frame feeds both band-join sides: persist so
     # the signature aggregation runs once
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed, shingle_n, shingles).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, seed, shingle_n, shingles, hash_fn
+    ).persist()
     band_entries = sig.select(
         "id",
         F.explode(
@@ -276,14 +299,15 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bidx: F.struct(
                     bidx.alias("band"),
-                    F.xxhash64(
+                    _base_hash(
                         F.array_join(
                             F.transform(
                                 F.slice("sig", bidx * r + 1, r),
                                 lambda v: v.cast("string"),
                             ),
                             ",",
-                        )
+                        ),
+                        hash_fn,
                     ).alias("bh"),
                 ),
             )
@@ -405,28 +429,36 @@ def simhash64(text: Column | str, bits: int = 64) -> Column:
 
 
 def simhash_sketches(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sh) via the columnar plan: explode tokens, project 64 ±1 vote
+    """(id, sh) via the columnar plan: explode tokens, project ±1 vote
     columns (codegen bit arithmetic), sum per doc in one shuffle, fold
-    the vote signs into the 64-bit sketch. Same result as simhash64 for
-    non-empty docs, ~10× faster (no interpreted HOF lambdas)."""
+    the vote signs into the sketch. Same result as simhash64 for
+    non-empty docs, ~10× faster (no interpreted HOF lambdas).
+
+    ``hash_fn='md5'`` → 60-bit sketches from the oracle-reproducible h60
+    hash (bits 0..59; same near-dup quality, every bit SQL-checkable);
+    default xxhash64 → full 64 bits."""
+    bits = 60 if hash_fn == "md5" else 64
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     )
-    h = F.xxhash64("t")
+    h = _base_hash("t", hash_fn)
     proj = ex.select(
         "id",
         *[
             (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
-            for b in range(64)
+            for b in range(bits)
         ],
     )
     agg = proj.groupBy("id").agg(
-        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(64)]
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(bits)]
     )
     sh = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         weight = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
         sh = sh + F.when(F.col(f"v{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
     return agg.select("id", sh.alias("sh"))
@@ -438,17 +470,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, using the
-    pigeonhole block trick: split the 64-bit sketch into ``blocks``
-    chunks; any pair within distance < blocks shares at least one exact
-    chunk → join on (block_idx, chunk) then verify the full distance.
-    One shuffle on the chunk key; no all-pairs."""
-    width = 64 // blocks
+    pigeonhole block trick: split the sketch into ``blocks`` chunks; any
+    pair within distance < blocks shares at least one exact chunk → join
+    on (block_idx, chunk) then verify the full distance. One shuffle on
+    the chunk key; no all-pairs."""
+    width = (60 if hash_fn == "md5" else 64) // blocks
     # the sketch frame is |docs| rows (tiny next to the corpus) and feeds
     # BOTH self-join sides — persist so the token explode + 64-column
     # aggregation runs once, not twice
-    s = simhash_sketches(df, text_col, id_col).persist()
+    s = simhash_sketches(df, text_col, id_col, hash_fn).persist()
     chunk_structs = [
         F.struct(
             F.lit(i).alias("blk"),

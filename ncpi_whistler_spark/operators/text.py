@@ -155,14 +155,18 @@ def winnowing_fingerprint_rows(
     id_col: str = "doc_id",
     window: int = 8,
     keep_every: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fp) rows of sparse k-gram fingerprints — the columnar plan:
     normalize once per row, explode window positions, hash each substring
     with plain codegen expressions. Use this for corpus-scale jobs; the
     Column variant below re-evaluates the normalization inside the HOF
     lambda per element (fine for single values, quadratic for documents).
+    ``hash_fn='md5'`` → oracle-reproducible h60 k-gram hashes.
     """
     from pyspark.sql import functions as FF
+
+    from ncpi_whistler_spark.operators.dedup import _base_hash
 
     norm = df.select(
         FF.col(id_col).alias("id"), normalized_text(text_col).alias("nt")
@@ -172,7 +176,7 @@ def winnowing_fingerprint_rows(
         "nt",
         FF.explode(FF.sequence(FF.lit(1), FF.col("n") - window + 1)).alias("i"),
     )
-    h = FF.xxhash64(FF.col("nt").substr(FF.col("i"), FF.lit(window)))
+    h = _base_hash(FF.col("nt").substr(FF.col("i"), FF.lit(window)), hash_fn)
     return (
         pos.select("id", h.alias("fp"))
         .where(FF.col("fp") % keep_every == 0)

@@ -854,29 +854,174 @@ def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q27_minhash_lsh", None)  # hash-function-specific: rows-only check
+def _h60_sql(expr: str) -> str:
+    """DuckDB twin of operators.dedup.h60 (bit-equality verified)."""
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+def _q27_oracle() -> str:
+    """Full MinHash+LSH pipeline in ANSI SQL: same h60 base hash, same
+    (a,b) permutation literals (dedup._perm_params, seed 42), same band
+    hashing — the signatures and candidate set are reproduced exactly."""
+    from ncpi_whistler_spark.operators.dedup import _MERSENNE, _perm_params
+
+    params = _perm_params(64, 42)
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + _h60_sql(
+            "array_to_string([" + ", ".join(f"h{4 * i + j}" for j in range(4)) + "], ',')"
+        )
+        + " AS bh FROM sig"
+        for i in range(16)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shs
+      FROM t
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    hsh AS (SELECT doc_id, {_h60_sql('shingle')} % {_MERSENNE} AS h FROM ex),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hsh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q27_minhash_lsh", _q27_oracle())
 def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (bands of a 128-hash signature).
-    Engine-specific hashing (xxhash64) ⇒ no SQL oracle; correctness is
-    asserted in tests against exact Jaccard (candidates ⊇ high-sim pairs)."""
+    """MinHash+LSH candidate pairs (16 bands × 4 rows of a 64-hash
+    signature). Runs in h60/md5 hash mode so the DuckDB oracle replays
+    the identical signature and banding pipeline (hash-for-hash); tests
+    additionally assert containment vs exact Jaccard."""
     from ncpi_whistler_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16, hash_fn="md5")
 
 
-@query("q28_simhash_neardup", None)  # hash-function-specific: rows-only
+def _q28_oracle() -> str:
+    """60-bit SimHash + pigeonhole block join in ANSI SQL (same h60
+    token hash, same ±1 voting, same 15-bit chunk keys)."""
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_h60_sql('t')} AS h FROM tok),
+    votes AS (
+      SELECT doc_id, g.b AS b,
+             SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+      GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, sh, g.i AS blk, (sh >> (g.i * 15)) & 32767 AS chunk
+      FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.blk = b.blk AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """
+
+
+@query("q28_simhash_neardup", _q28_oracle())
 def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via the pigeonhole block join."""
+    """SimHash near-dup pairs via the pigeonhole block join — h60/md5
+    hash mode (60-bit sketches), fully replayed by the DuckDB oracle."""
     from ncpi_whistler_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=8, blocks=4)
+    return simhash_pairs(docs, max_hamming=8, blocks=4, hash_fn="md5")
 
 
-@query("q29_lsh_topk", None)  # LCG hyperplanes: rows-only; recall vs q25 in tests
+def _q29_oracle() -> str:
+    """Hyperplane-LSH top-k in ANSI SQL: the engine's deterministic plane
+    vectors (similarity._hyperplanes, seed 42) are embedded as literals,
+    so bucketing, multiprobe expansion, and ranking replay exactly."""
+    from ncpi_whistler_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 42)
+
+    def bucket(vec: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(w) for w in p)
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, [{lits}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {bucket('embedding::DOUBLE[]')} AS bkt
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {bucket('embedding::DOUBLE[]')} AS qbkt
+      FROM embeddings WHERE vec_id < 16
+    ),
+    qp AS (
+      SELECT query_id, qv,
+             unnest([qbkt, xor(qbkt, 1::BIGINT), xor(qbkt, 2::BIGINT),
+                     xor(qbkt, 4::BIGINT), xor(qbkt, 8::BIGINT)]) AS bkt
+      FROM q
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM qp JOIN c USING (bkt)
+      WHERE query_id != neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("q29_lsh_topk", _q29_oracle())
 def q29_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane bucketing + multiprobe."""
+    """Approximate top-k via random-hyperplane bucketing + multiprobe;
+    plane literals are shared with the oracle SQL, so the approximate
+    result itself is oracle-checked (not just recall-tested)."""
     from ncpi_whistler_spark.operators.similarity import cosine_topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1025,10 +1170,36 @@ def q34_fhir_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q35_winnowing", None)  # xxhash64-based: rows-only
+def _q35_oracle() -> str:
+    """Winnowing (mod-p selection) in ANSI SQL: h60 k-gram hashes over
+    the same normalized text, same keep-every-16 selection."""
+    return rf"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, nt, unnest(generate_series(1, len(nt) - 15)) AS i
+      FROM n WHERE len(nt) >= 16
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, {_h60_sql('substring(nt, i, 16)')} AS fp
+      FROM pos
+    ),
+    kept AS (SELECT * FROM fp WHERE fp % 16 = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    """
+
+
+@query("q35_winnowing", _q35_oracle())
 def q35_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints: shared sparse k-gram hashes
-    between documents (plagiarism-detection shape)."""
+    between documents (plagiarism-detection shape) — h60/md5 hash mode,
+    replayed hash-for-hash by the DuckDB oracle."""
     from ncpi_whistler_spark.operators.text import winnowing_fingerprint_rows
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1039,7 +1210,7 @@ def q35_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame, columnar cache build costs more than one recompute — persist
     # pays at 3+ consumers (shingles) or for doc-count-sized frames
     # (minhash/simhash sketches)
-    fp = winnowing_fingerprint_rows(docs, window=16, keep_every=16)
+    fp = winnowing_fingerprint_rows(docs, window=16, keep_every=16, hash_fn="md5")
     a = fp.select("fp", F.col("id").alias("id_a"))
     b = fp.select("fp", F.col("id").alias("id_b"))
     return (
