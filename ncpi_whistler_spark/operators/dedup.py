@@ -372,10 +372,20 @@ def fuzzy_dedup_keep(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    transitive: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The end-to-end fuzzy-dedup pipeline: MinHash+LSH candidates →
-    exact Jaccard verify on candidates only → greedy min-id keeper rule
-    (drop any doc with a ≥threshold pair to a lower id).
+    exact Jaccard verify on candidates only → keeper rule.
+
+    Keeper rules:
+
+    - greedy (default): drop any doc with a ≥threshold pair to a lower
+      id. Simple, one pass — but on similarity CHAINS a~b~c it can drop
+      both b and c even when b was the only link to c.
+    - ``transitive=True``: connected components over the verified pair
+      graph (min-label propagation); exactly one doc — the minimum id —
+      survives per similarity cluster, chains included.
 
     This is the canonical 100 TB dedup shape (Lee et al. dedup pipelines):
     every stage is inverted-index bounded; the corpus is never compared
@@ -387,14 +397,21 @@ def fuzzy_dedup_keep(
     sh = shingle_rows(df, text_col, id_col, shingle_n)
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, shingles=sh,
+        shingle_n=shingle_n, shingles=sh, hash_fn=hash_fn,
     )
     verified = jaccard_for_pairs(df, cands, text_col, id_col, shingle_n, shingles=sh)
-    dupes = (
-        verified.where(F.col("jaccard_ppm") >= threshold_ppm)
-        .select(F.col("id_b").alias(id_col))
-        .dropDuplicates()
-    )
+    sim_pairs = verified.where(F.col("jaccard_ppm") >= threshold_ppm)
+    if transitive:
+        cc = connected_components(
+            sim_pairs.select("id_a", "id_b"),
+            src="id_a",
+            dst="id_b",
+            vertices=df.select(id_col),
+            id_col=id_col,
+        )
+        dupes = cc.where(F.col(id_col) != F.col("component")).select(id_col)
+    else:
+        dupes = sim_pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     # the dup-id set is tiny relative to the corpus — broadcast the anti
     # join so the kept-side never shuffles
     return df.join(F.broadcast(dupes), on=id_col, how="left_anti")

@@ -859,10 +859,11 @@ def _h60_sql(expr: str) -> str:
     return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
 
 
-def _q27_oracle() -> str:
-    """Full MinHash+LSH pipeline in ANSI SQL: same h60 base hash, same
-    (a,b) permutation literals (dedup._perm_params, seed 42), same band
-    hashing — the signatures and candidate set are reproduced exactly."""
+def _lsh_ctes() -> str:
+    """Shared CTE block replaying the engine's MinHash+LSH candidate
+    generation in ANSI SQL: same h60 base hash, same (a,b) permutation
+    literals (dedup._perm_params, seed 42), same band hashing. Ends with
+    ``cand`` = (id_a, id_b, n_bands)."""
     from ncpi_whistler_spark.operators.dedup import _MERSENNE, _perm_params
 
     params = _perm_params(64, 42)
@@ -878,8 +879,7 @@ def _q27_oracle() -> str:
         + " AS bh FROM sig"
         for i in range(16)
     )
-    return rf"""
-    WITH t AS (
+    return rf"""t AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                                  x -> x != '') AS toks
       FROM documents
@@ -890,7 +890,7 @@ def _q27_oracle() -> str:
                             for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shs
       FROM t
     ),
-    ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
     hsh AS (SELECT doc_id, {_h60_sql('shingle')} % {_MERSENNE} AS h FROM ex),
     sig AS (
       SELECT doc_id,
@@ -899,10 +899,20 @@ def _q27_oracle() -> str:
     ),
     bands AS (
       {band_selects}
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+def _q27_oracle() -> str:
+    """Full MinHash+LSH pipeline in ANSI SQL — signatures and candidate
+    set reproduced exactly (see _lsh_ctes)."""
+    return f"""
+    WITH {_lsh_ctes()}
+    SELECT id_a, id_b, n_bands FROM cand
     """
 
 
@@ -2858,6 +2868,66 @@ def q79_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, src="id_a", dst="id_b", vertices=docs.select("doc_id"), id_col="doc_id"
     )
     return cc.select("doc_id", "component")
+
+
+def _q80_oracle() -> str:
+    """The full transitive fuzzy-dedup pipeline in ANSI SQL: LSH candidate
+    replay (_lsh_ctes) → exact Jaccard verify on candidates → recursive-CTE
+    connected components → min-id keeper per component. No recall
+    assumption anywhere: the oracle runs the SAME candidate generation as
+    the engine, hash-for-hash."""
+    return f"""
+    WITH RECURSIVE {_lsh_ctes()},
+    cj AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.id_a
+      JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    pairs AS (
+      SELECT cj.id_a, cj.id_b
+      FROM cj
+      JOIN sizes sa ON sa.doc_id = cj.id_a
+      JOIN sizes sb ON sb.doc_id = cj.id_b
+      WHERE (1000000 * n_common) // (sa.n_sh + sb.n_sh - n_common) >= 800000
+    ),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS root FROM documents
+      UNION
+      SELECT e.v AS node, r.root FROM reach r JOIN e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY 1)
+    SELECT node AS doc_id FROM comp WHERE node = component
+    """
+
+
+@query("q80_fuzzy_dedup_transitive", _q80_oracle())
+def q80_fuzzy_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-safe fuzzy dedup: MinHash+LSH candidates → exact Jaccard
+    verify → connected components → one keeper (min id) per similarity
+    cluster. The q39 (greedy keeper) + q79 (components) composition as a
+    single operator call; h60/md5 hash mode so the oracle replays the
+    candidate generation exactly."""
+    from ncpi_whistler_spark.operators.dedup import fuzzy_dedup_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = fuzzy_dedup_keep(
+        docs,
+        threshold_ppm=800_000,
+        num_hashes=64,
+        bands=16,
+        shingle_n=3,
+        transitive=True,
+        hash_fn="md5",
+    )
+    return kept.select("doc_id")
 
 
 # -------------------------------------------------------------------------

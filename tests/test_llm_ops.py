@@ -148,6 +148,28 @@ def test_fuzzy_dedup_keep(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
 
 
+def test_fuzzy_dedup_transitive_vs_greedy(spark):
+    """Bridge topology where the two keeper rules genuinely differ:
+    doc5 = doc3's content + doc4's content, so (3,5) and (4,5) are
+    similar pairs but (3,4) are not. Greedy only drops the HIGHER id of
+    each pair → keeps {3, 4}; transitive components give {3,4,5} one
+    cluster with keeper min=3 → keeps {3}."""
+    from ncpi_whistler_spark.operators.dedup import fuzzy_dedup_keep
+
+    a_part = " ".join(f"a{i}" for i in range(40))
+    b_part = " ".join(f"b{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(3, a_part), (4, b_part), (5, a_part + " " + b_part)],
+        "doc_id long, text string",
+    )
+    # J(3,5)=J(4,5)≈0.48, J(3,4)=0; bands=32 (r=2) for recall at 0.48
+    common = dict(threshold_ppm=450_000, num_hashes=64, bands=32)
+    greedy = fuzzy_dedup_keep(df, **common)
+    transitive = fuzzy_dedup_keep(df, transitive=True, **common)
+    assert sorted(r["doc_id"] for r in greedy.collect()) == [3, 4]
+    assert sorted(r["doc_id"] for r in transitive.collect()) == [3]
+
+
 def test_shingles_shape(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     out = df.select(shingles("text", 2).alias("s")).collect()[0]["s"]
