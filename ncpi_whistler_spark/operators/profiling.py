@@ -71,15 +71,20 @@ def value_counts(
     (wstlr/dd/dd_from_fhir.py:75,88): if the column exceeds the cutoff the
     result is empty (the reference drops the histogram, keeping min/max).
 
-    Uses a cheap count_distinct pre-check rather than collecting values.
-    """
-    n_distinct = df.agg(F.count_distinct(F.col(column))).collect()[0][0]
+    Fully lazy AND distributed: the distinct count is a scalar aggregate
+    over the grouped result, broadcast back via cross join — no eager
+    collect at plan-build, no single-partition window, and ReuseExchange
+    dedups the shared groupBy shuffle (count_distinct(column) ==
+    count of non-null groups, so no second scan of ``df``)."""
     counts = df.groupBy(F.col(column).alias("value")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    if n_distinct > max_distinct:
-        return counts.limit(0)
-    return counts
+    nd = counts.agg(F.count("value").alias("__nd"))
+    return (
+        counts.crossJoin(F.broadcast(nd))
+        .where(F.col("__nd") <= max_distinct)
+        .drop("__nd")
+    )
 
 
 def duplicate_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
