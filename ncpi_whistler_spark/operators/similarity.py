@@ -301,6 +301,28 @@ def _centroid_score_structs(vec: Column, centroids: list[list[float]]) -> list[C
     return out
 
 
+def ivf_assign_fold(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id via pure Column expressions (sequential-fold
+    dot products, ties → lowest cid like np.argmax) — bit-identical to a
+    SQL replay with ``list_dot_product``, which is what makes the IVF
+    query oracle-checkable. Slower than the BLAS path (interpreted HOF
+    folds), so use it when exact SQL reproducibility matters; ivf_assign
+    is the production assignment."""
+    import math
+
+    structs = []
+    for cid, cvec in enumerate(centroids):
+        norm = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        structs.append(
+            F.struct(
+                (dot_product(vec, arr) / F.lit(norm)).alias("score"),
+                F.lit(-cid).alias("negcid"),
+            ).cast("struct<score:double,negcid:int>")
+        )
+    return (-F.array_max(F.array(*structs))["negcid"]).cast("int")
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id (max cosine; ties → lowest cid). Arrow-batched
     numpy matmul (vectors × centroidᵀ in one BLAS call per batch) — the
@@ -326,6 +348,7 @@ def ivf_train(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_mode: str = "blas",
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means coarse quantizer.
 
@@ -343,9 +366,10 @@ def ivf_train(
         # columnar mean: dim plain decimal sums in whole-stage codegen
         # (an exploded plan would re-evaluate the assignment expression
         # per element — the interpreted-HOF quadratic trap)
+        assign = ivf_assign_fold if assign_mode == "fold" else ivf_assign
         stats = (
             corpus.select(
-                ivf_assign(F.col(vec_col), cents).alias("cid"),
+                assign(F.col(vec_col), cents).alias("cid"),
                 *[
                     F.col(vec_col)[p].cast("decimal(28,12)").alias(f"d{p}")
                     for p in range(dim)
@@ -376,6 +400,7 @@ def ivf_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    assign_mode: str = "blas",
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors — the third ANN tier next to
     brute force (cosine_topk) and hyperplane LSH (cosine_topk_lsh).
@@ -389,12 +414,13 @@ def ivf_topk(
 
     Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
     cosine_topk."""
-    cents = ivf_train(corpus, nlist, iters, corpus_vec, corpus_id)
+    cents = ivf_train(corpus, nlist, iters, corpus_vec, corpus_id, assign_mode)
+    assign = ivf_assign_fold if assign_mode == "fold" else ivf_assign
     indexed = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
         F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
-        ivf_assign(F.col(corpus_vec), cents).alias("cid"),
+        assign(F.col(corpus_vec), cents).alias("cid"),
     )
     scored_lists = F.array(*_centroid_score_structs(F.col(query_vec), cents))
     probes = F.slice(F.reverse(F.array_sort(scored_lists)), 1, nprobe)

@@ -2011,15 +2011,102 @@ def q57_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
 
 
-@query("q58_ivf_topk", None)  # k-means quantizer: engine-specific, rows-only
+def _q58_oracle() -> str:
+    """The ENTIRE IVF pipeline replayed in ANSI SQL — deterministic
+    k-means init (8 lowest-id vectors), one unrolled Lloyd iteration with
+    DECIMAL(28,12)-stable means, fold-exact assignment (ties → lowest
+    cid, matching np.argmax), probe ranking (ties → highest cid, matching
+    the engine's reverse(array_sort)), candidate join, exact cosine
+    top-k. Works because the engine runs assign_mode='fold' (sequential
+    dot-product folds == list_dot_product bit-for-bit)."""
+    score = (
+        "list_dot_product(e.v, {c}.c) / (CASE WHEN sqrt(list_dot_product({c}.c, {c}.c)) = 0 "
+        "THEN 1.0 ELSE sqrt(list_dot_product({c}.c, {c}.c)) END)"
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    s1 AS (
+      SELECT e.vec_id, c0.cid, {score.format(c='c0')} AS score
+      FROM emb e CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM s1) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT a1.cid, g.d,
+             CAST(SUM(CAST(e.v[g.d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM a1 JOIN emb e USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
+      GROUP BY a1.cid, g.d
+    ),
+    newc AS (SELECT cid, list(m ORDER BY d) AS c FROM dims GROUP BY cid),
+    c1 AS (
+      SELECT c0.cid, COALESCE(newc.c, c0.c) AS c
+      FROM c0 LEFT JOIN newc ON newc.cid = c0.cid
+    ),
+    s2 AS (
+      SELECT e.vec_id, c1.cid, {score.format(c='c1')} AS score
+      FROM emb e CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM s2) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT e.vec_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {score.format(c='c1')} DESC, c1.cid DESC) AS rn
+        FROM emb e CROSS JOIN c1 WHERE e.vec_id < 16) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a2.vec_id AS neighbor_id,
+             list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS sim
+      FROM probes p
+      JOIN a2 ON a2.cid = p.cid
+      JOIN emb q ON q.vec_id = p.query_id
+      JOIN emb n ON n.vec_id = a2.vec_id
+      WHERE p.query_id != a2.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("q58_ivf_topk", _q58_oracle())
 def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer, nprobe-list
-    search. Tests assert nprobe==nlist reproduces brute force exactly and
-    partial-probe recall; at scale the list id is the partition key."""
+    search — fold assignment mode so the oracle replays training,
+    indexing, probing, and ranking exactly (tests additionally assert
+    nprobe==nlist ≡ brute force and partial-probe recall)."""
     from ncpi_whistler_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.where(F.col("vec_id") < 16), emb, k=5, nlist=8, nprobe=4, iters=1)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 16),
+        emb,
+        k=5,
+        nlist=8,
+        nprobe=4,
+        iters=1,
+        assign_mode="fold",
+    )
 
 
 @query(
