@@ -128,10 +128,17 @@ def observations_with_components(
         for v in dd.variables
         if v.varname in df.columns
     ]
+    # conditional ncpi-fhir-ig profile on source-data Observations
+    # (observation_w_components.wstl:74-76, gated by --no-profiles)
+    meta_fields = [F.array(study_meta(study.study_id)).alias("tag")]
+    if getattr(study, "profiles", True):
+        meta_fields.append(
+            F.array(F.lit(f"{_IG_PROFILE_BASE}/raw-data-observation")).alias("profile")
+        )
     return df.select(
         F.lit("source_data").alias("module"),
         F.lit("Observation").alias("resourceType"),
-        F.struct(F.array(study_meta(study.study_id)).alias("tag")).alias("meta"),
+        F.struct(*meta_fields).alias("meta"),
         F.array(key_identifier(ident_value, study.identifier_prefix, "Observation")).alias(
             "identifier"
         ),

@@ -281,3 +281,22 @@ def test_profiles_flag(spark):
     od2 = dd_observation_definitions(spark, {"visits": DD}, off).collect()[0]
     assert od2["meta"]["profile"] is None
     assert od2["meta"]["tag"][0]["code"] == "S"
+
+
+def test_profiles_flag_source_data_observation(spark):
+    """Source-data Observations carry raw-data-observation when profiles
+    is on (observation_w_components.wstl:74-76) and no profile field at
+    all under --no-profiles."""
+    from dataclasses import replace
+
+    from ncpi_whistler_spark.plans.resources import observations_with_components
+
+    df = spark.createDataFrame([("p1", "a")], "subject_id string, status string")
+    obs = observations_with_components(df, DD, STUDY, "visits", "subject_id")
+    row = obs.collect()[0]
+    assert row["meta"]["profile"] == [
+        "https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/raw-data-observation"
+    ]
+    off = replace(STUDY, profiles=False)
+    obs2 = observations_with_components(df, DD, off, "visits", "subject_id")
+    assert "profile" not in obs2.schema["meta"].dataType.fieldNames()
