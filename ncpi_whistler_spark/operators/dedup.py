@@ -323,6 +323,59 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_containment_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination: eval documents whose n-gram sets are
+    ≥threshold CONTAINED in some training document — the asymmetric
+    overlap measure decontamination needs (|train∩eval| / |eval|: a short
+    eval doc quoted inside a long train doc scores ~1.0 where Jaccard
+    would dilute it to ~0).
+
+    Same inverted-index shape as ngram_jaccard_pairs: explode both
+    corpora's shingles, join on shingle, count per pair — cost ∝ shared
+    shingle co-occurrences, never |train|×|eval|. ``max_df`` (applied to
+    the TRAIN index, where the volume is) drops boilerplate shingles.
+    At 100 TB the train index is the big side: both explodes shuffle on
+    the shingle key once; per-pair counts reuse that partitioning.
+
+    Output: (eval_id, train_id, n_common, containment_ppm) with exact
+    integer ppm (engine-reproducible across engines).
+    """
+    sht = shingle_rows(train, text_col, id_col, n).select(
+        F.col("id").alias("train_id"), "shingle"
+    )
+    if max_df is not None:
+        hot = (
+            sht.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sht = sht.join(F.broadcast(hot), on="shingle", how="left_anti")
+    she = shingle_rows(eval_df, text_col, id_col, n).select(
+        F.col("id").alias("eval_id"), F.col("n_sh").alias("n_eval"), "shingle"
+    )
+    common = (
+        she.join(sht, on="shingle")
+        .groupBy("eval_id", "train_id", "n_eval")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ppm = F.expr("(1000000 * n_common) div n_eval")
+    return (
+        common.select(
+            "eval_id", "train_id", "n_common", ppm.alias("containment_ppm")
+        )
+        .where(F.col("containment_ppm") >= threshold_ppm)
+    )
+
+
 def jaccard_for_pairs(
     df: DataFrame,
     pairs: DataFrame,

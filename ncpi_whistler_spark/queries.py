@@ -3017,6 +3017,49 @@ def q80_fuzzy_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+@query(
+    "q81_decontamination",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shs
+      FROM t
+    ),
+    tr AS (SELECT doc_id AS train_id, unnest(shs) AS shingle FROM sh WHERE source != 'src0'),
+    ev AS (SELECT doc_id AS eval_id, len(shs) AS n_eval, unnest(shs) AS shingle
+           FROM sh WHERE source = 'src0'),
+    common AS (
+      SELECT eval_id, train_id, n_eval, COUNT(*) AS n_common
+      FROM ev JOIN tr USING (shingle) GROUP BY 1, 2, 3
+    )
+    SELECT eval_id, train_id, CAST(n_common AS BIGINT) AS n_common,
+           (1000000 * n_common) // n_eval AS containment_ppm
+    FROM common
+    WHERE (1000000 * n_common) // n_eval >= 800000
+    """,
+)
+def q81_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: eval docs (source src0) whose 3-gram
+    sets are ≥80% contained in some training doc (all other sources) —
+    the asymmetric containment measure decontamination pipelines use
+    (a quoted eval doc inside a longer train doc scores ~1.0 where
+    Jaccard dilutes it)."""
+    from ncpi_whistler_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        threshold_ppm=800_000,
+    )
+
+
 # -------------------------------------------------------------------------
 # Registry ordering: round-1 evidence (CORRECTNESS_r01.json) shows the
 # driver verifies the FIRST 50 queries() entries only. Order the registry so

@@ -170,6 +170,49 @@ def test_fuzzy_dedup_transitive_vs_greedy(spark):
     assert sorted(r["doc_id"] for r in transitive.collect()) == [3]
 
 
+def test_ngram_containment_asymmetry(spark):
+    """A short eval doc quoted verbatim inside a long train doc:
+    containment ≈ 1.0 (flagged) even though Jaccard is far below any
+    dedup threshold — the decontamination-specific measure."""
+    from ncpi_whistler_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"t{i}" for i in range(100))
+    train = spark.createDataFrame(
+        [(100, filler + " " + quote)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame([(1, quote)], "doc_id long, text string")
+    out = ngram_containment_pairs(train, eval_df, threshold_ppm=900_000).collect()
+    assert [(r["eval_id"], r["train_id"]) for r in out] == [(1, 100)]
+    assert out[0]["containment_ppm"] == 1_000_000
+    # same pair under symmetric Jaccard: nowhere near a dedup threshold
+    both = train.union(eval_df)
+    jac = ngram_jaccard_pairs(both, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_ngram_containment_max_df_guard(spark):
+    """max_df drops boilerplate shingles from the train index before the
+    join; a doc matching ONLY via boilerplate is not flagged."""
+    from ncpi_whistler_spark.operators.dedup import ngram_containment_pairs
+
+    boiler = "standard legal disclaimer text here"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} content{i} words{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(1, boiler)], "doc_id long, text string")
+    flagged = ngram_containment_pairs(train, eval_df, threshold_ppm=500_000)
+    guarded = ngram_containment_pairs(
+        train, eval_df, threshold_ppm=500_000, max_df=5
+    )
+    assert flagged.count() == 10
+    assert guarded.count() == 0
+
+
 def test_shingles_shape(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     out = df.select(shingles("text", 2).alias("s")).collect()[0]["s"]
