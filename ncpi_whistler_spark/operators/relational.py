@@ -148,3 +148,60 @@ def salted_group_count(
     salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__n"))
     return partial.groupBy(*keys).agg(F.sum("__n").alias("n"))
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    id_cols: list[str],
+    partition_cols: list[str],
+    ts_micros: Column,
+    window_micros: int,
+    value_cols: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Trailing time-RANGE aggregation via overlap-padded time bucketing —
+    the 100 TB rewrite of ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``
+    window frames (SCALING.md known-limits item, now implemented).
+
+    A window function partitions by ``partition_cols`` alone, so one
+    low-cardinality key = one executor-sized sort forever. Here each row
+    gets a time bucket ``⌊t/w⌋``; probe rows are duplicated into their own
+    bucket AND the next (a row can only contribute to targets in those
+    two), the join runs on (partition, bucket) — time-sliced parallelism
+    regardless of key cardinality — and the frame membership filter
+    ``t - w ≤ t' ≤ t`` (inclusive both ends, matching SQL RANGE) selects
+    the exact window before aggregation. Cost: Σ window sizes, the same
+    work the window operator does, minus the serial per-key sort.
+
+    ``aggs`` reference probe-side values as ``F.col("w_<name>")``; each
+    target row always matches itself, so no empty groups.
+
+    Output: id_cols + partition_cols + one column per aggs key.
+    Test-proven equal to the window-function form (test_operators).
+    """
+    te = ts_micros.alias("__te")
+    bucket = (F.col("__te") - (F.col("__te") % F.lit(window_micros))).alias("__bkt")
+    left = df.select(*id_cols, *partition_cols, te).select("*", bucket)
+    probe = (
+        df.select(*partition_cols, te, *[F.col(c).alias(f"w_{c}") for c in value_cols])
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    (F.col("__te") - (F.col("__te") % F.lit(window_micros))),
+                    (F.col("__te") - (F.col("__te") % F.lit(window_micros)))
+                    + F.lit(window_micros),
+                )
+            ).alias("__bkt"),
+        )
+        .withColumnRenamed("__te", "__wte")
+    )
+    joined = left.join(probe, on=[*partition_cols, "__bkt"]).where(
+        (F.col("__wte") >= F.col("__te") - F.lit(window_micros))
+        & (F.col("__wte") <= F.col("__te"))
+    )
+    return (
+        joined.groupBy(*id_cols, *partition_cols, "__te")
+        .agg(*[a.alias(name) for name, a in aggs.items()])
+        .drop("__te")
+    )

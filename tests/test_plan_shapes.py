@@ -91,6 +91,41 @@ def test_q52_fully_lazy(spark):
     assert len(after) - len(before) <= 2, "q52 plan-build collected data"
 
 
+def test_trailing_range_agg_equals_window_form(spark):
+    """The overlap-padded time-bucketing rewrite of the trailing-hour
+    RANGE frame returns exactly the window function's rows (q55 shape),
+    while shuffling on (event_type, hour-bucket) instead of event_type
+    alone — the 100 TB form."""
+    from pyspark.sql import functions as F
+
+    from ncpi_whistler_spark.operators.relational import trailing_range_agg
+    from ncpi_whistler_spark.queries import REGISTRY, load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    rewritten = trailing_range_agg(
+        ev,
+        id_cols=["event_id"],
+        partition_cols=["event_type"],
+        ts_micros=F.unix_micros(F.col("ts").cast("timestamp")),
+        window_micros=3_600_000_000,
+        value_cols=["value"],
+        aggs={
+            "n_trailing": F.count(F.lit(1)),
+            "sum_trailing": F.sum(F.col("w_value").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+        },
+    )
+    window_form = REGISTRY["q55_trailing_hour_window"][0](spark, SF_DIR)
+    cols = ["event_id", "event_type", "n_trailing", "sum_trailing"]
+    a = sorted(map(tuple, rewritten.select(*cols).collect()))
+    b = sorted(map(tuple, window_form.select(*cols).collect()))
+    assert a == b
+    # and the rewrite's shuffle key includes the time bucket
+    plan = rewritten._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan
+
+
 def test_q24_hot_shingle_guard_is_broadcast_anti(spark):
     """The max_df skew guard joins hot shingles as a broadcast anti join
     — the index side must NOT shuffle for the guard."""
