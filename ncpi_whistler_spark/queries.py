@@ -3096,11 +3096,11 @@ _PRIORITY_WINDOW = [
     "q30_multimodal_decode",      # multimodal mapInPandas
     "q31_events_asof",            # as-of join
     "q32_value_counts",           # A4 value counts
-    "q33_json_props",             # JSON document extraction
     "q34_fhir_observations",      # P6/P8 row->FHIR fan-out
     "q35_winnowing",              # winnowing fingerprints
-    "q36_price_percentiles",      # exact percentiles
     "q38_range_join_events",      # range join
+    "q80_fuzzy_dedup_transitive",  # LSH -> verify -> CC -> keeper
+    "q81_decontamination",        # train/eval n-gram containment
     "q39_fuzzy_dedup_pipeline",   # LSH -> verify -> keeper
     "q40_embedding_neardup_bucketed",  # bucketed embedding dedup
     "q45_bpe_token_counts",       # tokenization
