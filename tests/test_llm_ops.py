@@ -213,6 +213,32 @@ def test_ngram_containment_max_df_guard(spark):
     assert guarded.count() == 0
 
 
+def test_scrub_pii_and_counts(spark):
+    """Emails/phones/IPs are redacted with type tags; pii_counts agrees
+    with the number of redactions; clean text is untouched."""
+    from ncpi_whistler_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+x@foo.bar.com or c@d.io, call (555) 987-6543"),
+            (2, "server at 10.0.0.1 and 192.168.1.10"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    scrubbed = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()
+    }
+    assert scrubbed[1] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert scrubbed[2] == "server at <IP> and <IP>"
+    assert scrubbed[3] == "nothing sensitive here"
+    counts = {r["doc_id"]: r.asDict() for r in pii_counts(df).collect()}
+    assert (counts[1]["n_email"], counts[1]["n_phone"], counts[1]["n_ip"]) == (2, 1, 0)
+    assert counts[2]["n_ip"] == 2
+    assert (counts[3]["n_email"], counts[3]["n_phone"], counts[3]["n_ip"]) == (0, 0, 0)
+
+
 def test_shingles_shape(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     out = df.select(shingles("text", 2).alias("s")).collect()[0]["s"]
