@@ -3094,6 +3094,132 @@ def q82_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q83_curation_funnel",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+        CASE
+          WHEN len(regexp_extract_all(text, '\S+')) < 16 THEN 'short'
+          WHEN length(text) > 0
+               AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                   / length(text) > 0.3 THEN 'punct'
+          WHEN len(regexp_extract_all(text, '\S+')) > 0
+               AND CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+')) < 0.01 THEN 'no_stopwords'
+          ELSE 'ok' END AS quality
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(ngrams) = 0 THEN 0
+                  ELSE ((len(ngrams) - len(list_distinct(ngrams))) * 1000000) // len(ngrams)
+             END AS dup_ppm
+      FROM (SELECT doc_id,
+                   [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in generate_series(1, len(toks) - 2)] AS ngrams
+            FROM toks)
+    ),
+    staged AS (
+      SELECT b.doc_id, b.source,
+             (b.quality = 'ok') AS q_ok,
+             (b.quality = 'ok' AND r.dup_ppm <= 100000) AS r_ok,
+             md5(trim(regexp_replace(regexp_replace(lower(b.text), '[^a-z0-9\s]', '', 'g'),
+                                     '\s+', ' ', 'g'))) AS fp
+      FROM base b JOIN rep r USING (doc_id)
+    ),
+    keepers AS (
+      SELECT doc_id, source, q_ok, r_ok,
+             (r_ok AND doc_id = MIN(CASE WHEN r_ok THEN doc_id END)
+                         OVER (PARTITION BY fp)) AS kept
+      FROM staged
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+           CAST(SUM(CASE WHEN r_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_not_repetitive,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keepers GROUP BY source
+    """,
+)
+def q83_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation funnel in ONE lazy plan: quality
+    gate (map-side) → Gopher repetition filter (one doc-id shuffle) →
+    exact dedup with min-id keeper applied to the surviving docs (one
+    fingerprint shuffle) → per-source stage counts. The composition shows
+    the stages sharing scans: Catalyst plans quality + fingerprint in the
+    same projection pass over the corpus."""
+    from pyspark.sql.window import Window
+
+    from ncpi_whistler_spark.operators.text import fingerprint, quality_bucket, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        ex.select(
+            "doc_id",
+            F.col("tok").alias("t0"),
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2").alias("ngram"))
+    )
+    per = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.size(F.collect_set("ngram")).alias("n_distinct"),
+    )
+    staged = (
+        docs.select(
+            "doc_id",
+            "source",
+            (quality_bucket("text") == "ok").alias("q_ok"),
+            fingerprint("text").alias("fp"),
+        )
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "q_ok",
+            (
+                F.col("q_ok")
+                & (
+                    F.coalesce(
+                        F.expr("((n_ngrams - n_distinct) * 1000000) div n_ngrams"),
+                        F.lit(0),
+                    )
+                    <= 100000
+                )
+            ).alias("r_ok"),
+            "fp",
+        )
+    )
+    wfp = Window.partitionBy("fp")
+    keepers = staged.select(
+        "source",
+        "q_ok",
+        "r_ok",
+        (
+            F.col("r_ok")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("r_ok"), F.col("doc_id"))).over(wfp)
+            )
+        ).alias("kept"),
+    )
+    return keepers.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("q_ok").cast("int")).cast("long").alias("n_quality_ok"),
+        F.sum(F.col("r_ok").cast("int")).cast("long").alias("n_not_repetitive"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+    )
+
+
 # -------------------------------------------------------------------------
 # Registry ordering: round-1 evidence (CORRECTNESS_r01.json) shows the
 # driver verifies the FIRST 50 queries() entries only. Order the registry so
