@@ -729,3 +729,60 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_len: int = 0,
+) -> DataFrame:
+    """C4-style line-level corpus dedup: any line occurring in more than
+    one place in the corpus keeps only its FIRST occurrence (ordered by
+    (doc id, position)); documents are reconstructed from their surviving
+    lines in order. Lines shorter than ``min_len`` are never treated as
+    duplicates (short boilerplate like empty lines survives everywhere).
+
+    Plan: posexplode lines → one shuffle on the line key (64-bit xxhash —
+    at 100 TB the shuffle carries (hash, id, pos), never the line bodies
+    twice) → min-(id,pos) window pick → reconstruct via collect_list over
+    the id partition. Two shuffles total, both key-bounded.
+
+    Output: (id_col, text) with the cleaned text (documents whose every
+    line was deduplicated away come back as '').
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line")
+    first_key = F.min(F.struct(F.col("id"), F.col("pos"))).over(w)
+    kept = lines.withColumn(
+        "__keep",
+        (F.length("line") < min_len)
+        | ((first_key["id"] == F.col("id")) & (first_key["pos"] == F.col("pos"))),
+    ).where(F.col("__keep"))
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+        .withColumnRenamed("id", id_col)
+    )
+    # documents that lost every line still come back (empty text)
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

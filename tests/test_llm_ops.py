@@ -213,6 +213,34 @@ def test_ngram_containment_max_df_guard(spark):
     assert guarded.count() == 0
 
 
+def test_line_dedup_c4_style(spark):
+    """A line duplicated across docs survives only at its first
+    (doc, pos) occurrence; in-doc order is preserved; min_len exempts
+    short boilerplate; fully-deduplicated docs come back empty."""
+    from ncpi_whistler_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique first line\nshared disclaimer line\nclosing one"),
+            (2, "shared disclaimer line\nanother unique line"),
+            (3, "shared disclaimer line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df).collect()}
+    assert out[1] == "unique first line\nshared disclaimer line\nclosing one"
+    assert out[2] == "another unique line"
+    assert out[3] == ""
+    # min_len: short lines are never deduplicated
+    df2 = spark.createDataFrame(
+        [(1, "ok\nlong unique content line"), (2, "ok\nother long content")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text"] for r in line_dedup(df2, min_len=5).collect()}
+    assert out2[1] == "ok\nlong unique content line"
+    assert out2[2] == "ok\nother long content"
+
+
 def test_scrub_pii_and_counts(spark):
     """Emails/phones/IPs are redacted with type tags; pii_counts agrees
     with the number of redactions; clean text is untouched."""
