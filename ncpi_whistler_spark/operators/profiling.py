@@ -95,3 +95,81 @@ def duplicate_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
     )
+
+
+def hll60_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Explicit HyperLogLog distinct-count sketch on the cross-engine h60
+    hash — every intermediate is integer-exact, so the whole estimate is
+    reproducible in ANSI SQL (unlike engine-native HLL sketches, whose
+    binary register layout is implementation-specific).
+
+    Construction (m = 2^p buckets): bucket = h % m; w = h div m (60-p
+    bits); rho = (60-p) - bit_length(w) + 1 (leading zeros + 1, via the
+    integer-exact ``length(conv(w, 10, 2))`` — no floating log2);
+    register R_j = max rho per bucket. The harmonic denominator is kept
+    as the EXACT integer T = Σ_j 2^((60-p+1) - R_j) (scaled by
+    2^(60-p+1); absent buckets contribute the full 2^(60-p+1)), so the
+    only floating-point step is the final single division — bit-identical
+    on any engine given the same constant. Raw estimate, no small-range
+    correction (ln is libm-dependent); the sketch itself is mergeable
+    (max per bucket), which is what matters at 100 TB: the shuffle
+    carries ≤ m register rows per group, never the distinct-key set.
+
+    Output: group_cols + (harmonic_denom bigint, hll_estimate double).
+    """
+    from ncpi_whistler_spark.operators.dedup import h60
+
+    m = 1 << p
+    wbits = 60 - p
+    maxrho = wbits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numer = float(alpha * m * m * (1 << maxrho))
+
+    # explicit string cast: md5-of-decimal-text on both engines (Spark's
+    # implicit long->binary cast would hash 8 raw bytes instead)
+    h = h60(F.col(value_col).cast("string"))
+    rows = df.select(
+        *group_cols,
+        (h % F.lit(m)).alias("__bkt"),
+        # integer shift, NOT division (h > 2^53 would lose bits in double)
+        F.shiftright(h, p).alias("__w"),
+    ).select(
+        *group_cols,
+        "__bkt",
+        F.when(F.col("__w") == 0, F.lit(maxrho))
+        .otherwise(F.lit(maxrho) - F.length(F.conv(F.col("__w"), 10, 2)))
+        .alias("__rho"),
+    )
+    regs = rows.groupBy(*group_cols, "__bkt").agg(F.max("__rho").alias("__r"))
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {maxrho} - __r)")).alias("__t_present"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    t = (
+        F.col("__t_present")
+        + (F.lit(m) - F.col("__n_present")) * F.lit(1 << maxrho).cast("long")
+    ).cast("long")
+    raw = F.lit(numer) / t.cast("double")
+    # Small-range correction (n ≲ 2.5m): linear counting m·ln(m/V) over
+    # V = empty buckets. ln comes from a PYTHON-computed literal table
+    # indexed by V (V ∈ [1, m]) — zero libm-at-runtime, so the corrected
+    # estimate is the same double on any engine (the oracle embeds the
+    # identical literals).
+    import math
+
+    lc = F.array(*[F.lit(m * math.log(m / v)) for v in range(1, m + 1)])
+    v_empty = (F.lit(m) - F.col("__n_present")).cast("int")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.element_at(lc, v_empty),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        t.alias("harmonic_denom"),
+        est.alias("hll_estimate"),
+    )

@@ -203,3 +203,29 @@ def test_approx_distinct_error_bound(spark):
     assert approx.keys() == exact.keys()
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
+
+
+def test_hll60_distinct_error_bound(spark):
+    """The explicit h60-HLL (p=10, small-range linear counting) lands
+    within 5% of exact per group — same bound as the native sketch — and
+    its register construction is mergeable (max per bucket)."""
+    import pyspark.sql.functions as F
+
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.operators.profiling import hll60_distinct
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    est = {
+        r["o_orderpriority"]: r["hll_estimate"]
+        for r in hll60_distinct(o, ["o_orderpriority"], "o_custkey").collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["e"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("e"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
