@@ -3399,10 +3399,13 @@ _PRIORITY_WINDOW = [
     "q72_funnel_conversion",      # funnel analysis
     "q79_dedup_components",       # connected-components dedup
 ]
-assert len(_PRIORITY_WINDOW) == 50 and len(set(_PRIORITY_WINDOW)) == 50
+# Resilient at import (a stale window name must NOT break the driver
+# contract); tests/test_parity.py asserts the window is exactly 50 known
+# names with oracles.
+_window_present = [n for n in _PRIORITY_WINDOW if n in REGISTRY]
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _PRIORITY_WINDOW},
-    **{n: v for n, v in REGISTRY.items() if n not in _PRIORITY_WINDOW},
+    **{n: REGISTRY[n] for n in _window_present},
+    **{n: v for n, v in REGISTRY.items() if n not in _window_present},
 }
 
 

@@ -33,3 +33,19 @@ def test_entry_contract(spark):
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(REGISTRY)
+
+
+def test_priority_window_integrity():
+    """The first 50 registry entries (the driver-verified window) are
+    exactly the declared priority list — 50 unique, all present, every
+    one oracle-checked."""
+    from ncpi_whistler_spark.queries import _PRIORITY_WINDOW, REGISTRY
+
+    assert len(_PRIORITY_WINDOW) == 50
+    assert len(set(_PRIORITY_WINDOW)) == 50
+    missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
+    assert missing == [], f"stale window names: {missing}"
+    first50 = list(REGISTRY)[:50]
+    assert first50 == _PRIORITY_WINDOW
+    no_oracle = [n for n in first50 if REGISTRY[n][1] is None]
+    assert no_oracle == [], f"rows-only queries in the window: {no_oracle}"
