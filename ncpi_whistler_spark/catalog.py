@@ -56,17 +56,30 @@ def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+#: (applicationId, sf_dir, table) → DataFrame. DataFrames are immutable
+#: logical plans, so sharing one per table is safe; keying by
+#: applicationId means a new session never sees a stale plan. Avoids the
+#: per-query file-listing + schema-inference job (85 registry queries ×
+#: ~1.5 tables would otherwise re-run it every time).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table.
+    """Load one fixture table (memoized per session).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a nanos
     long (legacy conf) and we floor-divide to micros — identical to how
     micro-resolution engines (DuckDB included) truncate nanos.
     """
     _ensure_runtime_conf(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
