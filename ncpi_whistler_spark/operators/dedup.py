@@ -455,11 +455,15 @@ def fuzzy_dedup_keep(
     verified = jaccard_for_pairs(df, cands, text_col, id_col, shingle_n, shingles=sh)
     sim_pairs = verified.where(F.col("jaccard_ppm") >= threshold_ppm)
     if transitive:
+        # CC over edge-incident nodes ONLY: an isolated doc is trivially
+        # its own (kept) component and can never be a dupe, so label
+        # propagation runs on the candidate-pair graph (similar-doc
+        # scale), not the corpus — identical keep set, ~corpus/|edges|×
+        # less per-iteration work.
         cc = connected_components(
             sim_pairs.select("id_a", "id_b"),
             src="id_a",
             dst="id_b",
-            vertices=df.select(id_col),
             id_col=id_col,
         )
         dupes = cc.where(F.col(id_col) != F.col("component")).select(id_col)
