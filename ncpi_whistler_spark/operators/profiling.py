@@ -131,7 +131,9 @@ def hll60_distinct(
     numer = float(alpha * m * m * (1 << maxrho))
 
     # explicit string cast: md5-of-decimal-text on both engines (Spark's
-    # implicit long->binary cast would hash 8 raw bytes instead)
+    # implicit long->binary cast would hash 8 raw bytes instead); NULLs
+    # are ignored like COUNT(DISTINCT)
+    df = df.where(F.col(value_col).isNotNull())
     h = h60(F.col(value_col).cast("string"))
     rows = df.select(
         *group_cols,

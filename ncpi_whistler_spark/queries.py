@@ -3241,7 +3241,7 @@ def _q84_oracle() -> str:
     WITH h AS (
       SELECT o_orderpriority,
              ('0x' || substring(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
-      FROM orders
+      FROM orders WHERE o_custkey IS NOT NULL
     ),
     rows_ AS (
       SELECT o_orderpriority, h % {m} AS bkt, h >> 10 AS w FROM h
