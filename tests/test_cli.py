@@ -219,3 +219,49 @@ def test_cli_sql(spark, tmp_path, capsys):
     assert rc == 0
     back = spark.read.parquet(out)
     assert back.count() >= 2 and set(back.columns) == {"o_orderstatus", "n"}
+
+
+def test_cli_load_via_named_host(spark, study_dir, tmp_path, monkeypatch):  # noqa: F811
+    """load --host resolves the URL from the fhir_hosts file and speaks
+    real HTTP to it — the reference's `play --host dev` contract
+    end-to-end."""
+    import http.server
+    import threading
+
+    out = str(tmp_path / "resources")
+    assert cli.main(["resources", str(study_dir / "study.yaml"), "--out", out]) == 0
+
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _handle(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            hits.append(self.path)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/fhir+json")
+            self.end_headers()
+            self.wfile.write(b'{"id": "srv-1"}')
+
+        do_POST = _handle
+        do_PUT = _handle
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        hosts = tmp_path / "fhir_hosts"
+        hosts.write_text(
+            "dev:\n"
+            "  host_desc: Local test server\n"
+            f"  target_service_url: http://127.0.0.1:{srv.server_port}/fhir\n"
+            "  auth_type: no_auth\n"
+        )
+        assert (
+            cli.main(["load", out, "--host", "dev", "--hosts-file", str(hosts)])
+            == 0
+        )
+    finally:
+        srv.shutdown()
+    assert hits and all(p.startswith("/fhir/") for p in hits)
