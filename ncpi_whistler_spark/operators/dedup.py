@@ -790,3 +790,110 @@ def line_dedup(
         .join(rebuilt, on=id_col, how="left")
         .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds on ANY topology, vs rounds ∝ diameter for
+    min-label propagation (connected_components). Use this variant when
+    the similarity graph can contain long chains; both return the same
+    (id_col, component = min reachable id) contract (equality is
+    property-tested on random graphs).
+
+    Each rewrite is one groupBy over the edge list:
+
+    - large-star: per node u, attach every LARGER neighbor to
+      m = min(Γ(u) ∪ {u});
+    - small-star: per node u (edges held as max→min), attach every
+      not-larger neighbor and u itself to m = min(Γ(u) ∪ {u}).
+
+    Edges only ever move toward smaller ids, and the edge multiset is
+    monotonically non-increasing in (sum of endpoints), so convergence is
+    detected with the same cheap scalar-aggregate trick as min-label CC.
+    Per round: two shuffles (groupBy u, dedup), localCheckpoint lineage
+    cut. At 100 TB each round's shuffle carries |E| rows — the O(log n)
+    round count is what makes adversarial diameters tractable.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .persist()
+    )
+    all_nodes = e.select(F.col("a").alias(id_col)).union(
+        e.select(F.col("b").alias(id_col))
+    )
+    if vertices is not None:
+        all_nodes = all_nodes.union(
+            vertices.select(F.col(vertices.columns[0]).cast("long").alias(id_col))
+        )
+    all_nodes = all_nodes.distinct().persist()
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        adj = sym.groupBy("a").agg(
+            F.collect_set("b").alias("nbrs"),
+        )
+        m = F.least(F.array_min("nbrs"), F.col("a"))
+        out = adj.select(
+            F.col("a"), m.alias("m"), F.explode("nbrs").alias("v")
+        ).where(F.col("v") > F.col("a"))
+        return out.select(F.col("v").alias("a"), F.col("m").alias("b"))
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        directed = cur.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        adj = directed.groupBy("a").agg(F.collect_set("b").alias("nbrs"))
+        m = F.least(F.array_min("nbrs"), F.col("a"))
+        out = adj.select(
+            F.col("a"),
+            m.alias("m"),
+            F.explode(
+                F.array_union(F.col("nbrs"), F.array(F.col("a")))
+            ).alias("v"),
+        ).where(F.col("v") != F.col("m"))
+        return out.select(F.col("v").alias("a"), F.col("m").alias("b"))
+
+    cur = e
+    prev_sig = None
+    for _ in range(max_iter):
+        nxt = (
+            _small_star(_large_star(cur))
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        sig = nxt.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("a") + F.col("b")).alias("s")
+        ).first()
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            cur = nxt
+            break
+        cur = nxt
+        prev_sig = sig
+    # converged edge set is a union of stars max→min: component(child) =
+    # its (unique) star center; centers and isolated nodes label themselves
+    child = cur.select(
+        F.greatest("a", "b").alias(id_col), F.least("a", "b").alias("component")
+    ).groupBy(id_col).agg(F.min("component").alias("component"))
+    labels = (
+        all_nodes.join(child, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    e.unpersist()
+    return labels

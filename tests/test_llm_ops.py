@@ -435,6 +435,51 @@ def test_connected_components_chain_and_singleton(spark):
     }
 
 
+def test_connected_components_star_equals_minlabel(spark):
+    """The O(log n) large-star/small-star variant returns exactly the
+    min-label CC labels on the shapes that stress it: a 64-node chain
+    (diameter 63 — star closes it in ~log rounds), disjoint cliques,
+    isolated vertices, and a deterministic pseudo-random graph."""
+    from ncpi_whistler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        # long chain
+        [(i, i + 1) for i in range(63)],
+        # two cliques + a bridgeless pair
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(10, 11), (11, 12), (20, 21)],
+        # pseudo-random
+        [(i, (i * 13 + 7) % 37) for i in range(37) if i != (i * 13 + 7) % 37],
+    ]
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        verts = spark.createDataFrame([(97,), (0,)], "node long")
+        a = {
+            (r["node"], r["component"])
+            for r in connected_components(edges, vertices=verts, max_iter=100).collect()
+        }
+        b = {
+            (r["node"], r["component"])
+            for r in connected_components_star(edges, vertices=verts).collect()
+        }
+        assert a == b, (sorted(a - b), sorted(b - a))
+
+
+def test_connected_components_star_empty(spark):
+    from ncpi_whistler_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(3,), (9,)], "node long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components_star(edges, vertices=verts).collect()
+    }
+    assert got == {(3, 3), (9, 9)}
+
+
 def test_connected_components_empty_edges(spark):
     from ncpi_whistler_spark.operators.dedup import connected_components
 
