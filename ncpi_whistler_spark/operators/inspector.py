@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ncpi_whistler_spark.operators.profiling import count_summary
 
 
 def duplicate_identifiers(resources: DataFrame) -> DataFrame:

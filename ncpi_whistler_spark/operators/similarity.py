@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ncpi_whistler_spark.operators.dedup import cosine, dot_product
+from ncpi_whistler_spark.operators.dedup import dot_product
 from ncpi_whistler_spark.operators.relational import top_k_per_group
 
 
