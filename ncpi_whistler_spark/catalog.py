@@ -72,7 +72,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     micro-resolution engines (DuckDB included) truncate nanos.
     """
     _ensure_runtime_conf(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from other (stopped) sessions so dead DataFrames and
+    # their SparkSessions don't pin memory for the process lifetime.
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
+    key = (app_id, os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

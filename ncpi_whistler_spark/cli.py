@@ -293,6 +293,7 @@ def cmd_load(args) -> int:
     from ncpi_whistler_spark.sinks.rest import (
         HttpTransport,
         InMemoryTransport,
+        auth_header,
         load_resources,
     )
 
@@ -303,14 +304,15 @@ def cmd_load(args) -> int:
 
         res = res.filter(F.col("module").isin(*args.module))
     url = args.url
+    headers: dict[str, str] = {}
     if getattr(args, "host", None):
         from ncpi_whistler_spark.sources.hostfile import resolve_host
 
-        url = resolve_host(args.host, getattr(args, "hosts_file", None))[
-            "target_service_url"
-        ]
+        host = resolve_host(args.host, getattr(args, "hosts_file", None))
+        url = host["target_service_url"]
+        headers = auth_header(host)
     if url:
-        factory = lambda: HttpTransport(base_url=url)  # noqa: E731
+        factory = lambda: HttpTransport(base_url=url, headers=headers)  # noqa: E731
     else:
         factory = lambda: InMemoryTransport()  # noqa: E731
     counts = load_resources(res, factory, parallelism=args.threads)

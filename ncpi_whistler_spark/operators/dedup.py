@@ -867,6 +867,7 @@ def connected_components_star(
 
     cur = e
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         nxt = (
             _small_star(_large_star(cur))
@@ -880,9 +881,18 @@ def connected_components_star(
         sig = (sig["n"], sig["s"])
         if sig == prev_sig:
             cur = nxt
+            converged = True
             break
         cur = nxt
         prev_sig = sig
+    if not converged:
+        # Without fixpoint the edge set is not yet a union of stars and the
+        # star-center labeling below would silently mislabel components.
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "iterations; raise max_iter (rounds needed is O(log n))"
+        )
     # converged edge set is a union of stars max→min: component(child) =
     # its (unique) star center; centers and isolated nodes label themselves
     child = cur.select(

@@ -161,10 +161,20 @@ def extract_dataset(
     return out
 
 
-def to_whistle_input(dataset: ExtractedDataset) -> dict:
+#: whistle-input materialization is a driver-side collect by design (the
+#: reference's inter-stage document IS a single JSON file); cap it so a
+#: misuse on a big table fails loudly instead of OOMing the driver.
+MAX_WHISTLE_INPUT_ROWS = 100_000
+
+
+def to_whistle_input(dataset: ExtractedDataset, max_rows: int | None = MAX_WHISTLE_INPUT_ROWS) -> dict:
     """Materialize the reference's whistle-input JSON document shape
     (wstlr/extractor.py:207-224) — golden-output parity/debug only; the
-    engine itself never needs this collect."""
+    engine itself never needs this collect.
+
+    Each table is capped at ``max_rows`` (pass ``None`` to disable for
+    golden-output tests); an over-cap table raises rather than silently
+    pulling an unbounded corpus onto the driver."""
     cfg = dataset.config
     doc: dict = {
         "config": {"missing": cfg.missing_values},
@@ -188,7 +198,19 @@ def to_whistle_input(dataset: ExtractedDataset) -> dict:
             row.asDict() for row in dataset.concept_map.mappings.collect()
         ]
     for name, df in dataset.tables.items():
-        doc[name] = [_row_to_plain(r) for r in df.collect()]
+        if max_rows is not None:
+            rows = df.limit(max_rows + 1).collect()
+            if len(rows) > max_rows:
+                raise ValueError(
+                    f"to_whistle_input: table {name!r} exceeds the "
+                    f"{max_rows}-row driver-collect cap; this path exists "
+                    "for golden-output parity/debug only — use the "
+                    "DataFrame pipeline (or pass max_rows=None if you "
+                    "really want an unbounded driver collect)"
+                )
+        else:
+            rows = df.collect()
+        doc[name] = [_row_to_plain(r) for r in rows]
     return doc
 
 

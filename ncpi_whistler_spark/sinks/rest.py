@@ -58,16 +58,42 @@ class InMemoryTransport:
         return LoadResult(status=200, resource_type=resource_type)
 
 
+def auth_header(host: dict) -> dict[str, str]:
+    """Authorization header for a fhir_hosts entry (reference carries the
+    auth block to its FHIR client; wstlr/hostfile.py). Supported
+    ``auth_type`` values: ``no_auth`` (or absent), ``auth_basic``
+    (username/password), ``auth_bearer`` (token). Anything else raises —
+    silently dropping credentials would just manifest as 401s server-side.
+    """
+    import base64
+
+    auth_type = host.get("auth_type", "no_auth")
+    if auth_type in (None, "", "no_auth"):
+        return {}
+    if auth_type == "auth_basic":
+        raw = f"{host.get('username', '')}:{host.get('password', '')}"
+        tok = base64.b64encode(raw.encode("utf-8")).decode("ascii")
+        return {"Authorization": f"Basic {tok}"}
+    if auth_type == "auth_bearer":
+        return {"Authorization": f"Bearer {host.get('token', '')}"}
+    raise ValueError(
+        f"unsupported auth_type {auth_type!r} in host entry; supported: "
+        "no_auth, auth_basic, auth_bearer"
+    )
+
+
 @dataclass
 class HttpTransport:
     """Stdlib urllib transport for real FHIR servers (the reference uses
     an external fhir client; wstlr/load.py:312-453). POST to
     ``{base_url}/{resourceType}``; PUT to ``{base_url}/{resourceType}/{id}``
     when the caller passes method=PUT with an id-bearing body. Constructed
-    per partition (one connection context per executor slot)."""
+    per partition (one connection context per executor slot).
+    ``headers`` carries auth (see :func:`auth_header`)."""
 
     base_url: str
     timeout: float = 30.0
+    headers: dict[str, str] = field(default_factory=dict)
 
     def __call__(self, method: str, resource_type: str, body: str) -> LoadResult:
         import json as _json
@@ -86,7 +112,7 @@ class HttpTransport:
             url,
             data=body.encode("utf-8"),
             method=method,
-            headers={"Content-Type": "application/fhir+json"},
+            headers={"Content-Type": "application/fhir+json", **self.headers},
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:

@@ -132,3 +132,77 @@ class TestDdFromUrl:
         p.write_text("variable_name\nx\n")
         with open_dd_file(str(p)) as fh:
             assert fh.read().startswith("variable_name")
+
+
+class TestAuthHeader:
+    """Host auth blocks thread into the HTTP transport (the reference's
+    fhir_hosts files exist mainly to carry auth; silently dropping the
+    credentials would 401 on every authenticated host)."""
+
+    def test_no_auth_and_absent(self):
+        from ncpi_whistler_spark.sinks.rest import auth_header
+
+        assert auth_header({"auth_type": "no_auth"}) == {}
+        assert auth_header({}) == {}
+
+    def test_basic(self):
+        import base64
+
+        from ncpi_whistler_spark.sinks.rest import auth_header
+
+        h = auth_header(
+            {"auth_type": "auth_basic", "username": "u", "password": "p"}
+        )
+        assert h == {
+            "Authorization": "Basic " + base64.b64encode(b"u:p").decode()
+        }
+
+    def test_bearer(self):
+        from ncpi_whistler_spark.sinks.rest import auth_header
+
+        assert auth_header({"auth_type": "auth_bearer", "token": "tok"}) == {
+            "Authorization": "Bearer tok"
+        }
+
+    def test_unknown_raises(self):
+        import pytest
+
+        from ncpi_whistler_spark.sinks.rest import auth_header
+
+        with pytest.raises(ValueError, match="auth_kerberos"):
+            auth_header({"auth_type": "auth_kerberos"})
+
+    def test_http_transport_sends_header(self):
+        """End-to-end: HttpTransport includes the Authorization header on
+        the wire (real local HTTP server)."""
+        import http.server
+        import threading
+
+        from ncpi_whistler_spark.sinks.rest import HttpTransport, auth_header
+
+        seen = {}
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                seen["auth"] = self.headers.get("Authorization")
+                self.send_response(200)
+                self.send_header("Content-Type", "application/fhir+json")
+                self.end_headers()
+                self.wfile.write(b'{"id": "x1"}')
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            transport = HttpTransport(
+                base_url=f"http://127.0.0.1:{srv.server_port}",
+                headers=auth_header({"auth_type": "auth_bearer", "token": "t0k"}),
+            )
+            res = transport("POST", "Patient", '{"resourceType": "Patient"}')
+            assert res.status == 200 and res.fhir_id == "x1"
+            assert seen["auth"] == "Bearer t0k"
+        finally:
+            srv.shutdown()

@@ -520,3 +520,36 @@ def test_connected_components_matches_networkx_free_bruteforce(spark):
         for r in connected_components(edges, vertices=verts).collect()
     }
     assert got == want
+
+
+def test_connected_components_star_raises_without_convergence(spark):
+    """Exhausting max_iter before the edge-set fixpoint must raise — the
+    star-center labeling is only valid on a converged union of stars
+    (ADVICE r2)."""
+    import pytest
+
+    from ncpi_whistler_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_iter=1)
+
+
+def test_table_cache_evicts_other_sessions(spark, tmp_path):
+    """_TABLE_CACHE drops entries keyed by other applicationIds on access,
+    so stopped sessions' DataFrames don't pin memory (ADVICE r2)."""
+    from ncpi_whistler_spark import catalog
+
+    spark.range(3).toDF("x").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    df = catalog.load_table(spark, str(tmp_path), "documents")
+    assert df.count() == 3
+    app_id = spark.sparkContext.applicationId
+    stale_key = ("app-0000-dead", str(tmp_path), "documents")
+    catalog._TABLE_CACHE[stale_key] = df
+    catalog.load_table(spark, str(tmp_path), "documents")
+    assert stale_key not in catalog._TABLE_CACHE
+    assert any(k[0] == app_id for k in catalog._TABLE_CACHE)

@@ -274,3 +274,17 @@ def test_whistle_input_doc_shape(extracted):
     assert "participant" in doc and len(doc["participant"]) == 3
     assert doc["harmony"]  # mappings included
     assert doc["study"]["data-dictionary"] == [{"study": "TESTSTUDY", "values": []}]
+
+
+def test_whistle_input_row_cap(extracted):
+    """to_whistle_input is a driver collect by design; an over-cap table
+    must raise loudly instead of OOMing the driver (VERDICT r2 item 3)."""
+    import pytest
+
+    from ncpi_whistler_spark.plans.pipeline import to_whistle_input
+
+    with pytest.raises(ValueError, match="driver-collect cap"):
+        to_whistle_input(extracted, max_rows=1)
+    # explicit opt-out for golden-output tests still works
+    doc = to_whistle_input(extracted, max_rows=None)
+    assert "participant" in doc
