@@ -792,6 +792,29 @@ def line_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 0,
+) -> DataFrame:
+    """RefinedWeb-style paragraph-level corpus dedup: the C4 line keeper
+    generalized to paragraph units. Runs of 2+ newlines are first
+    normalized to one blank-line break (so ragged source formatting maps
+    to one canonical paragraph boundary), then any paragraph occurring in
+    more than one place keeps only its first (doc id, position)
+    occurrence and documents are rebuilt from surviving paragraphs —
+    exactly :func:`line_dedup` with the paragraph separator, sharing its
+    two-shuffle key-bounded plan.
+    """
+    norm = df.withColumn(
+        text_col, F.regexp_replace(F.col(text_col), r"\n{2,}", "\n\n")
+    )
+    return line_dedup(
+        norm, text_col=text_col, id_col=id_col, sep="\n\n", min_len=min_len
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

@@ -3410,6 +3410,73 @@ def q86_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q87_paragraph_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN [array_to_string(toks[i*25+1:i*25+25], ' ')
+                        for i in generate_series(0, (len(toks)-1)//25)]
+                  ELSE [''] END AS paras
+      FROM t
+    ),
+    lt AS (
+      SELECT doc_id, p.pos, paras[p.pos] AS para
+      FROM l, LATERAL (SELECT unnest(generate_series(1, len(paras))) AS pos) p
+    ),
+    keep AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS k
+      FROM lt
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+      FROM keep WHERE k GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(COALESCE(r.text, '')) AS fp,
+           CAST(length(COALESCE(r.text, '')) AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """,
+)
+def q87_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup (RefinedWeb's C4 generalization),
+    oracle-checked end-to-end: each single-line fixture doc is
+    deterministically re-paragraphed (one paragraph per 25 tokens, joined
+    with a RAGGED triple-newline break so the operator's \\n{2,}
+    normalization is exercised), then any paragraph occurring anywhere
+    else in the corpus keeps only its first (doc, pos) occurrence and
+    documents are rebuilt from surviving paragraphs. The SQL twin derives
+    the same paragraphs and replays the keeper."""
+    from ncpi_whistler_spark.operators.dedup import paragraph_dedup
+    from ncpi_whistler_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    paras = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / 25).cast("int")),
+            lambda i: F.array_join(F.slice(toks, i * 25 + 1, 25), " "),
+        ),
+    ).otherwise(F.array(F.lit("")))
+    reparagraphed = docs.select(
+        "doc_id", F.array_join(paras, "\n\n\n").alias("text")
+    )
+    out = paragraph_dedup(reparagraphed)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 # -------------------------------------------------------------------------
 # Registry ordering is an EXPLICIT, documented parameter
 # (env ``SPARK_GRAFT_QUERY_ORDER``):

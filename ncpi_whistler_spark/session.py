@@ -58,6 +58,14 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(ENGINE_CONF)
+    if master.startswith("local"):
+        # In local mode the driver JVM IS the executor; Spark's 1g default
+        # heap OOMs real workloads (first seen: 20k-doc shingle join).
+        # Static conf — only effective for the session that starts the JVM.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     if shuffle_partitions is None:
         # local[N]: one shuffle partition per core is the right grain;
         # AQE coalesces further when maps are small.

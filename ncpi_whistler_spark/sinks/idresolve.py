@@ -116,3 +116,83 @@ def load_fixpoint(
         id_map=id_map,
         rounds=rounds,
     )
+
+
+def http_fetch_json(
+    url: str, headers: dict[str, str] | None = None, timeout: float = 30.0
+):
+    """GET a FHIR JSON document (stdlib; injectable for tests)."""
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, headers={"Accept": "application/fhir+json", **(headers or {})}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return _json.loads(resp.read().decode("utf-8"))
+
+
+def prime_id_map(
+    spark: SparkSession,
+    base_url: str,
+    resource_types: list[str],
+    identifier_prefix: str | None = None,
+    fetch=None,
+    headers: dict[str, str] | None = None,
+    page_size: int = 1000,
+    max_pages: int = 100_000,
+) -> DataFrame:
+    """Bulk-prefetch EXISTING server ids into an id-map DataFrame — the
+    remote half of the reference's id cache (E6): before loading, the
+    reference primes its cache from the target FHIR server in one bulk
+    pull per study (wstlr/play.py:427-434, wstlr/idcache.py:45-71,
+    docs/ref/pipeline_overview.md:69), so an incremental re-load reuses
+    the ids the server already assigned instead of minting new ones.
+
+    Implementation: one paged FHIR search per resource type
+    (``GET {base}/{type}?_count=N&_elements=id,identifier``), following
+    Bundle ``link[relation=next]`` — the plain REST API already modeled
+    by sinks/rest.py; ``identifier_prefix`` keeps only the study's own
+    identifier systems (the reference scopes its cache per study).
+
+    The paging loop is driver-side by design: this mirrors the
+    reference's single bulk pull, and an id map is metadata-sized
+    (identifiers, not data). The result unions into the id map passed to
+    :func:`load_fixpoint`; persist it as parquet alongside the
+    self-assigned ids for reuse across runs.
+    """
+    if fetch is None:
+        fetch = lambda u: http_fetch_json(u, headers)  # noqa: E731
+    rows: list[tuple] = []
+    for rt in resource_types:
+        url = (
+            f"{base_url.rstrip('/')}/{rt}"
+            f"?_count={page_size}&_elements=id,identifier"
+        )
+        pages = 0
+        while url and pages < max_pages:
+            bundle = fetch(url)
+            for entry in bundle.get("entry") or []:
+                res = entry.get("resource") or {}
+                rid = res.get("id")
+                if not rid:
+                    continue
+                for ident in res.get("identifier") or []:
+                    system, value = ident.get("system"), ident.get("value")
+                    if not value:
+                        continue
+                    if identifier_prefix and not (system or "").startswith(
+                        identifier_prefix
+                    ):
+                        continue
+                    rows.append((system, value, res.get("resourceType", rt), rid))
+            url = next(
+                (
+                    ln.get("url")
+                    for ln in bundle.get("link") or []
+                    if ln.get("relation") == "next"
+                ),
+                None,
+            )
+            pages += 1
+    return spark.createDataFrame(rows, ID_MAP_SCHEMA)

@@ -553,3 +553,39 @@ def test_table_cache_evicts_other_sessions(spark, tmp_path):
     catalog.load_table(spark, str(tmp_path), "documents")
     assert stale_key not in catalog._TABLE_CACHE
     assert any(k[0] == app_id for k in catalog._TABLE_CACHE)
+
+
+def test_paragraph_dedup(spark):
+    """Paragraph keeper: ragged 2+/3+ newline runs normalize to one
+    paragraph boundary; a repeated paragraph survives only at its first
+    (doc, pos); docs rebuild from surviving paragraphs in order."""
+    from ncpi_whistler_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ngamma delta"),
+            (2, "gamma delta\n\n\nunique two"),   # ragged 3-newline break
+            (3, "alpha beta\n\n\n\nunique three"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert got == {
+        1: "alpha beta\n\ngamma delta",
+        2: "unique two",
+        3: "unique three",
+        4: "",
+    }
+
+
+def test_paragraph_dedup_min_len(spark):
+    """Short boilerplate paragraphs are exempt from dedup everywhere."""
+    from ncpi_whistler_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hi\n\nlong paragraph here"), (2, "hi\n\nlong paragraph here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs, min_len=5).collect()}
+    assert got == {1: "hi\n\nlong paragraph here", 2: "hi"}

@@ -288,3 +288,107 @@ def test_whistle_input_row_cap(extracted):
     # explicit opt-out for golden-output tests still works
     doc = to_whistle_input(extracted, max_rows=None)
     assert "participant" in doc
+
+
+def test_prime_id_map_and_incremental_reload(spark):
+    """E6 remote half: prime the id map from a (real, local) FHIR server's
+    paged identifier search, then load a resource whose reference resolves
+    to a PRE-EXISTING server id — the reference's incremental-reload story
+    (wstlr/play.py:427-434, wstlr/idcache.py:45-71)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from ncpi_whistler_spark.sinks.idresolve import (
+        load_fixpoint,
+        prime_id_map,
+    )
+
+    # Two-page Patient search; P1 already exists server-side as id
+    # "srv-patient-1". Page 2 reached via Bundle link[next].
+    def bundle(port, page):
+        if page == 1:
+            return {
+                "resourceType": "Bundle",
+                "link": [
+                    {
+                        "relation": "next",
+                        "url": f"http://127.0.0.1:{port}/Patient?page=2",
+                    }
+                ],
+                "entry": [
+                    {
+                        "resource": {
+                            "resourceType": "Patient",
+                            "id": "srv-patient-1",
+                            "identifier": [
+                                {"system": "s/patient", "value": "P1"},
+                                {"system": "other/system", "value": "X9"},
+                            ],
+                        }
+                    }
+                ],
+            }
+        return {
+            "resourceType": "Bundle",
+            "entry": [
+                {
+                    "resource": {
+                        "resourceType": "Patient",
+                        "id": "srv-patient-2",
+                        "identifier": [{"system": "s/patient", "value": "P2"}],
+                    }
+                },
+                {"resource": {"resourceType": "Patient"}},  # no id → skipped
+            ],
+        }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = 2 if "page=2" in self.path else 1
+            body = _json.dumps(bundle(self.server.server_port, page)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/fhir+json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        primed = prime_id_map(
+            spark,
+            f"http://127.0.0.1:{srv.server_port}",
+            ["Patient"],
+            identifier_prefix="s/",
+        )
+        got = {
+            (r["system"], r["identifier"], r["resource_type"], r["fhir_id"])
+            for r in primed.collect()
+        }
+        # both pages followed; the non-study system and id-less entry dropped
+        assert got == {
+            ("s/patient", "P1", "Patient", "srv-patient-1"),
+            ("s/patient", "P2", "Patient", "srv-patient-2"),
+        }
+    finally:
+        srv.shutdown()
+
+    obs = spark.createDataFrame(
+        [
+            (
+                "Observation",
+                [{"system": "s/observation", "value": "O1"}],
+                {"identifier": {"system": "s/patient", "value": "P1"}},
+            ),
+        ],
+        "resourceType string, identifier array<struct<system:string,value:string>>, "
+        "subject struct<identifier:struct<system:string,value:string>>",
+    )
+    result = load_fixpoint(spark, obs, primed, ["subject"])
+    # resolves in round 1 against the primed (pre-existing) server id
+    assert result.rounds == 1 and not result.invalid.take(1)
+    row = result.loaded_rounds[0].select("subject_ref").first()
+    assert row["subject_ref"] == "Patient/srv-patient-1"

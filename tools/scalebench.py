@@ -1,0 +1,215 @@
+"""Scale-evidence bench for the dedup/ANN query family (VERDICT r2 #1).
+
+Measures how the engine's dedup/similarity operators scale with corpus
+size by replicating ``documents``/``embeddings`` k× and running the real
+registry queries against the replicated parquet.
+
+Replication is STRUCTURE-PRESERVING, not naive: the round-2 adversarial
+probe (NOTES.md) showed that copying the corpus k× verbatim makes every
+replica a true near-dup of every other, so the OUTPUT is k²-sized by
+construction and the run measures result materialization, not the
+engine. Instead each replica r is salted so intra-replica duplicate
+structure is identical to the base corpus but replicas share nothing:
+
+- documents: every whitespace token gets a ``~r`` suffix (Jaccard/
+  MinHash/SimHash relations within a replica are byte-identical to the
+  base corpus; cross-replica shingles can never collide), ids stride by
+  r * 10^9.
+- embeddings: vectors get a per-replica orthogonal transform (rotate by
+  r positions + a deterministic sign-flip pattern; intra-replica cosine
+  structure is exactly preserved, cross-replica similarities
+  decorrelate — rotation alone leaks correlation on clustered
+  embeddings), ids stride by r * 10^9.
+
+True positives therefore scale ~k and the measured time reflects the
+candidate-generation machinery (inverted index, banding, bucketing,
+k-means) at k× the data — the quantity the 100 TB design arguments are
+about. The fitted exponent is the log-log slope of wall time vs k over
+the measured k's ≥ warm-up; ~1.0 = linear scaling.
+
+Usage:
+  PYTHONPATH=/root/repo python tools/scalebench.py \
+      [--ks 1,4,16,64] [--queries q24,q27,...] [--sf-dir /root/testdata/sf0.1] \
+      [--workdir /root/repo/.scalebench] [--out SCALEBENCH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import time
+
+ID_STRIDE = 10**9
+
+#: the dedup/ANN family called out by the round-2 verdict
+DEFAULT_QUERIES = [
+    "q24_ngram_jaccard",
+    "q27_minhash_lsh",
+    "q28_simhash_neardup",
+    "q39_fuzzy_dedup_pipeline",
+    "q40_embedding_neardup_bucketed",
+    "q58_ivf_topk",
+    "q80_fuzzy_dedup_transitive",
+]
+
+
+def replicate(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    """Write k structure-preserving replicas of documents + embeddings."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = []
+    for r in range(k):
+        p = docs
+        if r > 0:
+            p = p.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1~{r}")
+            )
+        parts.append(
+            p.select(
+                (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                F.length("text").cast("long").alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    parts = []
+    for r in range(k):
+        p = emb
+        rot = r % dim
+        if rot > 0:
+            p = p.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
+                ),
+            )
+        if r > 0:
+            # Deterministic per-replica sign flips (LCG on (r, j)) — an
+            # orthogonal transform, so cosines within the replica are
+            # untouched while cross-replica cosines cancel to ~0.
+            signs = F.array(
+                *[
+                    F.lit(
+                        1.0
+                        if ((r * 1103515245 + j * 12345 + 6789) >> 7) & 1
+                        else -1.0
+                    )
+                    for j in range(dim)
+                ]
+            )
+            p = p.withColumn(
+                "embedding",
+                F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float")),
+            )
+        parts.append(
+            p.select(
+                (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def fit_exponent(points: list[tuple[int, float]]) -> float | None:
+    """Least-squares slope of log(t) vs log(k) over the provided points."""
+    pts = [(k, t) for k, t in points if k > 0 and t > 0]
+    if len(pts) < 2:
+        return None
+    xs = [math.log(k) for k, _ in pts]
+    ys = [math.log(t) for _, t in pts]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return None
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ks", default="1,4,16,64")
+    ap.add_argument("--queries", default=",".join(q[:3] for q in DEFAULT_QUERIES))
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--workdir", default="/root/repo/.scalebench")
+    ap.add_argument("--out", default="SCALEBENCH.json")
+    ap.add_argument("--keep", action="store_true", help="keep replicated parquet")
+    args = ap.parse_args()
+
+    from ncpi_whistler_spark.session import get_spark
+    from ncpi_whistler_spark.queries import REGISTRY
+
+    ks = sorted({int(k) for k in args.ks.split(",")})
+    wanted = [w.strip() for w in args.queries.split(",") if w.strip()]
+    names = [
+        n
+        for n in DEFAULT_QUERIES
+        if any(n == w or n.startswith(w) for w in wanted)
+    ]
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {n: {"secs": {}, "rows": {}} for n in names}
+    base_docs = spark.read.parquet(
+        os.path.join(args.sf_dir, "documents.parquet")
+    ).count()
+    for k in ks:
+        kdir = os.path.join(args.workdir, f"{k}x")
+        t0 = time.time()
+        replicate(spark, args.sf_dir, k, kdir)
+        print(f"[scalebench] built {k}x corpus ({base_docs * k} docs) "
+              f"in {time.time() - t0:.1f}s", flush=True)
+        for n in names:
+            fn = REGISTRY[n][0]
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = fn(spark, kdir).count()
+            secs = time.time() - t0
+            results[n]["secs"][k] = round(secs, 3)
+            results[n]["rows"][k] = rows
+            print(f"[scalebench] {n} k={k}: {secs:.2f}s, {rows} rows", flush=True)
+        if not args.keep:
+            shutil.rmtree(kdir, ignore_errors=True)
+
+    # exponent over the non-warm-up points (drop k=min when >2 points:
+    # the smallest run is overhead/JIT-dominated locally)
+    report = {"sf_dir": args.sf_dir, "ks": ks, "base_docs": base_docs, "queries": {}}
+    for n in names:
+        pts = sorted((k, s) for k, s in results[n]["secs"].items())
+        fit_pts = pts[1:] if len(pts) > 2 else pts
+        report["queries"][n] = {
+            "secs": {str(k): s for k, s in pts},
+            "rows": {str(k): results[n]["rows"][k] for k, _ in pts},
+            "exponent": (
+                round(e, 3) if (e := fit_exponent(fit_pts)) is not None else None
+            ),
+        }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
