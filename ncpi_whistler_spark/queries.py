@@ -3477,6 +3477,58 @@ def q87_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q88_user_totals_stateful",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q88_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING, driver-verified: the events parquet
+    replayed through readStream → ``applyInPandasWithState`` (per-user
+    running (n_events, total) carried across micro-batches in group
+    state) → update-mode memory drain; the LAST emission per user is the
+    final state and value-hashes against the batch GROUP BY oracle. The
+    accumulator runs in integer-cents mode so the running sum is
+    arrival-order independent and bit-identical to
+    ``SUM(CAST(value AS DECIMAL(18,2)))``. State is O(|users|) whatever
+    the stream length — the streaming twin of a batch aggregate that
+    never re-reads history. (Eager by necessity, like q85.)"""
+    import uuid
+
+    from ncpi_whistler_spark.streaming.stateful import running_user_totals_stream
+    from ncpi_whistler_spark.streaming.windows import read_events_stream
+
+    stream = running_user_totals_stream(
+        read_events_stream(spark, sf_dir), exact_cents=True
+    )
+    name = f"q88_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q88 availableNow drain did not finish within 300 s; refusing "
+            "to hash a partially-filled memory table"
+        )
+    # n_events is strictly increasing per user across emissions, so the
+    # max-n row IS the final state (robust to multi-batch replays).
+    drained = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 # -------------------------------------------------------------------------
 # Registry ordering is an EXPLICIT, documented parameter
 # (env ``SPARK_GRAFT_QUERY_ORDER``):
@@ -3532,8 +3584,8 @@ _PRIORITY_WINDOW = [
     "q45_bpe_token_counts",       # tokenization
     "q53_setops_all",             # EXCEPT/INTERSECT ALL
     "q54_grouping_sets",          # GROUPING SETS + grouping()
-    "q55_trailing_hour_window",   # time-RANGE window frame
-    "q56_rank_family",            # rank/dense/percent/ntile/cume
+    "q55_trailing_hour_window",   # time-RANGE window frame (rank family: tests)
+    "q88_user_totals_stateful",   # custom stateful streaming (§2.10)
     "q86_line_dedup",             # C4-style line-level dedup
     "q58_ivf_topk",               # IVF ANN
     "q83_curation_funnel",        # quality->repetition->dedup funnel

@@ -96,6 +96,75 @@ def test_session_stream_sane(spark):
         assert r["session_end"] > r["session_start"]
 
 
+def test_kafka_source_swap(spark, tmp_path):
+    """The config-driven source swap is executable: a kafka-record-shaped
+    stream (binary key/value + topic metadata, exactly what the kafka
+    reader emits) decoded by parse_kafka_events feeds the SAME
+    hourly-counts plan as the file source and produces identical results
+    — proving the window plans are source-agnostic, not just documented
+    as such."""
+    import pyspark.sql.types as T
+
+    from ncpi_whistler_spark.catalog import ensure_event_time
+    from ncpi_whistler_spark.streaming.windows import (
+        parse_kafka_events,
+        read_events_stream_config,
+    )
+
+    # Build a kafka-shaped replay of the events fixture on disk.
+    ev = ensure_event_time(load_table(spark, SF_DIR, "events"), "ts")
+    kafka_shaped = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+    kdir = str(tmp_path / "kafka_replay")
+    kafka_shaped.write.parquet(kdir)
+
+    raw = spark.readStream.schema(kafka_shaped.schema).parquet(kdir)
+    decoded = parse_kafka_events(raw)
+    # Decoded records carry the canonical schema the plans contract on.
+    assert decoded.schema == read_events_stream_config(
+        spark, {"source": "file", "sf_dir": SF_DIR}
+    ).select(*[f.name for f in decoded.schema.fields]).schema
+    assert isinstance(dict(decoded.dtypes)["ts"], str)
+    assert [f.dataType for f in decoded.schema.fields if f.name == "ts"] == [
+        T.TimestampType()
+    ]
+
+    run_stream_to_memory(hourly_counts_stream(decoded), "kafka_hourly_test")
+    got = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in spark.table("kafka_hourly_test").collect()
+    }
+    run_stream_to_memory(
+        hourly_counts_stream(
+            read_events_stream_config(spark, {"source": "file", "sf_dir": SF_DIR})
+        ),
+        "file_hourly_test",
+    )
+    want = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in spark.table("file_hourly_test").collect()
+    }
+    assert got == want and got
+
+
+def test_stream_source_config_rejects_unknown(spark):
+    import pytest
+
+    from ncpi_whistler_spark.streaming.windows import read_events_stream_config
+
+    with pytest.raises(ValueError, match="unknown stream source"):
+        read_events_stream_config(spark, {"source": "pulsar"})
+
+
 def test_enriched_stream_matches_batch(spark):
     from ncpi_whistler_spark.streaming.windows import enriched_stream
 
