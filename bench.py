@@ -44,6 +44,20 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Estimate the fixed per-query harness overhead (Py4J plan
+    # round-trip + noop-commit protocol on an EMPTY plan): with ~90
+    # registry entries this overhead is ~1/3 of the total, so cross-round
+    # total comparisons must normalize by registry size — the per-query
+    # MEDIAN is the comparable number.
+    ov = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        ov.append(time.perf_counter() - t0)
+    per_query_overhead = sorted(ov)[len(ov) // 2]
+    fixed_overhead_est = round(per_query_overhead * len(timings), 3)
+    median_q = sorted(timings.values())[len(timings) // 2]
     # Full-name 3-decimal detail to a file; the stdout JSON line stays
     # small (short qNN keys, 2 decimals) so the driver's tail capture
     # can't overflow (round-1 BENCH had "parsed": null from a 3 KB line).
@@ -53,6 +67,14 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "n_queries": len(timings),
+        "median_query_sec": round(median_q, 3),
+        "fixed_overhead_est": fixed_overhead_est,
+        "fixed_overhead_note": (
+            "estimated fixed per-query harness cost (empty-plan noop "
+            "write, median of 5) x n_queries; subtract before comparing "
+            "totals across rounds with different registry sizes"
+        ),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
@@ -66,6 +88,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": short,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "median_query_sec": round(median_q, 2),
+                "fixed_overhead_est": fixed_overhead_est,
             },
             separators=(",", ":"),
         )

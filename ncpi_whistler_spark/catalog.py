@@ -56,6 +56,19 @@ def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def event_micros(col) -> "F.Column":
+    """Microseconds-since-epoch of an event-time column.
+
+    THE one place the batch NTZ policy meets ``unix_micros``: batch
+    ``load_table`` keeps TIMESTAMP_NTZ for DuckDB value-parity (see
+    ``ensure_event_time``), but ``unix_micros`` only accepts TIMESTAMP,
+    so every epoch-arithmetic consumer funnels through this cast (the
+    session tz is pinned UTC, so the NTZ→TIMESTAMP mapping is linear and
+    lossless). Accepts a column name or Column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 #: (applicationId, sf_dir, table) → DataFrame. DataFrames are immutable
 #: logical plans, so sharing one per table is safe; keying by
 #: applicationId means a new session never sees a stale plan. Avoids the

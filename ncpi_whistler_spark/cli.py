@@ -321,6 +321,80 @@ def cmd_load(args) -> int:
     return 0 if all(v["err"] == 0 for v in rows.values()) else 2
 
 
+def cmd_init(args) -> int:
+    """init analog: scaffold a ready-to-run study project (reference
+    ``wstlr/init.py`` init-play — template-rendered starter files for a
+    named study). Emits a study YAML wired to a sample participant CSV,
+    a DD skeleton, and a harmony CSV with one mapped variable, so
+    ``init`` → ``extract`` works end-to-end and every file shows the
+    expected column layout for real data."""
+    import os
+
+    study_id = args.study_id
+    dest = args.directory
+    os.makedirs(dest, exist_ok=True)
+    existing = [
+        f
+        for f in ("study.yaml", "participant.csv", "participant-dd.csv", "harmony.csv")
+        if os.path.exists(os.path.join(dest, f))
+    ]
+    if existing and not args.force:
+        print(f"refusing to overwrite {existing} in {dest} (use --force)")
+        return 2
+
+    def emit(name: str, text: str) -> None:
+        path = os.path.join(dest, name)
+        with open(path, "w") as fh:
+            fh.write(text)
+        print(path)
+
+    emit(
+        "study.yaml",
+        f"""# Starter study config — edit filenames/columns for your data.
+# Paths are relative to where you run `whistler-spark extract`.
+study_id: {study_id}
+study_title: {args.title or study_id}
+identifier_prefix: https://example.org/{study_id.lower()}
+id_colname: participant_id
+curies: {{}}
+active_tables:
+  ALL: true
+dataset:
+  participant:
+    filename: {dest}/participant.csv
+    code_harmonization: {dest}/harmony.csv
+    data_dictionary:
+      filename: {dest}/participant-dd.csv
+""",
+    )
+    emit(
+        "participant.csv",
+        "Participant ID,Sex,Age (years)\n"
+        "P0001,1,34\n"
+        "P0002,2,41\n",
+    )
+    emit(
+        "participant-dd.csv",
+        "variable_name,description,data_type,enumerations,min,max,units\n"
+        "Participant ID,Unique participant identifier,identifier,,,,\n"
+        "Sex,Sex assigned at birth,enumeration,1=Male;2=Female,,,\n"
+        "Age (years),Age at enrollment,number,,0,120,years\n",
+    )
+    emit(
+        "harmony.csv",
+        "local code,text,local code system,code,display,code system,"
+        "table_name,parent_varname,comment\n"
+        "1,Male,sex,male,Male,http://hl7.org/fhir/administrative-gender,"
+        "participant,sex,\n"
+        "2,Female,sex,female,Female,http://hl7.org/fhir/administrative-gender,"
+        "participant,sex,\n",
+    )
+    print(
+        f"next: whistler-spark extract {dest}/study.yaml --out {dest}/tables"
+    )
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc SQL over the fixture catalog (or any parquet dir laid out
     as <dir>/<table>.parquet): the full Catalyst SQL surface as a CLI.
@@ -434,6 +508,13 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--threads", type=int, default=10)
     pl.add_argument("--module", nargs="*", help="only load these modules")
     pl.set_defaults(fn=cmd_load)
+
+    pn = sub.add_parser("init", help="scaffold a starter study project (init-play analog)")
+    pn.add_argument("directory")
+    pn.add_argument("--study-id", default="MYSTUDY")
+    pn.add_argument("--title", default=None)
+    pn.add_argument("--force", action="store_true", help="overwrite existing scaffold files")
+    pn.set_defaults(fn=cmd_init)
 
     pq = sub.add_parser("sql", help="ad-hoc SQL over a parquet table dir")
     pq.add_argument("query")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ncpi_whistler_spark.catalog import load_table
+from ncpi_whistler_spark.catalog import event_micros, load_table
 from ncpi_whistler_spark.functions import harmonize as H
 from ncpi_whistler_spark.operators.aggregators import aggregate_columns, explode_aggregated
 from ncpi_whistler_spark.operators.harmonize import harmonize
@@ -1945,7 +1945,7 @@ def q55_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .orderBy(event_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -2602,11 +2602,7 @@ def q72_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("p_ts"))
     )
     f = v.join(p, "user_id", "left")
-    # Parquet timestamps may surface as TIMESTAMP_NTZ; cast to TIMESTAMP
-    # (session tz is UTC, so the mapping is linear) for unix_micros.
-    lat = F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(
-        F.col("v_ts").cast("timestamp")
-    )
+    lat = event_micros("p_ts") - event_micros("v_ts")
     return f.agg(
         F.count(F.lit(1)).alias("n_viewers"),
         F.count("p_ts").alias("n_purchased"),

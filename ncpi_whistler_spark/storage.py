@@ -57,6 +57,42 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def enable_runtime_bloom_join(
+    spark,
+    application_side_scan_threshold: str = "10GB",
+    creation_side_threshold: str = "50MB",
+) -> None:
+    """Turn on Catalyst's runtime Bloom-filter join pruning and size its
+    thresholds for the deployment.
+
+    When a join's build side carries a selective filter, the optimizer
+    plans a ``bloom_filter_agg`` over the build-side join keys and
+    injects ``might_contain(<bloom>, xxhash64(key))`` into the probe-side
+    SCAN as a runtime filter — probe rows whose keys cannot match are
+    dropped before the shuffle, so at 100 TB the exchange moves only the
+    ~selectivity fraction of the fact table instead of all of it. This
+    composes with (does not replace) bucketing: bucketing removes the
+    exchange for co-bucketed keys, the Bloom filter removes ROWS for
+    everything else.
+
+    ``application_side_scan_threshold`` is the minimum probe-side scan
+    size before injection pays for itself (Spark's default 10GB is right
+    for clusters; tests drop it to 0). The build side must stay under
+    ``creation_side_threshold`` — the Bloom bitmap is built in one
+    aggregate and shipped as a scalar subquery to every scan task.
+    Verified by tests/test_storage.py::test_runtime_bloom_filter_join.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_scan_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+
+
 def repartition_for_join(
     left: DataFrame, right: DataFrame, on: list[str], partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:

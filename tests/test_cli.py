@@ -31,6 +31,34 @@ def test_cli_extract(spark, study_dir, tmp_path):  # noqa: F811
     assert back.count() == 3
 
 
+def test_cli_init_then_extract(spark, tmp_path):
+    """init scaffolds a runnable project (reference init-play analog):
+    extract on the generated study.yaml works end-to-end, and the
+    harmony skeleton actually harmonizes the sample Sex column."""
+    dest = str(tmp_path / "newstudy")
+    rc = cli.main(["init", dest, "--study-id", "SCAFFOLD"])
+    assert rc == 0
+    for f in ("study.yaml", "participant.csv", "participant-dd.csv", "harmony.csv"):
+        assert os.path.exists(os.path.join(dest, f))
+    # refuses to clobber without --force
+    assert cli.main(["init", dest, "--study-id", "SCAFFOLD"]) == 2
+    assert cli.main(["init", dest, "--study-id", "SCAFFOLD", "--force"]) == 0
+
+    out_dir = str(tmp_path / "tables")
+    json_out = str(tmp_path / "wi.json")
+    rc = cli.main(["extract", os.path.join(dest, "study.yaml"),
+                   "--out", out_dir, "--json-out", json_out])
+    assert rc == 0
+    doc = json.loads(open(json_out).read())
+    assert doc["study"]["id"] == "SCAFFOLD"
+    back = spark.read.parquet(os.path.join(out_dir, "participant"))
+    rows = {r["participant_id"]: r.asDict() for r in back.collect()}
+    assert set(rows) == {"P0001", "P0002"}
+    # harmony skeleton mapped the coded sex values
+    sex_cols = [c for c in back.columns if c.startswith("sex")]
+    assert sex_cols, back.columns
+
+
 def test_cli_builddd_igload_ledger(spark, study_dir, tmp_path):  # noqa: F811
     import json as _json
 

@@ -8,10 +8,65 @@ import os
 import pyspark.sql.functions as F
 
 from ncpi_whistler_spark.storage import (
+    enable_runtime_bloom_join,
     repartition_for_join,
     write_bucketed,
     write_partitioned,
 )
+
+
+def test_runtime_bloom_filter_join(spark):
+    """A selective dim filter injects a runtime Bloom filter into the
+    fact-side scan (might_contain over a bloom_filter_agg scalar
+    subquery), and the filtered join returns exactly the unfiltered
+    join's rows — shuffle-volume pruning with zero semantic change."""
+    from tests.conftest import SF_DIR
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # local fixtures are tiny: drop the probe-side floor and force a
+        # shuffle join so the test exercises the cluster-shaped plan
+        enable_runtime_bloom_join(
+            spark, application_side_scan_threshold="0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        dim = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        got = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "might_contain" not in plain._jdf.queryExecution().optimizedPlan().toString()
+        want = {(r["o_orderpriority"], r["n"]) for r in plain.collect()}
+        assert got == want and got
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_write_partitioned_prunes(spark, tmp_path):

@@ -51,9 +51,29 @@ DEFAULT_QUERIES = [
     "q28_simhash_neardup",
     "q39_fuzzy_dedup_pipeline",
     "q40_embedding_neardup_bucketed",
+    "q40x_neardup_scaled_bits",
     "q58_ivf_topk",
     "q80_fuzzy_dedup_transitive",
 ]
+
+
+def _q40_scaled_bits(spark, kdir: str, k: int):
+    """q40's operator with the scale knob actually turned: bucket_bits
+    grows with log2(k) so per-bucket occupancy stays constant as the
+    corpus grows. The registry q40 pins bucket_bits=4 for oracle
+    determinism, which makes its candidate set n^2/16 — a fan-in CUT,
+    not an asymptote; THIS entry is the 100 TB operating mode (hold
+    density fixed, candidates ~n), and its measured exponent is the one
+    the design argument rests on."""
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(kdir, "embeddings.parquet"))
+    bits = 4 + max(0, round(math.log2(k)))
+    return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=bits)
+
+
+#: entries measured outside the registry: name -> fn(spark, kdir, k)
+EXTRA_QUERIES = {"q40x_neardup_scaled_bits": _q40_scaled_bits}
 
 
 def replicate(spark, sf_dir: str, k: int, out_dir: str) -> None:
@@ -155,6 +175,13 @@ def main() -> int:
     ap.add_argument("--workdir", default="/root/repo/.scalebench")
     ap.add_argument("--out", default="SCALEBENCH.json")
     ap.add_argument("--keep", action="store_true", help="keep replicated parquet")
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="time each (query, k) N times and record the min (de-noises "
+        "JIT warm-up and machine-load swings)",
+    )
     args = ap.parse_args()
 
     from ncpi_whistler_spark.session import get_spark
@@ -181,14 +208,19 @@ def main() -> int:
         print(f"[scalebench] built {k}x corpus ({base_docs * k} docs) "
               f"in {time.time() - t0:.1f}s", flush=True)
         for n in names:
-            fn = REGISTRY[n][0]
-            spark.catalog.clearCache()
-            t0 = time.time()
-            rows = fn(spark, kdir).count()
-            secs = time.time() - t0
-            results[n]["secs"][k] = round(secs, 3)
+            best, rows = None, None
+            for _ in range(max(1, args.repeats)):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                if n in EXTRA_QUERIES:
+                    rows = EXTRA_QUERIES[n](spark, kdir, k).count()
+                else:
+                    rows = REGISTRY[n][0](spark, kdir).count()
+                secs = time.time() - t0
+                best = secs if best is None else min(best, secs)
+            results[n]["secs"][k] = round(best, 3)
             results[n]["rows"][k] = rows
-            print(f"[scalebench] {n} k={k}: {secs:.2f}s, {rows} rows", flush=True)
+            print(f"[scalebench] {n} k={k}: {best:.2f}s, {rows} rows", flush=True)
         if not args.keep:
             shutil.rmtree(kdir, ignore_errors=True)
 
