@@ -1402,7 +1402,13 @@ def q40_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     fan-in 2^bits× (and at cluster scale the bucket is the shuffle key,
     so no executor ever sees the full corpus). Hash-checked against an
     oracle that embeds the same plane literals (deterministic blocking
-    both sides)."""
+    both sides).
+
+    bucket_bits is pinned to 4 here ONLY so the oracle can replay the
+    buckets; at fixed bits candidates are n²/2^bits. Production grows
+    bits with log2(corpus) to hold bucket occupancy constant — measured
+    in SCALEBENCH.json (q40 vs q40x: 328 s vs 8.2 s at 64× corpus,
+    scaling exponent 1.0 vs 0.43, same operator)."""
     from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")

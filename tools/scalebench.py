@@ -72,22 +72,99 @@ def _q40_scaled_bits(spark, kdir: str, k: int):
     return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=bits)
 
 
+def _q55_trailing_bucketed(spark, kdir: str, k: int):
+    """q55's 100 TB rewrite (overlap-padded time bucketing, shuffle key =
+    (event_type, hour-bucket)) on the replicated events — the contrast
+    point to the registry q55, whose window form serializes each
+    low-cardinality event_type into one executor-sized sort. Row-identical
+    to the window form (test_plan_shapes proves it); only the plan shape
+    differs."""
+    from pyspark.sql import functions as F
+
+    from ncpi_whistler_spark.catalog import event_micros
+    from ncpi_whistler_spark.operators.relational import trailing_range_agg
+
+    ev = spark.read.parquet(os.path.join(kdir, "events.parquet"))
+    return trailing_range_agg(
+        ev,
+        id_cols=["event_id"],
+        partition_cols=["event_type"],
+        ts_micros=event_micros("ts"),
+        window_micros=3_600_000_000,
+        value_cols=["value"],
+        aggs={
+            "n_trailing": F.count(F.lit(1)),
+            "sum_trailing": F.sum(
+                F.col("w_value").cast("decimal(18,2)")
+            ).cast("double"),
+        },
+    )
+
+
 #: entries measured outside the registry: name -> fn(spark, kdir, k)
-EXTRA_QUERIES = {"q40x_neardup_scaled_bits": _q40_scaled_bits}
+EXTRA_QUERIES = {
+    "q40x_neardup_scaled_bits": _q40_scaled_bits,
+    "q55x_trailing_bucketed": _q55_trailing_bucketed,
+}
+
+#: the time-series family (events-only queries): replicas get disjoint
+#: user ids, so per-replica session/as-of structure is identical to the
+#: base corpus and true positives scale exactly k.
+EVENTS_QUERIES = [
+    "q18_events_hourly",
+    "q19_sessionize",
+    "q31_events_asof",
+    "q55_trailing_hour_window",
+    "q55x_trailing_bucketed",
+]
 
 
-def replicate(spark, sf_dir: str, k: int, out_dir: str) -> None:
-    """Write k structure-preserving replicas of documents + embeddings."""
+def replicate(
+    spark,
+    sf_dir: str,
+    k: int,
+    out_dir: str,
+    docs: bool = True,
+    events: bool = False,
+) -> None:
+    """Write k structure-preserving replicas of documents + embeddings
+    (and, when ``events`` is set, the events table: user/event ids stride
+    per replica so sessions, as-of matches, and trailing windows within a
+    replica are byte-identical to the base corpus and never cross
+    replicas — true positives scale exactly k)."""
     from pyspark.sql import functions as F
 
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if events:
+        from ncpi_whistler_spark.catalog import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        parts = [
+            ev.select(
+                (F.col("event_id") + F.lit(r * ID_STRIDE)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for r in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.parquet(os.path.join(out_dir, "events.parquet"))
+
+    if not docs:
+        return
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     parts = []
     for r in range(k):
-        p = docs
+        p = d
         if r > 0:
             p = p.withColumn(
                 "text", F.regexp_replace("text", r"(\S+)", rf"$1~{r}")
@@ -188,12 +265,14 @@ def main() -> int:
     from ncpi_whistler_spark.queries import REGISTRY
 
     ks = sorted({int(k) for k in args.ks.split(",")})
+    pool = DEFAULT_QUERIES + [n for n in EVENTS_QUERIES if n not in DEFAULT_QUERIES]
     wanted = [w.strip() for w in args.queries.split(",") if w.strip()]
-    names = [
-        n
-        for n in DEFAULT_QUERIES
-        if any(n == w or n.startswith(w) for w in wanted)
-    ]
+    if wanted == ["all"]:
+        names = pool
+    else:
+        names = [n for n in pool if any(n == w or n.startswith(w) for w in wanted)]
+    need_events = any(n in EVENTS_QUERIES for n in names)
+    need_docs = any(n not in EVENTS_QUERIES for n in names)
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -204,20 +283,25 @@ def main() -> int:
     for k in ks:
         kdir = os.path.join(args.workdir, f"{k}x")
         t0 = time.time()
-        replicate(spark, args.sf_dir, k, kdir)
+        replicate(spark, args.sf_dir, k, kdir, docs=need_docs, events=need_events)
         print(f"[scalebench] built {k}x corpus ({base_docs * k} docs) "
               f"in {time.time() - t0:.1f}s", flush=True)
         for n in names:
-            best, rows = None, None
+            best = None
             for _ in range(max(1, args.repeats)):
                 spark.catalog.clearCache()
                 t0 = time.time()
+                # Timed action is a noop WRITE, not count(): count() lets
+                # Catalyst prune cardinality-preserving operators (a pure
+                # window/project query would never execute at all).
                 if n in EXTRA_QUERIES:
-                    rows = EXTRA_QUERIES[n](spark, kdir, k).count()
+                    df = EXTRA_QUERIES[n](spark, kdir, k)
                 else:
-                    rows = REGISTRY[n][0](spark, kdir).count()
+                    df = REGISTRY[n][0](spark, kdir)
+                df.write.format("noop").mode("overwrite").save()
                 secs = time.time() - t0
                 best = secs if best is None else min(best, secs)
+            rows = df.count()  # untimed, result-size bookkeeping only
             results[n]["secs"][k] = round(best, 3)
             results[n]["rows"][k] = rows
             print(f"[scalebench] {n} k={k}: {best:.2f}s, {rows} rows", flush=True)
