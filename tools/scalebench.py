@@ -142,10 +142,19 @@ def replicate(
         from ncpi_whistler_spark.catalog import load_table
 
         ev = load_table(spark, sf_dir, "events")
+        # Replicas are shifted 10 years apart as well as user/id-strided:
+        # identical ids or overlapping time ranges would MERGE replicas'
+        # sessions/windows, and same-range replication grows per-hour
+        # DENSITY k× — which makes trailing-window workloads inherently
+        # quadratic (every row's window gains k× members; measured: both
+        # the window form and the bucketed rewrite went superlinear).
+        # Time-shifting holds density constant so the measurement is the
+        # ENGINE's volume scaling, with per-replica structure exactly the
+        # base corpus's.
         parts = [
             ev.select(
                 (F.col("event_id") + F.lit(r * ID_STRIDE)).alias("event_id"),
-                "ts",
+                (F.col("ts") + F.expr(f"INTERVAL {r * 87600} HOURS")).alias("ts"),
                 (F.col("user_id") + F.lit(r * 1_000_000)).alias("user_id"),
                 "event_type",
                 "value",
