@@ -30,16 +30,42 @@ def main() -> int:
         shuffle_partitions=int(cpus),
     )
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup.
-    REGISTRY["q01_pricing_summary"][0](spark, sf_dir).count()
+    # Warm-up pass: run EVERY query once at the tiny sf so the timed pass
+    # measures steady-state execution, not one-time costs — the sketch
+    # queries compile multi-thousand-node codegen expressions and the
+    # streaming queries initialize state stores, which is 3-5x their
+    # actual runtime on first execution (measured: q28 11.9s cold / 2.6s
+    # warm, q88 13.0s / 2.7s at sf0.1). Set SPARK_GRAFT_BENCH_WARMUP=0
+    # for single-shot (cold) numbers.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if not os.path.isdir(warm_dir):
+            warm_dir = sf_dir
+        for _name, (fn, _) in REGISTRY.items():
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        # Don't let the warm-up pass's garbage/caches bill the first few
+        # timed queries with a major GC pause.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        time.sleep(2)
+    else:
+        REGISTRY["q01_pricing_summary"][0](spark, sf_dir).count()
 
+    # Min-of-N per query: iterative-dedup queries leave localCheckpoint
+    # blocks that only the JVM's ContextCleaner can free, so a single
+    # pass shows multi-second GC/eviction pauses landing on whichever
+    # queries run next (measured: same query 2-10x across passes). The
+    # min is the steady-state number; N=1 restores single-shot.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
-    for name, (fn, _) in REGISTRY.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _rep in range(repeats):
+        for name, (fn, _) in REGISTRY.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            secs = round(time.perf_counter() - t0, 3)
+            if name not in timings or secs < timings[name]:
+                timings[name] = secs
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -68,6 +94,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
+        "repeats": repeats,
         "median_query_sec": round(median_q, 3),
         "fixed_overhead_est": fixed_overhead_est,
         "fixed_overhead_note": (

@@ -66,6 +66,12 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         )
+        # ~90 registry queries x whole-stage codegen ≈ thousands of
+        # generated classes; HotSpot's 240m default code cache fills and
+        # silently stops JIT-compiling (later queries run interpreted).
+        conf.setdefault(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m"
+        )
     if shuffle_partitions is None:
         # local[N]: one shuffle partition per core is the right grain;
         # AQE coalesces further when maps are small.
