@@ -3575,7 +3575,7 @@ _PRIORITY_WINDOW = [
     "q29_lsh_topk",               # hyperplane LSH top-k
     "q30_multimodal_decode",      # multimodal mapInPandas
     "q31_events_asof",            # as-of join
-    "q32_value_counts",           # A4 value counts
+    "q87_paragraph_dedup",        # paragraph-level corpus dedup (A4 value counts q32: tests)
     "q34_fhir_observations",      # P6/P8 row->FHIR fan-out
     "q35_winnowing",              # winnowing fingerprints
     "q38_range_join_events",      # range join
