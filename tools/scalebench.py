@@ -118,6 +118,18 @@ EVENTS_QUERIES = [
     "q55x_trailing_bucketed",
 ]
 
+#: the relational family: FACT tables (lineitem/orders) replicate with
+#: strided order keys, dimensions stay 1× — exactly how a warehouse
+#: grows (facts accumulate, dims don't), so dim joins must stay
+#: broadcast and only fact-side scan/shuffle/agg work may grow.
+TPCH_QUERIES = [
+    "q01_pricing_summary",
+    "q06_topk_orders_per_customer",
+    "q15_nation_revenue",
+    "q41_nation_trade_pairs",
+]
+TPCH_DIMS = ["region", "nation", "customer", "supplier", "part"]
+
 
 def replicate(
     spark,
@@ -126,6 +138,7 @@ def replicate(
     out_dir: str,
     docs: bool = True,
     events: bool = False,
+    tpch: bool = False,
 ) -> None:
     """Write k structure-preserving replicas of documents + embeddings
     (and, when ``events`` is set, the events table: user/event ids stride
@@ -137,6 +150,41 @@ def replicate(
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
+
+    if tpch:
+        from ncpi_whistler_spark.catalog import load_table
+
+        # Facts replicate (strided order keys keep the orders⋈lineitem
+        # join 1:N within a replica and never across); dims are shared,
+        # so per-customer/supplier/part group sizes grow k× — the real
+        # shape of warehouse growth.
+        li = load_table(spark, sf_dir, "lineitem")
+        parts = [
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(r * ID_STRIDE)
+            )
+            for r in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.parquet(os.path.join(out_dir, "lineitem.parquet"))
+
+        o = load_table(spark, sf_dir, "orders")
+        parts = [
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * ID_STRIDE))
+            for r in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.parquet(os.path.join(out_dir, "orders.parquet"))
+
+        for dim in TPCH_DIMS:
+            shutil.copy(
+                os.path.join(sf_dir, f"{dim}.parquet"),
+                os.path.join(out_dir, f"{dim}.parquet"),
+            )
 
     if events:
         from ncpi_whistler_spark.catalog import load_table
@@ -274,14 +322,21 @@ def main() -> int:
     from ncpi_whistler_spark.queries import REGISTRY
 
     ks = sorted({int(k) for k in args.ks.split(",")})
-    pool = DEFAULT_QUERIES + [n for n in EVENTS_QUERIES if n not in DEFAULT_QUERIES]
+    pool = (
+        DEFAULT_QUERIES
+        + [n for n in EVENTS_QUERIES if n not in DEFAULT_QUERIES]
+        + [n for n in TPCH_QUERIES if n not in DEFAULT_QUERIES]
+    )
     wanted = [w.strip() for w in args.queries.split(",") if w.strip()]
     if wanted == ["all"]:
         names = pool
     else:
         names = [n for n in pool if any(n == w or n.startswith(w) for w in wanted)]
     need_events = any(n in EVENTS_QUERIES for n in names)
-    need_docs = any(n not in EVENTS_QUERIES for n in names)
+    need_tpch = any(n in TPCH_QUERIES for n in names)
+    need_docs = any(
+        n not in EVENTS_QUERIES and n not in TPCH_QUERIES for n in names
+    )
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -292,7 +347,15 @@ def main() -> int:
     for k in ks:
         kdir = os.path.join(args.workdir, f"{k}x")
         t0 = time.time()
-        replicate(spark, args.sf_dir, k, kdir, docs=need_docs, events=need_events)
+        replicate(
+            spark,
+            args.sf_dir,
+            k,
+            kdir,
+            docs=need_docs,
+            events=need_events,
+            tpch=need_tpch,
+        )
         print(f"[scalebench] built {k}x corpus ({base_docs * k} docs) "
               f"in {time.time() - t0:.1f}s", flush=True)
         for n in names:
