@@ -87,6 +87,30 @@ def main() -> int:
     # Full-name 3-decimal detail to a file; the stdout JSON line stays
     # small (short qNN keys, 2 decimals) so the driver's tail capture
     # can't overflow (round-1 BENCH had "parsed": null from a 3 KB line).
+    # Regression gate: compare against the previous BENCH_DETAIL.json and
+    # flag any query >1.5x slower (and >0.3 s absolute, so sub-100 ms noise
+    # doesn't page anyone). Catches regressions at commit time instead of
+    # judge time (round 3's q29 3x would have tripped this).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    regressions: dict[str, list[float]] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf_val and prev.get("mode") != "cold":
+            for name, secs in timings.items():
+                before = prev.get("queries", {}).get(name)
+                if before and secs > 1.5 * before and secs - before > 0.3:
+                    regressions[name] = [before, secs]
+    except (OSError, ValueError):
+        pass
+    if regressions:
+        print(
+            f"REGRESSIONS vs previous bench: {json.dumps(regressions)}",
+            file=sys.stderr,
+        )
+
     detail = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -95,6 +119,11 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(timings),
         "repeats": repeats,
+        "mode": (
+            "cold"
+            if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "0"
+            else f"steady-state min-of-{repeats}"
+        ),
         "median_query_sec": round(median_q, 3),
         "fixed_overhead_est": fixed_overhead_est,
         "fixed_overhead_note": (
@@ -102,9 +131,10 @@ def main() -> int:
             "write, median of 5) x n_queries; subtract before comparing "
             "totals across rounds with different registry sizes"
         ),
+        "regressions": regressions,
+        "regression_gate": ">1.5x and >0.3s vs previous BENCH_DETAIL.json",
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     print(
@@ -118,6 +148,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "median_query_sec": round(median_q, 2),
                 "fixed_overhead_est": fixed_overhead_est,
+                "mode": detail["mode"],
             },
             separators=(",", ":"),
         )

@@ -348,23 +348,28 @@ def cmd_init(args) -> int:
             fh.write(text)
         print(path)
 
+    # Absolute paths + JSON-style quoting (JSON scalars are valid YAML):
+    # a relative dest would scaffold a config that only works from the
+    # init-time CWD, and YAML-special characters in study_id/dest would
+    # silently produce an invalid or wrong config.
+    q = json.dumps
+    absdest = os.path.abspath(dest)
     emit(
         "study.yaml",
         f"""# Starter study config — edit filenames/columns for your data.
-# Paths are relative to where you run `whistler-spark extract`.
-study_id: {study_id}
-study_title: {args.title or study_id}
-identifier_prefix: https://example.org/{study_id.lower()}
+study_id: {q(study_id)}
+study_title: {q(args.title or study_id)}
+identifier_prefix: {q("https://example.org/" + study_id.lower())}
 id_colname: participant_id
 curies: {{}}
 active_tables:
   ALL: true
 dataset:
   participant:
-    filename: {dest}/participant.csv
-    code_harmonization: {dest}/harmony.csv
+    filename: {q(os.path.join(absdest, "participant.csv"))}
+    code_harmonization: {q(os.path.join(absdest, "harmony.csv"))}
     data_dictionary:
-      filename: {dest}/participant-dd.csv
+      filename: {q(os.path.join(absdest, "participant-dd.csv"))}
 """,
     )
     emit(

@@ -614,13 +614,17 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     bucket_bits: int = 0,
     seed: int = 42,
+    dim: int | None = None,
+    bucket_mode: str = "arrow",
 ) -> DataFrame:
     """Embedding pairs with cosine >= threshold.
 
     bucket_bits=0: exact all-pairs (quadratic — small corpora / verify
     path). bucket_bits>0: random-hyperplane LSH prefilter — pairs must
     share the sign-bit bucket, trading recall for a 2^bits fan-in cut
-    (the scale path; see similarity.hyperplane_bucket).
+    (the scale path; see similarity.hyperplane_bucket). Pass ``dim`` to
+    skip the vector-length probe job; ``bucket_mode='fold'`` selects the
+    expression-form bucket for oracle replay (bit-identical either way).
     """
     # norms once per vector (not per pair): same bits, 3× less fold work
     v = df.select(
@@ -629,10 +633,17 @@ def embedding_dup_pairs(
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
     )
     if bucket_bits > 0:
-        from ncpi_whistler_spark.operators.similarity import hyperplane_bucket
+        from ncpi_whistler_spark.operators.similarity import (
+            hyperplane_bucket,
+            hyperplane_bucket_arrow,
+        )
 
-        dim = len(df.select(vec_col).first()[0])
-        v = v.withColumn("bkt", hyperplane_bucket(F.col("v"), dim, bucket_bits, seed))
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        bucket_fn = (
+            hyperplane_bucket if bucket_mode == "fold" else hyperplane_bucket_arrow
+        )
+        v = v.withColumn("bkt", bucket_fn(F.col("v"), dim, bucket_bits, seed))
         a = v.select("bkt", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
         b = v.select("bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
         pairs = a.join(b, on="bkt").where(F.col("id_a") < F.col("id_b"))

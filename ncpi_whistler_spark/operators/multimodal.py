@@ -44,18 +44,104 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str) -> DataFr
     )
 
 
-def fake_image_decoder(payload: bytes) -> dict[str, Any]:
-    """Deterministic stand-in for a real image decode (PIL/opencv not
-    available here): derives pseudo width/height/channels from payload
-    bytes. Replace with a real codec in production — the pipeline shape
-    does not change."""
-    n = len(payload)
-    return {
-        "width": 64 + (n % 512),
-        "height": 64 + ((n // 7) % 512),
-        "channels": 3,
-        "ok": True,
-    }
+_BAD = {"width": 0, "height": 0, "channels": 0, "ok": False, "pix_sum": 0}
+
+
+def decode_ppm(payload: bytes) -> dict[str, Any]:
+    """Real, dependency-free binary-PPM (P6) decode: parses the
+    whitespace/comment-tolerant header, validates the pixel buffer
+    length, and sums the raw RGB bytes. Returns
+    ``{width, height, channels, ok, pix_sum}``; malformed input →
+    ``ok=False`` zeros (never raises — a 100 TB decode pass must not die
+    on one corrupt blob)."""
+    try:
+        if payload[:2] != b"P6":
+            return dict(_BAD)
+        # header = magic + 3 ints, '#' comments allowed between tokens
+        tokens: list[int] = []
+        i = 2
+        while len(tokens) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval, then raw RGB
+        w, h, maxval = tokens
+        if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+            return dict(_BAD)
+        bpp = 3 * (2 if maxval > 255 else 1)
+        pixels = payload[i : i + w * h * bpp]
+        if len(pixels) != w * h * bpp:
+            return dict(_BAD)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "ok": True,
+            "pix_sum": sum(pixels),
+        }
+    except (ValueError, IndexError):
+        return dict(_BAD)
+
+
+def decode_bmp(payload: bytes) -> dict[str, Any]:
+    """Real, dependency-free BMP decode (uncompressed 24/32-bit,
+    BITMAPINFOHEADER): parses the file + info headers, walks the
+    4-byte-aligned bottom-up rows, and sums pixel bytes excluding row
+    padding. Malformed/compressed input → ``ok=False`` zeros."""
+    import struct
+
+    try:
+        if payload[:2] != b"BM" or len(payload) < 54:
+            return dict(_BAD)
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            return dict(_BAD)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if planes != 1 or bpp not in (24, 32) or compression != 0:
+            return dict(_BAD)
+        height = abs(h)
+        if w <= 0 or height == 0:
+            return dict(_BAD)
+        nbytes = bpp // 8
+        stride = ((w * nbytes + 3) // 4) * 4
+        if pix_off + stride * height > len(payload):
+            return dict(_BAD)
+        pix_sum = 0
+        for r in range(height):
+            row = payload[pix_off + r * stride : pix_off + r * stride + w * nbytes]
+            pix_sum += sum(row)
+        return {
+            "width": w,
+            "height": height,
+            "channels": nbytes,
+            "ok": True,
+            "pix_sum": pix_sum,
+        }
+    except (struct.error, IndexError):
+        return dict(_BAD)
+
+
+def image_decoder(payload: bytes) -> dict[str, Any]:
+    """Magic-byte dispatch over the built-in real codecs (PPM ``P6``,
+    BMP ``BM``). Unknown formats → ``ok=False`` zeros; richer codecs
+    (PNG/JPEG via PIL/opencv) plug in through ``decode_images
+    (decoder=...)`` without touching the Spark plumbing."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return dict(_BAD)
 
 
 def decode_images(
@@ -68,12 +154,16 @@ def decode_images(
     """Arrow-batched decode pass: mapInPandas with a bounded batch size so
     decoded frames never blow the executor heap.
 
-    Output: (id, width, height, channels, ok). A real decoder returning
-    pixel tensors would add a ``binary``/``array<float>`` feature column —
-    same plumbing.
+    Output: (id, width, height, channels, ok, pix_sum) — real header
+    parse + pixel-buffer walk via :func:`image_decoder` (PPM/BMP). A
+    decoder returning pixel tensors would add a ``binary``/
+    ``array<float>`` feature column — same plumbing.
     """
-    decoder = decoder or fake_image_decoder
-    out_schema = f"{id_col} bigint, width int, height int, channels int, ok boolean"
+    decoder = decoder or image_decoder
+    out_schema = (
+        f"{id_col} bigint, width int, height int, channels int, ok boolean,"
+        " pix_sum bigint"
+    )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,6 +179,7 @@ def decode_images(
                             "height": meta["height"],
                             "channels": meta["channels"],
                             "ok": meta["ok"],
+                            "pix_sum": meta.get("pix_sum", 0),
                         }
                     )
                 yield pd.DataFrame.from_records(recs)
@@ -118,16 +209,98 @@ def frame_sample_plan(
     )
 
 
+def _to_pixel_array(payload: bytes):
+    """Decode a PPM/BMP payload to an (h, w, 3) uint8 RGB numpy array, or
+    None if undecodable. 8-bit formats only (the resize path's contract);
+    BMP rows are bottom-up BGR(A) and get flipped/reordered to RGB."""
+    import numpy as np
+
+    meta = image_decoder(payload)
+    if not meta["ok"]:
+        return None
+    w, h = meta["width"], meta["height"]
+    if payload[:2] == b"P6":
+        # re-walk the header to find the pixel offset
+        tokens, i = 0, 2
+        while tokens < 3:
+            while payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while payload[i] != 0x0A:
+                    i += 1
+                continue
+            while not payload[i : i + 1].isspace():
+                i += 1
+            tokens += 1
+        i += 1
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        return arr.reshape(h, w, 3)
+    import struct
+
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    nbytes = meta["channels"]
+    stride = ((w * nbytes + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    bgr = rows[:, : w * nbytes].reshape(h, w, nbytes)
+    rgb = bgr[::-1, :, [2, 1, 0]]  # bottom-up BGR(A) → top-down RGB
+    return np.ascontiguousarray(rgb)
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary-PPM (P6) payload."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
 def resize_images(
     df: DataFrame,
     binary_col: str = "payload",
     id_col: str = "media_id",
     target: tuple[int, int] = (224, 224),
+    batch_rows: int = 64,
 ) -> DataFrame:
-    """Resize stub: raises by design — no imaging libs in this container.
-    The signature + schema are the real contract; swap the body for
-    PIL/opencv in production."""
-    raise NotImplementedError(
-        "image resize requires an imaging library not present in this "
-        "environment; use decode_images(decoder=...) with a real codec"
-    )
+    """Real nearest-neighbor resize over decoded PPM/BMP payloads,
+    re-encoded as P6 PPM. Arrow-batched mapInPandas with a small batch
+    bound (decoded frames are the memory hot spot — at 100 TB,
+    repartition by byte size first, see module docstring).
+
+    Output: (id, width, height, payload) — undecodable inputs are
+    dropped (they carry no pixels to resize; the decode pass reports
+    them via ok=False)."""
+    import numpy as np
+
+    tw, th = target
+    out_schema = f"{id_col} bigint, width int, height int, payload binary"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                recs = []
+                for mid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    arr = _to_pixel_array(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    if arr is None:
+                        continue
+                    h, w = arr.shape[0], arr.shape[1]
+                    # nearest-neighbor index maps (pixel-center sampling)
+                    yi = np.minimum(((np.arange(th) + 0.5) * h / th).astype(int), h - 1)
+                    xi = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(int), w - 1)
+                    out = arr[yi][:, xi]
+                    recs.append(
+                        {
+                            id_col: mid,
+                            "width": tw,
+                            "height": th,
+                            "payload": encode_ppm(out),
+                        }
+                    )
+                yield pd.DataFrame.from_records(
+                    recs,
+                    columns=[id_col, "width", "height", "payload"],
+                )
+
+    return df.select(id_col, binary_col).mapInPandas(_resize, schema=out_schema)

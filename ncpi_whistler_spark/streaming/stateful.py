@@ -9,8 +9,11 @@ watermark-driven timeout. Here: a running per-user activity accumulator
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
+
+_CENT = Decimal("0.01")
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -46,7 +49,27 @@ def running_user_totals_stream(
         for pdf in pdfs:
             n += len(pdf)
             if exact_cents:
-                acc += int(pdf["value"].mul(100).round().sum())
+                # Cents via HALF_UP on the SHORTEST DECIMAL REPR of each
+                # double — bit-for-bit what both DuckDB's and Spark's
+                # double→DECIMAL(18,2) cast do (both stringify then round
+                # HALF_UP: 0.125→0.13, 2.675→2.68, 1.005→1.01). A
+                # vectorized binary-value round (pandas .round, np.floor
+                # (v*100+0.5)) diverges one cent wherever the binary
+                # product ties at .5 or the repr carries >2 decimals —
+                # test_stateful_exact_cents_matches_duckdb_cast pins
+                # these adversarial values. Per-value Decimal is Python-
+                # loop cost, acceptable inside an applyInPandasWithState
+                # accumulator that is already Python-side.
+                acc += int(
+                    sum(
+                        int(
+                            Decimal(repr(float(v)))
+                            .quantize(_CENT, rounding=ROUND_HALF_UP)
+                            .scaleb(2)
+                        )
+                        for v in pdf["value"]
+                    )
+                )
             else:
                 acc += float(pdf["value"].sum())
         state.update((n, acc))

@@ -92,6 +92,27 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.4, f"recall={recall}"
 
 
+def test_hyperplane_bucket_arrow_matches_fold(emb):
+    """Arrow-batched bucket must be BIT-IDENTICAL to the expression-fold
+    bucket on every fixture vector (same sequential-across-dims dot
+    order → the sign, hence the bucket, can never differ). This is what
+    lets q29 run the cheap-to-plan Arrow form while staying hash-checked
+    against the fold-form DuckDB oracle."""
+    from ncpi_whistler_spark.operators.similarity import (
+        hyperplane_bucket,
+        hyperplane_bucket_arrow,
+    )
+
+    for bits in (4, 8):
+        both = emb.select(
+            "vec_id",
+            hyperplane_bucket(F.col("embedding"), 64, bits).alias("fold"),
+            hyperplane_bucket_arrow(F.col("embedding"), 64, bits).alias("arrow"),
+        )
+        diff = both.where(F.col("fold") != F.col("arrow")).count()
+        assert diff == 0, f"bits={bits}: {diff} vectors bucket differently"
+
+
 def test_blocked_matmul_matches_fold(emb):
     """Blocked numpy path must be BIT-IDENTICAL to the expression-fold
     path: its per-dimension sequential accumulation reproduces the
@@ -302,29 +323,87 @@ def test_text_functions(spark):
     assert rows["t3"]["q"] == "short"
 
 
-def test_multimodal_decode_plumbing(spark):
+def _tiny_bmp(w: int, h: int, bgr_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bpp bottom-up BMP with 4-byte-aligned rows."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    pix = b""
+    for row in reversed(bgr_rows):  # file stores bottom row first
+        raw = b"".join(bytes(px) for px in row)
+        pix += raw + b"\x00" * (stride - len(raw))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    return hdr + info + pix
+
+
+def test_multimodal_decode_real_codecs(spark):
+    """decode_images parses REAL bytes: PPM headers (with comments), BMP
+    headers with row padding, and rejects malformed payloads row-by-row
+    without failing the pass."""
     from ncpi_whistler_spark.operators.multimodal import (
         attach_media_meta,
         decode_images,
         frame_sample_plan,
     )
 
+    ppm = b"P6\n# a comment\n3 2\n255\n" + bytes(range(3 * 2 * 3))
+    bmp = _tiny_bmp(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    trunc = b"P6\n4 4\n255\nshort"
     df = spark.createDataFrame(
-        [(1, bytearray(b"x" * 1000)), (2, bytearray(b"y" * 5000))],
+        [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(trunc)),
+         (4, bytearray(b"not an image"))],
         "media_id long, payload binary",
     )
-    meta = attach_media_meta(df, "payload", "image/png")
+    meta = attach_media_meta(df, "payload", "image/x-test")
     m = {r["media_id"]: r["payload_meta"] for r in meta.collect()}
-    assert m[1]["byte_len"] == 1000
-    assert m[1]["media_type"] == "image/png"
+    assert m[1]["byte_len"] == len(ppm)
+    assert m[1]["media_type"] == "image/x-test"
 
     decoded = {r["media_id"]: r for r in decode_images(df).collect()}
-    assert decoded[1]["width"] == 64 + 1000 % 512
-    assert decoded[2]["ok"]
+    assert (decoded[1]["width"], decoded[1]["height"], decoded[1]["channels"]) == (3, 2, 3)
+    assert decoded[1]["ok"] and decoded[1]["pix_sum"] == sum(range(18))
+    assert (decoded[2]["width"], decoded[2]["height"]) == (2, 2)
+    assert decoded[2]["ok"] and decoded[2]["pix_sum"] == sum(range(1, 13))
+    assert not decoded[3]["ok"] and not decoded[4]["ok"]
 
     frames = frame_sample_plan(df, every_n=2)
-    fcount = frames.groupBy("media_id").count().collect()
-    assert {r["media_id"]: r["count"] for r in fcount}[2] >= 2
+    assert frames.groupBy("media_id").count().count() == 4
+
+
+def test_multimodal_resize_nearest(spark):
+    """resize_images produces a real resized P6 payload: 4x4 quadrant
+    image at 2x2 keeps one pixel per quadrant; BMP input round-trips
+    through BGR→RGB + bottom-up flip; undecodable rows are dropped."""
+    from ncpi_whistler_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+    )
+
+    quad = {(0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+            (1, 0): (0, 0, 255), (1, 1): (9, 9, 9)}
+    px = b""
+    for y in range(4):
+        for x in range(4):
+            px += bytes(quad[(y // 2, x // 2)])
+    ppm = b"P6\n4 4\n255\n" + px
+    bmp = _tiny_bmp(2, 1, [[(3, 2, 1), (6, 5, 4)]])  # BGR on disk
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, target=(2, 2)).collect()}
+    assert set(out) == {1, 2}
+    r1 = decode_ppm(bytes(out[1]["payload"]))
+    assert (r1["width"], r1["height"], r1["ok"]) == (2, 2, True)
+    body = bytes(out[1]["payload"])[-12:]
+    assert body == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    # BMP: stored BGR bottom-up; decoded+resized payload must be RGB
+    body2 = bytes(out[2]["payload"])[-12:]
+    assert body2 == bytes((1, 2, 3, 4, 5, 6) * 2)
+    r2 = decode_ppm(bytes(out[2]["payload"]))
+    assert r2["ok"] and r2["pix_sum"] == (1 + 2 + 3 + 4 + 5 + 6) * 2
 
 
 def test_ivf_full_probe_equals_exact(emb):

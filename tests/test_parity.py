@@ -32,20 +32,23 @@ def test_entry_contract(spark):
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) == len(REGISTRY)
+    from ncpi_whistler_spark.queries import DRIVER_REGISTRY
+
+    assert list(q) == list(DRIVER_REGISTRY)
+    assert len(q) <= 50
 
 
-def test_priority_window_integrity():
-    """The first 50 registry entries (the driver-verified window) are
-    exactly the declared priority list — 50 unique, all present, every
-    one oracle-checked."""
-    from ncpi_whistler_spark.queries import _PRIORITY_WINDOW, REGISTRY
+def test_driver_registry_integrity():
+    """The driver surface is exactly 50 unique, registered, oracle-checked
+    queries in natural qNN order — 100% of what __spark_entry__ declares
+    gets an independent driver CORRECTNESS row."""
+    from ncpi_whistler_spark.queries import DRIVER_QUERIES, DRIVER_REGISTRY, REGISTRY
 
-    assert len(_PRIORITY_WINDOW) == 50
-    assert len(set(_PRIORITY_WINDOW)) == 50
-    missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
-    assert missing == [], f"stale window names: {missing}"
-    first50 = list(REGISTRY)[:50]
-    assert first50 == _PRIORITY_WINDOW
-    no_oracle = [n for n in first50 if REGISTRY[n][1] is None]
-    assert no_oracle == [], f"rows-only queries in the window: {no_oracle}"
+    assert len(DRIVER_QUERIES) == 50
+    assert len(set(DRIVER_QUERIES)) == 50
+    assert all(n in REGISTRY for n in DRIVER_QUERIES)
+    nums = [int(n[1:].split("_", 1)[0]) for n in DRIVER_QUERIES]
+    assert nums == sorted(nums), "driver surface must be natural qNN order"
+    no_oracle = [n for n in DRIVER_QUERIES if REGISTRY[n][1] is None]
+    assert no_oracle == [], f"rows-only queries in driver surface: {no_oracle}"
+    assert list(DRIVER_REGISTRY) == DRIVER_QUERIES

@@ -84,6 +84,53 @@ def test_stateful_running_totals(spark):
     assert got == want
 
 
+def test_stateful_exact_cents_matches_duckdb_cast(spark, tmp_path):
+    """exact_cents must round EXACTLY like the q88 oracle's DuckDB
+    CAST(value AS DECIMAL(18,2)) — half-even on the binary value
+    (0.125→0.12, 2.675 (binary 2.67499…)→2.67) — including on .5-cent
+    ties where Spark's own decimal cast disagrees (it HALF_UPs the
+    shortest decimal string: 0.125→0.13). The adversarial values below
+    make any other rounding mode drift by ≥1 cent."""
+    import duckdb
+    import pyspark.sql.functions as FF
+
+    from ncpi_whistler_spark.streaming.stateful import running_user_totals_stream
+
+    src = tmp_path / "ev"
+    vals = [0.125, 0.125, -0.125, 2.675, 1.005, 0.135]
+    spark.createDataFrame(
+        [(1, float(v), "2024-01-01 00:00:%02d" % i) for i, v in enumerate(vals)],
+        "user_id long, value double, ts string",
+    ).withColumn("ts", FF.to_timestamp("ts")).write.parquet(str(src))
+
+    stream_src = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .parquet(str(src))
+    )
+    q = (
+        running_user_totals_stream(stream_src, exact_cents=True)
+        .writeStream.format("memory")
+        .queryName("cents_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = (
+        spark.table("cents_test")
+        .orderBy(FF.col("n_events").desc())
+        .first()
+    )
+    want = duckdb.connect().execute(
+        "SELECT SUM(CAST(value AS DECIMAL(18,2))) "
+        f"FROM read_parquet('{src}/*.parquet')"
+    ).fetchone()[0]
+    assert final["n_events"] == len(vals)
+    assert abs(final["total_value"] - float(want)) < 1e-9, (
+        f"stream {final['total_value']} != duckdb decimal {want}"
+    )
+
+
 def test_session_stream_sane(spark):
     stream = session_counts_stream(read_events_stream(spark, SF_DIR))
     run_stream_to_memory(stream, "session_test")

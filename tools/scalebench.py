@@ -190,6 +190,13 @@ def replicate(
         from ncpi_whistler_spark.catalog import load_table
 
         ev = load_table(spark, sf_dir, "events")
+        _max_ids = ev.agg(
+            F.max("event_id").alias("e"), F.max("user_id").alias("u")
+        ).first()
+        assert max(_max_ids["e"], _max_ids["u"]) < ID_STRIDE, (
+            f"fixture ids exceed ID_STRIDE={ID_STRIDE}; replica ranges "
+            "would overlap and merge sessions across replicas"
+        )
         # Replicas are shifted 10 years apart as well as user/id-strided:
         # identical ids or overlapping time ranges would MERGE replicas'
         # sessions/windows, and same-range replication grows per-hour
@@ -203,7 +210,11 @@ def replicate(
             ev.select(
                 (F.col("event_id") + F.lit(r * ID_STRIDE)).alias("event_id"),
                 (F.col("ts") + F.expr(f"INTERVAL {r * 87600} HOURS")).alias("ts"),
-                (F.col("user_id") + F.lit(r * 1_000_000)).alias("user_id"),
+                # same stride as ids: a 1e6 stride would overlap replica
+                # user ranges at larger fixtures (silently MERGING their
+                # sessions/as-of matches and corrupting the measurement);
+                # _assert_replica_safe guards the precondition.
+                (F.col("user_id") + F.lit(r * ID_STRIDE)).alias("user_id"),
                 "event_type",
                 "value",
                 "props",
