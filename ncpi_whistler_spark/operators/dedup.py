@@ -667,6 +667,22 @@ def embedding_dup_pairs(
 # --------------------------------------------------------------------------
 
 
+def _lineage_cutter(df: DataFrame, checkpoint_dir: str | None):
+    """Per-round lineage cut for iterative algorithms. ``checkpoint_dir``
+    None → localCheckpoint (executor-local blocks: fastest, but a lost
+    executor forfeits them and the lineage is GONE — single-node / bench
+    use). Set it to reliable storage (HDFS/S3 path) on a real cluster:
+    rounds then checkpoint through the FileSystem so losing an executor
+    costs one round's re-read, not the whole iteration chain. Both modes
+    produce identical labels (test-asserted)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -674,6 +690,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "node",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the missing
     step between near-dup PAIRS and dedup GROUPS: transitive closure
@@ -694,11 +711,12 @@ def connected_components(
     MapReduce and Beyond") which converges in O(log n) rounds on the
     same join+agg primitive.
 
-    Every round ends in an eager localCheckpoint(): iterative self-joins
+    Every round ends in an eager lineage cut: iterative self-joins
     otherwise stack an exponentially growing lineage that Catalyst
-    re-analyzes per round (the classic iterative-DataFrame trap). On a
-    real cluster use checkpoint() to reliable storage instead so a lost
-    executor doesn't recompute the whole chain.
+    re-analyzes per round (the classic iterative-DataFrame trap).
+    Default is localCheckpoint (single-node); pass ``checkpoint_dir``
+    (reliable storage) on a real cluster so a lost executor doesn't
+    recompute the whole chain — see _lineage_cutter.
 
     ``vertices`` (single-column DataFrame) adds isolated nodes, which
     come back as their own singleton component. The reference engine has
@@ -717,10 +735,9 @@ def connected_components(
             vertices.select(F.col(vertices.columns[0]).cast("long").alias(id_col))
         )
     sym = sym.persist()
-    labels = (
-        nodes.distinct()
-        .select(F.col(id_col), F.col(id_col).alias("component"))
-        .localCheckpoint(eager=True)
+    labels = _lineage_cutter(
+        nodes.distinct().select(F.col(id_col), F.col(id_col).alias("component")),
+        checkpoint_dir,
     )
     prev = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
@@ -730,11 +747,11 @@ def connected_components(
             sym.join(labels.withColumnRenamed(id_col, "v"), on="v")
             .select(F.col("u").alias(id_col), "component")
         )
-        labels_new = (
+        labels_new = _lineage_cutter(
             labels.union(prop)
             .groupBy(id_col)
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            checkpoint_dir,
         )
         cur = labels_new.agg(F.sum("component")).first()[0]
         converged = cur == prev
@@ -833,6 +850,7 @@ def connected_components_star(
     vertices: DataFrame | None = None,
     id_col: str = "node",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star edge
     rewrites (Kiveris et al., "Connected Components in MapReduce and
@@ -903,11 +921,11 @@ def connected_components_star(
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        nxt = (
+        nxt = _lineage_cutter(
             _small_star(_large_star(cur))
             .where(F.col("a") != F.col("b"))
-            .dropDuplicates()
-            .localCheckpoint(eager=True)
+            .dropDuplicates(),
+            checkpoint_dir,
         )
         sig = nxt.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.col("a") + F.col("b")).alias("s")

@@ -59,6 +59,7 @@ def embed(
     child_name: str,
     broadcast_child: bool = True,
     tag_table_name: bool = True,
+    keep_keys: bool = False,
 ) -> DataFrame:
     """J1/J2: left outer join of pre-nested child rows into the parent.
 
@@ -76,7 +77,11 @@ def embed(
     "much faster" than scanning, docs/ref/project_config.md:96).
     """
     keys = _split_keys(on)
-    child_cols = [c for c in child.columns if c not in keys]
+    # reference embed rows RETAIN the join column (wstlr/embedable.py:
+    # 42-53 stores the whole DictReader line); keep_keys=True mirrors
+    # that for whistle-input parity, default drops it (redundant with
+    # the parent's key).
+    child_cols = [c for c in child.columns if keep_keys or c not in keys]
     fields = [F.col(c) for c in child_cols]
     if tag_table_name:
         fields.insert(0, F.lit(child_name).alias("table_name"))

@@ -112,7 +112,7 @@ def extract_table(
         df = df.drop(ROW_ID)
 
     for child_name, child_df, colname in embeds.get(tbl.name, []):
-        df = embed(df, child_df, colname, child_name)
+        df = embed(df, child_df, colname, child_name, keep_keys=True)
 
     return df
 
@@ -175,7 +175,10 @@ def to_whistle_input(dataset: ExtractedDataset, max_rows: int | None = MAX_WHIST
     Each table is capped at ``max_rows`` (pass ``None`` to disable for
     golden-output tests); an over-cap table raises rather than silently
     pulling an unbounded corpus onto the driver."""
+    from ncpi_whistler_spark.functions.core import dd_system_url
+
     cfg = dataset.config
+    dd_prefix = cfg.dd_prefix or cfg.identifier_prefix
     doc: dict = {
         "config": {"missing": cfg.missing_values},
         "study": {
@@ -184,19 +187,61 @@ def to_whistle_input(dataset: ExtractedDataset, max_rows: int | None = MAX_WHIST
             "title": cfg.study_title,
             "desc": cfg.study_desc,
             "identifier-prefix": cfg.identifier_prefix,
-            "dd-prefix": cfg.dd_prefix or cfg.identifier_prefix,
+            "dd-prefix": dd_prefix,
             "url": cfg.url,
-            "publisher": cfg.publisher,
+            # reference default (wstlr/extractor.py:244-245)
+            "publisher": cfg.publisher or "NCPI FHIR Working Group",
             "data-dictionary": [{"study": cfg.study_id, "values": []}],
             "annotations": cfg.annotations,
         },
         "code-systems": [],
         "harmony": [],
     }
-    if dataset.concept_map is not None:
-        doc["harmony"] = [
-            row.asDict() for row in dataset.concept_map.mappings.collect()
-        ]
+    # study-level DataSet DD + code system, then per-table DD/CS entries in
+    # config order — the reference's document skeleton
+    # (wstlr/extractor.py:247-331: obj_as_dd/obj_as_cs, table_as_dd,
+    # table_as_cs, variables_as_cs).
+    study_url = dd_system_url(dd_prefix, "CodeSystem", None, "DataSet", None)
+    doc["study"]["data-dictionary"][0] = {
+        "url": study_url,
+        "study": cfg.study_id,
+        "table_name": "DataSet",
+        "values": [
+            dd.as_study_member_entry(dd_prefix) for dd in dataset.dds.values()
+        ],
+    }
+    doc["code-systems"].append(
+        {
+            "url": study_url,
+            "study": cfg.study_id,
+            "table_name": "DataSet",
+            "values": [
+                {"code": name, "description": dd.table_desc()}
+                for name, dd in dataset.dds.items()
+            ],
+        }
+    )
+    for name in cfg.dataset:
+        dd = dataset.dds.get(name)
+        if dd is None:
+            continue
+        doc["study"]["data-dictionary"].append(dd.as_dd_table(dd_prefix))
+        doc["code-systems"].append(dd.as_table_cs(cfg.study_id, dd_prefix))
+        doc["code-systems"].extend(dd.variables_as_cs(cfg.study_id, dd_prefix))
+    # harmony: one nested object per distinct harmony file, first-seen
+    # config order, gated on ALL/harmony activity (wstlr/extractor.py:
+    # 299-310) — reference document shape via whistle_harmony_obj.
+    if cfg.active_tables.get("ALL") or cfg.active_tables.get("harmony") or not cfg.active_tables:
+        from ncpi_whistler_spark.sources.harmony import whistle_harmony_obj
+
+        seen_harmony: set[str] = set()
+        for tbl in cfg.dataset.values():
+            hf = tbl.code_harmonization
+            if hf and hf not in seen_harmony:
+                seen_harmony.add(hf)
+                doc["harmony"].append(
+                    whistle_harmony_obj(hf, curies=cfg.curies)
+                )
     for name, df in dataset.tables.items():
         if max_rows is not None:
             rows = df.limit(max_rows + 1).collect()

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 #: reference backoff constants (wstlr/load.py:398-409)
 RATE_LIMIT_SLEEP = 35.0
 ERROR_SLEEP = 5.0
+#: client errors a retry cannot fix (bad auth, malformed resource, missing
+#: target): fail fast instead of sleeping — at load scale, retry-sleeping
+#: through millions of rows of a misconfigured credential is catastrophic.
+NON_RETRYABLE = frozenset({400, 401, 403, 404, 405, 409, 412, 422})
 #: terminology loads first, synchronously (wstlr/load.py:233-246)
 SYNCHRONOUS_TYPES = ("CodeSystem", "ValueSet")
 
@@ -151,7 +155,7 @@ def _load_partition(
                 counts.setdefault(rt, [0, 0])[0] += 1
                 break
             attempts += 1
-            if attempts > max_retries:
+            if attempts > max_retries or result.status in NON_RETRYABLE:
                 counts.setdefault(rt, [0, 0])[1] += 1
                 break
             sleep_fn(RATE_LIMIT_SLEEP if result.status == 429 else ERROR_SLEEP)

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ncpi_whistler_spark.functions.core import (
+    dd_system_url,
     fix_fieldname,
     parse_enumerations,
     standardize_dd_type,
@@ -91,6 +92,69 @@ class DdVariable:
     min: str | None = None
     max: str | None = None
     key_component: bool = False
+
+    @property
+    def desc(self) -> str:
+        """description, falling back to the raw variable name
+        (wstlr/dd/variable.py:75-79)."""
+        if self.description is not None and self.description.strip():
+            return self.description
+        return self.raw_name
+
+    def values_for_json(self) -> list[dict[str, str]]:
+        """Enumerations as whistle-input value objects; empty/None
+        descriptions fall back to the code (wstlr/dd/variable.py:167-178).
+        """
+        out = []
+        for code, desc in self.enumerations.items():
+            if desc is None or desc == "None" or not desc.strip():
+                desc = code
+            out.append({"code": code, "description": desc})
+        return out
+
+    def as_dd_entry(
+        self, url_base: str, table_name: str, consent_group: str | None = None
+    ) -> dict:
+        """Whistle-input DD entry (wstlr/dd/variable.py:118-132): raw
+        varname + canonical type + enum values, with values-url/-details
+        only when enumerations exist."""
+        obj: dict = {
+            "varname": self.raw_name,
+            "desc": self.desc,
+            "type": self.data_type,
+            "values": self.values_for_json(),
+        }
+        if obj["values"]:
+            obj["values-url"] = dd_system_url(
+                url_base, "CodeSystem", consent_group, table_name, self.raw_name
+            )
+            obj["values-details"] = {
+                "table-name": table_name,
+                "varname": self.raw_name,
+            }
+        return obj
+
+    def as_cs(
+        self,
+        study_name: str,
+        table_name: str,
+        url_base: str,
+        consent_group: str | None = None,
+    ) -> dict:
+        """Whistle-input code-system entry for this variable
+        (wstlr/dd/variable.py:150-165)."""
+        obj: dict = {
+            "varname": self.raw_name,
+            "url": dd_system_url(
+                url_base, "CodeSystem", consent_group, table_name, self.raw_name
+            ),
+            "study": study_name,
+            "table_name": table_name,
+            "values": self.values_for_json(),
+        }
+        if consent_group is not None:
+            obj["consent_group"] = consent_group
+        return obj
 
     def spark_field(self) -> StructField:
         md = {
@@ -221,6 +285,73 @@ class DataDictionary:
             else:
                 cols.append(F.col(c).try_cast(_SPARK_TYPES[v.data_type].simpleString()).alias(c))
         return df.select(*cols)
+
+    # -- whistle-input document shapes (task S8 full-doc parity) ----------
+    #
+    # Reference: wstlr/dd/table.py:86-149 + wstlr/dd/study.py:51-91. The
+    # "desc" of a table falls back to its name; variable lists keep DD
+    # row order (the reference's insertion-ordered dict).
+
+    def table_url(self, url_base: str, consent_group: str | None = None) -> str:
+        return dd_system_url(
+            url_base, "CodeSystem", consent_group, self.table_name, None
+        )
+
+    def table_desc(self) -> str:
+        return self.table_name  # CSV DDs carry no table description
+
+    def as_dd_table(self, url_base: str, consent_group: str | None = None) -> dict:
+        """obj_as_dd_table (wstlr/dd/table.py:118-130): per-variable DD
+        entries under the table url."""
+        return {
+            "table_name": self.table_name,
+            "url": self.table_url(url_base, consent_group),
+            "variables": [
+                v.as_dd_entry(url_base, self.table_name, consent_group)
+                for v in self.variables
+            ],
+        }
+
+    def as_table_cs(
+        self, study_name: str, url_base: str, consent_group: str | None = None
+    ) -> dict:
+        """obj_as_cs (wstlr/dd/table.py:131-149): the table itself as a
+        code system whose codes are its variable names."""
+        return {
+            "varname": None,
+            "url": self.table_url(url_base, consent_group),
+            "study": study_name,
+            "values": [
+                {"code": v.raw_name, "description": v.desc} for v in self.variables
+            ],
+            "table_name": self.table_name,
+        }
+
+    def variables_as_cs(
+        self, study_name: str, url_base: str, consent_group: str | None = None
+    ) -> list[dict]:
+        """variables_as_cs (wstlr/dd/table.py:108-116): one code-system
+        entry per variable (including enum-less ones, matching the
+        reference's unconditional append)."""
+        return [
+            v.as_cs(study_name, self.table_name, url_base, consent_group)
+            for v in self.variables
+        ]
+
+    def as_study_member_entry(
+        self, url_base: str, consent_group: str | None = None
+    ) -> dict:
+        """obj_as_dd_variable at table grain (wstlr/dd/table.py:86-107):
+        the table as ONE entry of the study-level DataSet DD."""
+        return {
+            "varname": self.table_name,
+            "desc": self.table_desc(),
+            "type": "DD-Table",
+            "url": self.table_url(url_base, consent_group),
+            "values": [
+                {"code": v.raw_name, "description": v.desc} for v in self.variables
+            ],
+        }
 
     def to_csv(self, path: str) -> None:
         """S12: DD → CSV file (the JsonParser.convert_to_csv analog,

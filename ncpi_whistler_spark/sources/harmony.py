@@ -274,3 +274,112 @@ class ConceptMap:
             F.col("system").alias("target"),
             "element",
         )
+
+
+#: reference's default terminology url base (wstlr/__init__.py:14)
+SYSTEM_BASE = "https://nih-ncpi.github.io/ncpi-fhir-ig"
+
+
+def whistle_harmony_obj(
+    path: str,
+    curies: Mapping[str, str] | None = None,
+    consent_group: str | None = None,
+    url_base: str = SYSTEM_BASE,
+) -> dict:
+    """One harmony CSV → the whistle-input document's nested harmony
+    object (source_codes / target_codes / mappings), reference-shape-exact
+    (wstlr/conceptmap.py:35-219: per-(system,table,parent) source
+    value-set components with curie-prefixed codes, last-wins target
+    codings, first-wins mapping elements, file order preserved).
+
+    Driver-side by design: this object IS part of the single JSON
+    inter-stage document (S8), and harmony files are config-scale. The
+    engine's scale path — the broadcast ConceptMap DataFrame — never
+    routes through here.
+    """
+    import csv
+
+    from ncpi_whistler_spark.functions.core import dd_system_url
+
+    curies = curies or {}
+
+    def prefixed(code: str, system: str) -> str:
+        return f"{curies[system]}:{code}" if system in curies else code
+
+    vs_sources: dict[tuple[str, str, str], list[dict]] = {}
+    targets: dict[str, dict[str, dict]] = {}
+    mappings: dict[str, dict] = {}
+    with open(path, newline="") as fh:
+        for line in csv.DictReader(fh, delimiter=",", quotechar='"'):
+            table = line["table_name"]
+            if table.strip() == "":
+                continue
+            local_cs, local_code = line["local code system"], line["local code"]
+            target_cs, target_code = line["code system"], line["code"]
+            parent = line["parent_varname"]
+
+            vs_sources.setdefault((local_cs, table, parent), []).append(
+                {"code": prefixed(local_code, local_cs), "display": line["text"]}
+            )
+            targets.setdefault(target_cs, {})[target_code] = {
+                "code": prefixed(target_code, target_cs),
+                "display": line["display"],
+            }
+            m = mappings.setdefault(
+                local_cs, {"table": table, "parent": parent, "group": {}}
+            )
+            codes = m["group"].setdefault(target_cs, {})
+            el = codes.setdefault(
+                local_code, {"display": line["text"], "target": {}}
+            )
+            el["target"][target_code] = line["display"]
+
+    obj: dict = {"source_codes": [], "target_codes": [], "mappings": []}
+    for (local_cs, table, parent), codes in vs_sources.items():
+        obj["source_codes"].append(
+            {
+                "system": dd_system_url(
+                    url_base, "CodeSystem", consent_group, table, local_cs
+                ),
+                "table_name": table,
+                "parent_varname": parent,
+                "codes": list(codes),
+            }
+        )
+    for target_cs, code_map in targets.items():
+        obj["target_codes"].append(
+            {
+                "system": target_cs,
+                "table_name": "",
+                "parent_varname": "",
+                "codes": [
+                    {"code": c["code"], "display": c["display"]}
+                    for c in code_map.values()
+                ],
+            }
+        )
+    for local_cs, m in mappings.items():
+        src_url = dd_system_url(
+            url_base, "CodeSystem", consent_group, m["table"], local_cs
+        )
+        for target_cs, codes in m["group"].items():
+            obj["mappings"].append(
+                {
+                    "source": src_url,
+                    "table": m["table"],
+                    "parent": m["parent"],
+                    "target": target_cs,
+                    "element": [
+                        {
+                            "code": code,
+                            "display": el["display"],
+                            "target": [
+                                {"code": tc, "display": td}
+                                for tc, td in el["target"].items()
+                            ],
+                        }
+                        for code, el in codes.items()
+                    ],
+                }
+            )
+    return obj

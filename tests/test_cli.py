@@ -293,3 +293,72 @@ def test_cli_load_via_named_host(spark, study_dir, tmp_path, monkeypatch):  # no
     finally:
         srv.shutdown()
     assert hits and all(p.startswith("/fhir/") for p in hits)
+
+
+def test_cli_load_auth_round_trip(spark, study_dir, tmp_path):  # noqa: F811
+    """Auth headers actually reach the wire: the server REJECTS requests
+    without the expected Authorization (401), and `load --host` succeeds
+    for both auth_basic and auth_bearer host entries while a no_auth
+    entry against the same server fails."""
+    import base64
+    import http.server
+    import threading
+
+    out = str(tmp_path / "resources")
+    assert cli.main(["resources", str(study_dir / "study.yaml"), "--out", out]) == 0
+
+    basic_tok = base64.b64encode(b"alice:s3cret").decode()
+    seen: list[str | None] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _handle(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            auth = self.headers.get("Authorization")
+            seen.append(auth)
+            if auth not in (f"Basic {basic_tok}", "Bearer tok-123"):
+                self.send_response(401)
+                self.end_headers()
+                self.wfile.write(b'{"issue": "unauthorized"}')
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/fhir+json")
+            self.end_headers()
+            self.wfile.write(b'{"id": "srv-1"}')
+
+        do_POST = _handle
+        do_PUT = _handle
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/fhir"
+        hosts = tmp_path / "fhir_hosts"
+        hosts.write_text(
+            "basic:\n"
+            "  host_desc: basic-auth server\n"
+            f"  target_service_url: {url}\n"
+            "  auth_type: auth_basic\n"
+            "  username: alice\n"
+            "  password: s3cret\n"
+            "bearer:\n"
+            "  host_desc: bearer server\n"
+            f"  target_service_url: {url}\n"
+            "  auth_type: auth_bearer\n"
+            "  token: tok-123\n"
+            "anon:\n"
+            "  host_desc: no auth creds\n"
+            f"  target_service_url: {url}\n"
+            "  auth_type: no_auth\n"
+        )
+        hf = ["--hosts-file", str(hosts)]
+        assert cli.main(["load", out, "--host", "basic", *hf]) == 0
+        assert cli.main(["load", out, "--host", "bearer", *hf]) == 0
+        # same server, credentials withheld -> 401s -> nonzero exit
+        assert cli.main(["load", out, "--host", "anon", *hf]) == 2
+    finally:
+        srv.shutdown()
+    assert f"Basic {basic_tok}" in seen and "Bearer tok-123" in seen
+    assert None in seen  # the rejected anonymous attempt hit the server

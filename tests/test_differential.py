@@ -336,3 +336,152 @@ def test_aggregator_classification_differential(wstlr):
     assert {k: set(v) for k, v in agg.items()} == {
         k: set(v) for k, v in ref_agg.items()
     }
+
+
+# --------------------------------------------------------------------------
+# S8 end-to-end: the WHOLE whistle-input document, reference vs engine
+# --------------------------------------------------------------------------
+
+_FULLDOC_PARTICIPANT = """Participant ID,Sex,Race,Age (years)
+P0001,1,White,34
+P0002,2,Black or African American,41
+P0003,1,NA,NA
+"""
+
+_FULLDOC_DD = """variable_name,description,data_type,enumerations,min,max,units
+Participant ID,Unique participant identifier,identifier,,,,
+Sex,Sex assigned at birth,enumeration,1=Male;2=Female,,,
+Race,Self-reported race,enumeration,,,,
+Age (years),Age at enrollment,integer,,0,120,years
+"""
+
+_FULLDOC_SPECIMEN = """sample_id,participant_id,sample_type
+S1,P0001,blood
+S2,P0001,saliva
+S3,P0002,blood
+"""
+
+_FULLDOC_MANIFEST = """sample_id,file_name,file_type
+S1,f1.bam,bam
+S1,f2.vcf,vcf
+S3,f3.bam,bam
+"""
+
+_FULLDOC_ALIQUOT = """Sample ID,Barcode,participantid,vial_volume
+SAMPLE001,001234,P0001,0
+SAMPLE001,0124012,P0001,1
+SAMPLE002,002001,P0002,2
+"""
+
+_FULLDOC_SURVEY = """Subject ID,Visit,med_aspirin,med_statin,sym_fever
+P0001,V1,81,NA,yes
+P0002,V2,,325,no
+"""
+
+_FULLDOC_HARMONY = """local code,text,local code system,code,display,code system,table_name,parent_varname,comment
+1,Male,sex,male,Male,http://hl7.org/fhir/administrative-gender,participant,sex,
+2,Female,sex,female,Female,http://hl7.org/fhir/administrative-gender,participant,sex,
+White,White,race,2106-3,White,urn:oid:2.16.840.1.113883.6.238,participant,race,
+"""
+
+
+def _fulldoc_study(tmp_path):
+    d = tmp_path / "fullstudy"
+    d.mkdir()
+    (d / "participant.csv").write_text(_FULLDOC_PARTICIPANT)
+    (d / "participant-dd.csv").write_text(_FULLDOC_DD)
+    (d / "specimen.csv").write_text(_FULLDOC_SPECIMEN)
+    (d / "file_manifest.csv").write_text(_FULLDOC_MANIFEST)
+    (d / "aliquot.csv").write_text(_FULLDOC_ALIQUOT)
+    (d / "survey.csv").write_text(_FULLDOC_SURVEY)
+    (d / "harmony.csv").write_text(_FULLDOC_HARMONY)
+    (d / "study.yaml").write_text(
+        f"""
+study_id: FULLDOC
+study_title: Full Document Study
+identifier_prefix: https://example.org/fulldoc
+id_colname: participant_id
+curies: {{}}
+active_tables:
+  ALL: true
+dataset:
+  participant:
+    filename: {d}/participant.csv
+    code_harmonization: {d}/harmony.csv
+    data_dictionary:
+      filename: {d}/participant-dd.csv
+  specimen:
+    filename: {d}/specimen.csv
+  file_manifest:
+    filename: {d}/file_manifest.csv
+    embed:
+      dataset: specimen
+      colname: sample_id
+  aliquot:
+    filename: {d}/aliquot.csv
+    subject_id: participantid
+    group_by: Sample ID
+    key_columns: Barcode
+  survey:
+    filename: {d}/survey.csv
+    aggregator-splitter: _
+    aggregators:
+      medications: ^med_
+      symptoms: ^sym_
+"""
+    )
+    return d
+
+
+def _canon_doc(v):
+    """Order- and representation-insensitive canonical form: drop
+    None/'' values (engine NULLs ≡ reference absent/empty), stringify
+    scalars (engine DD-typed ints ≡ reference csv strings), sort every
+    list of objects by its canonical dump."""
+    import json
+
+    if isinstance(v, dict):
+        out = {}
+        for k, val in v.items():
+            c = _canon_doc(val)
+            if c is None or c == "":
+                continue
+            out[k] = c
+        return out
+    if isinstance(v, list):
+        return sorted(
+            (_canon_doc(x) for x in v), key=lambda x: json.dumps(x, sort_keys=True)
+        )
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (int, float)):
+        return str(v)
+    return v
+
+
+def test_whistle_input_full_document_differential(wstlr, spark, tmp_path):
+    """S8 end-to-end: the reference's DataCsvToObject
+    (wstlr/extractor.py:207-375) vs the engine's
+    extract_dataset→to_whistle_input on a study exercising embeds +
+    groupers + aggregators + harmony + DD — the two whistle-input JSON
+    documents must be key-for-key identical (canonicalized for ordering
+    and the engine's typed columns)."""
+    from wstlr.config import Configuration
+    from wstlr.extractor import DataCsvToObject
+
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.pipeline import extract_dataset, to_whistle_input
+
+    d = _fulldoc_study(tmp_path)
+    with open(d / "study.yaml", encoding="utf-8-sig") as fh:
+        ref_doc = DataCsvToObject(Configuration(fh))
+
+    eng_cfg = StudyConfig.from_yaml(str(d / "study.yaml"))
+    eng_doc = to_whistle_input(extract_dataset(spark, eng_cfg), max_rows=None)
+
+    ref_c, eng_c = _canon_doc(ref_doc), _canon_doc(eng_doc)
+    assert sorted(ref_c) == sorted(eng_c), (sorted(ref_c), sorted(eng_c))
+    for key in ref_c:
+        assert eng_c[key] == ref_c[key], f"section {key!r} differs"

@@ -514,6 +514,36 @@ def test_connected_components_chain_and_singleton(spark):
     }
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (reliable-storage checkpoint, the cluster
+    fault-tolerance path) must produce labels identical to the default
+    localCheckpoint mode for BOTH CC variants, and must actually write
+    checkpoint data under the given directory."""
+    import os
+
+    from ncpi_whistler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(7,), (1,)], "node long")
+    ckpt = str(tmp_path / "ckpt")
+    for fn in (connected_components, connected_components_star):
+        base = {
+            (r["node"], r["component"])
+            for r in fn(edges, vertices=verts).collect()
+        }
+        reliable = {
+            (r["node"], r["component"])
+            for r in fn(edges, vertices=verts, checkpoint_dir=ckpt).collect()
+        }
+        assert base == reliable, fn.__name__
+    assert any(os.scandir(ckpt)), "no checkpoint data written to reliable dir"
+
+
 def test_connected_components_star_equals_minlabel(spark):
     """The O(log n) large-star/small-star variant returns exactly the
     min-label CC labels on the shapes that stress it: a 64-node chain

@@ -273,7 +273,16 @@ def test_whistle_input_doc_shape(extracted):
     assert doc["config"]["missing"] == extracted.config.missing_values
     assert "participant" in doc and len(doc["participant"]) == 3
     assert doc["harmony"]  # mappings included
-    assert doc["study"]["data-dictionary"] == [{"study": "TESTSTUDY", "values": []}]
+    # study-level DataSet DD + one table entry per DD-bearing table
+    # (reference parity proven key-for-key in test_differential's
+    # test_whistle_input_full_document_differential)
+    dd_doc = doc["study"]["data-dictionary"]
+    assert dd_doc[0]["study"] == "TESTSTUDY"
+    assert dd_doc[0]["table_name"] == "DataSet"
+    assert [t["varname"] for t in dd_doc[0]["values"]] == ["participant"]
+    assert [t["table_name"] for t in dd_doc[1:]] == ["participant"]
+    cs_tables = [c.get("table_name") for c in doc["code-systems"]]
+    assert "DataSet" in cs_tables and "participant" in cs_tables
 
 
 def test_whistle_input_row_cap(extracted):

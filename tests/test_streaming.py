@@ -131,6 +131,148 @@ def test_stateful_exact_cents_matches_duckdb_cast(spark, tmp_path):
     )
 
 
+def _drop_events(spark, dirpath, rows):
+    import pyspark.sql.functions as FF
+
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts string"
+    ).withColumn("ts", FF.to_timestamp("ts")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(dirpath))
+
+
+def test_watermark_bounds_state_and_drops_late(spark, tmp_path):
+    """THE thing watermarks exist for, driven across 3 explicit
+    micro-batches: state-store rows are evicted as event time advances
+    (bounded state), and a row arriving beyond the watermark is dropped,
+    not aggregated. Asserted from the engine's own progress metrics
+    (stateOperators.numRowsTotal / numRowsDroppedByWatermark)."""
+    from ncpi_whistler_spark.streaming.windows import hourly_counts_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1: three 1-hour windows at hours 0-2
+    _drop_events(
+        spark,
+        src,
+        [(i, 1, "click", 1.0, f"2024-01-01 0{h}:15:00") for i, h in enumerate([0, 1, 2])],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, ts timestamp"
+        ).parquet(str(src))
+    )
+    q = (
+        hourly_counts_stream(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("wm_bound_test")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_b1 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state_b1 >= 3  # all three open windows held
+
+        # batch 2: jump to hours 10-12 -> watermark 10:00, hours 0-2 close
+        _drop_events(
+            spark,
+            src,
+            [(10 + i, 1, "click", 1.0, f"2024-01-01 {h}:15:00") for i, h in enumerate([10, 11, 12])],
+        )
+        q.processAllAvailable()
+
+        # batch 3: hour 20 plus one LATE row at hour 1 (far beyond the
+        # 2h watermark) -> late row dropped, old window state evicted
+        _drop_events(
+            spark,
+            src,
+            [
+                (20, 1, "click", 1.0, "2024-01-01 20:15:00"),
+                (99, 1, "click", 100.0, "2024-01-01 01:20:00"),
+            ],
+        )
+        q.processAllAvailable()
+        # one more empty-ish advance so eviction for the 20:00 watermark runs
+        _drop_events(spark, src, [(21, 1, "click", 1.0, "2024-01-01 21:15:00")])
+        q.processAllAvailable()
+
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in progresses
+        )
+        assert dropped >= 1, "late row was not dropped by the watermark"
+        final_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        # 7 windows were ever opened; only those >= watermark-horizon may
+        # remain. Eviction = state does NOT accumulate across batches.
+        assert final_state < 7, f"state grew unbounded: {final_state} rows"
+    finally:
+        q.stop()
+
+    # the late row's window (hour 01) was finalized in batch 2 WITHOUT the
+    # late value: count 1, sum 1.0 — not 101.0
+    out = {
+        (r["hour"].hour): (r["n"], r["sum_value"])
+        for r in spark.table("wm_bound_test").collect()
+    }
+    assert out[1] == (1, 1.0)
+
+
+def test_dedup_stream_state_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state is evicted once event time
+    moves a key's horizon past the watermark: a re-arrival of an old key
+    AFTER eviction is treated as new (the bounded-state contract), and
+    the state row count tracks the horizon, not total keys ever seen."""
+    from ncpi_whistler_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _drop_events(
+        spark,
+        src,
+        [
+            (1, 1, "click", 1.0, "2024-01-01 00:00:00"),
+            (1, 1, "click", 1.0, "2024-01-01 00:05:00"),  # dup within wm
+            (2, 1, "click", 1.0, "2024-01-01 00:10:00"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, ts timestamp"
+        ).parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_bound_test")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 2
+
+        # advance far past the watermark horizon -> both keys evicted
+        _drop_events(spark, src, [(3, 1, "click", 1.0, "2024-01-01 12:00:00")])
+        q.processAllAvailable()
+        _drop_events(spark, src, [(4, 1, "click", 1.0, "2024-01-01 13:00:00")])
+        q.processAllAvailable()
+        state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state <= 2, f"evicted keys still in state: {state}"
+
+        # old key re-arrives after eviction -> passes as new
+        _drop_events(spark, src, [(1, 1, "click", 1.0, "2024-01-01 13:05:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("dedup_bound_test").collect()
+    ids = [r["event_id"] for r in rows]
+    assert sorted(ids)[:4] == [1, 1, 2, 3], f"unexpected emissions: {sorted(ids)}"
+
+
 def test_session_stream_sane(spark):
     stream = session_counts_stream(read_events_stream(spark, SF_DIR))
     run_stream_to_memory(stream, "session_test")
