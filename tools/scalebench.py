@@ -101,10 +101,32 @@ def _q55_trailing_bucketed(spark, kdir: str, k: int):
     )
 
 
+def _plain_user_counts(spark, kdir: str, k: int):
+    """GROUP BY user_id COUNT on the (optionally skewed) events — the
+    unsalted contrast for q62's salted template. Map-side partial
+    aggregation already collapses a hot key per input partition, so this
+    is expected to survive zipfian skew; the pair quantifies by how
+    much."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(kdir, "events.parquet"))
+    return ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _salted_user_counts(spark, kdir: str, k: int):
+    """q62's two-phase salted aggregation on the same key."""
+    from ncpi_whistler_spark.operators.relational import salted_group_count
+
+    ev = spark.read.parquet(os.path.join(kdir, "events.parquet"))
+    return salted_group_count(ev, ["user_id"], salt_buckets=16)
+
+
 #: entries measured outside the registry: name -> fn(spark, kdir, k)
 EXTRA_QUERIES = {
     "q40x_neardup_scaled_bits": _q40_scaled_bits,
     "q55x_trailing_bucketed": _q55_trailing_bucketed,
+    "q62p_plain_user_counts": _plain_user_counts,
+    "q62s_salted_user_counts": _salted_user_counts,
 }
 
 #: the time-series family (events-only queries): replicas get disjoint
@@ -116,6 +138,8 @@ EVENTS_QUERIES = [
     "q31_events_asof",
     "q55_trailing_hour_window",
     "q55x_trailing_bucketed",
+    "q62p_plain_user_counts",
+    "q62s_salted_user_counts",
 ]
 
 #: the relational family: FACT tables (lineitem/orders) replicate with
@@ -139,12 +163,20 @@ def replicate(
     docs: bool = True,
     events: bool = False,
     tpch: bool = False,
+    skew: bool = False,
 ) -> None:
     """Write k structure-preserving replicas of documents + embeddings
     (and, when ``events`` is set, the events table: user/event ids stride
     per replica so sessions, as-of matches, and trailing windows within a
     replica are byte-identical to the base corpus and never cross
-    replicas — true positives scale exactly k)."""
+    replicas — true positives scale exactly k).
+
+    ``skew=True`` injects a zipfian hot key AFTER replication — the
+    uniform-replica sweep can't exercise the skew toolkit (VERDICT r3
+    #4): 50% of ALL events land on one global user_id (-1), and ~30% of
+    ALL documents gain one identical hot 3-token tail (a shared shingle
+    across every replica). Both are deterministic hashes of the row id,
+    so reruns see the same skew."""
     from pyspark.sql import functions as F
 
     if os.path.exists(out_dir):
@@ -224,6 +256,13 @@ def replicate(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if skew:
+            out = out.withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.xxhash64("event_id"), F.lit(2)) == 0, F.lit(-1)
+                ).otherwise(F.col("user_id")),
+            )
         out.write.parquet(os.path.join(out_dir, "events.parquet"))
 
     if not docs:
@@ -249,6 +288,17 @@ def replicate(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if skew:
+        # hot tail appended AFTER per-replica salting: the same 3 tokens
+        # (= at least one identical shingle at any n<=3) in ~30% of docs
+        # across ALL replicas — one globally hot shingle key.
+        out = out.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 3,
+                F.concat(F.col("text"), F.lit(" zqhot0 zqhot1 zqhot2")),
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text").cast("long"))
     out.write.parquet(os.path.join(out_dir, "documents.parquet"))
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -318,7 +368,13 @@ def main() -> int:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--workdir", default="/root/repo/.scalebench")
-    ap.add_argument("--out", default="SCALEBENCH.json")
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="inject a zipfian hot key (50%% of events on one user; one "
+        "hot shingle in 30%% of docs) into the replicated corpus",
+    )
     ap.add_argument("--keep", action="store_true", help="keep replicated parquet")
     ap.add_argument(
         "--repeats",
@@ -328,6 +384,8 @@ def main() -> int:
         "JIT warm-up and machine-load swings)",
     )
     args = ap.parse_args()
+    if args.out is None:
+        args.out = "SCALEBENCH_SKEW.json" if args.skew else "SCALEBENCH.json"
 
     from ncpi_whistler_spark.session import get_spark
     from ncpi_whistler_spark.queries import REGISTRY
@@ -366,6 +424,7 @@ def main() -> int:
             docs=need_docs,
             events=need_events,
             tpch=need_tpch,
+            skew=args.skew,
         )
         print(f"[scalebench] built {k}x corpus ({base_docs * k} docs) "
               f"in {time.time() - t0:.1f}s", flush=True)
@@ -393,7 +452,13 @@ def main() -> int:
 
     # exponent over the non-warm-up points (drop k=min when >2 points:
     # the smallest run is overhead/JIT-dominated locally)
-    report = {"sf_dir": args.sf_dir, "ks": ks, "base_docs": base_docs, "queries": {}}
+    report = {
+        "sf_dir": args.sf_dir,
+        "ks": ks,
+        "base_docs": base_docs,
+        "skew": bool(args.skew),
+        "queries": {},
+    }
     for n in names:
         pts = sorted((k, s) for k, s in results[n]["secs"].items())
         fit_pts = pts[1:] if len(pts) > 2 else pts
