@@ -101,7 +101,7 @@ def hyperplane_bucket(vec: Column, dim: int, bits: int, seed: int = 42) -> Colum
     so production plans use :func:`hyperplane_bucket_arrow`."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
-        arr = F.array(*[F.lit(w) for w in plane])
+        arr = F.lit(plane)  # one array literal, not dim Py4J round-trips
         dot = F.aggregate(
             F.zip_with(vec, arr, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -158,6 +158,7 @@ def embedding_pairs_blocked(
     id_col: str = "vec_id",
     block_size: int = 512,
     corpus_path: str | None = None,
+    max_corpus_bytes: int = 4 << 30,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via blocked numpy — the
     Arrow/mapInPandas scale path for embedding dedup, **bit-identical**
@@ -210,6 +211,18 @@ def embedding_pairs_blocked(
                 mat = np.ascontiguousarray(
                     np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
                 )
+                # every python worker holds this matrix (~dim*8 B/row);
+                # past the guard the exact all-pairs tier is the wrong
+                # operator — fail loudly, pointing at the bucketed path,
+                # instead of OOMing executors one by one.
+                if mat.nbytes > max_corpus_bytes:
+                    raise MemoryError(
+                        f"embedding_pairs_blocked: corpus matrix is "
+                        f"{mat.nbytes >> 20} MiB per python worker, over "
+                        f"the {max_corpus_bytes >> 20} MiB guard; use the "
+                        "bucketed path (embedding_dup_pairs bucket_bits>0)"
+                        " or raise max_corpus_bytes explicitly"
+                    )
                 _cache["c"] = (ids, mat, _seq_norms(mat))
             return _cache["c"]
 
@@ -332,7 +345,7 @@ def _centroid_score_structs(vec: Column, centroids: list[list[float]]) -> list[C
     out = []
     for cid, cvec in enumerate(centroids):
         norm = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        arr = F.lit([float(x) for x in cvec])
         out.append(
             F.struct(
                 (dot_product(vec, arr) / F.lit(norm)).alias("score"),
@@ -354,7 +367,7 @@ def ivf_assign_fold(vec: Column, centroids: list[list[float]]) -> Column:
     structs = []
     for cid, cvec in enumerate(centroids):
         norm = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        arr = F.lit([float(x) for x in cvec])
         structs.append(
             F.struct(
                 (dot_product(vec, arr) / F.lit(norm)).alias("score"),

@@ -92,6 +92,22 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.4, f"recall={recall}"
 
 
+def test_blocked_pairs_memory_guard(emb, tmp_path):
+    """The per-worker corpus cache fails loudly past max_corpus_bytes
+    (pointing at the bucketed path) instead of OOMing executors."""
+    import pytest
+
+    from ncpi_whistler_spark.operators.similarity import embedding_pairs_blocked
+
+    path = str(tmp_path / "corpus.parquet")
+    emb.write.parquet(path)
+    guarded = embedding_pairs_blocked(
+        emb, threshold=0.4, corpus_path=path, max_corpus_bytes=1024
+    )
+    with pytest.raises(Exception, match="MiB per python worker"):
+        guarded.collect()
+
+
 def test_hyperplane_bucket_arrow_matches_fold(emb):
     """Arrow-batched bucket must be BIT-IDENTICAL to the expression-fold
     bucket on every fixture vector (same sequential-across-dims dot
