@@ -505,3 +505,63 @@ def ivf_topk(
         F.col("rank").cast("long").alias("rank"),
         F.round("sim", 6).alias("cos_sim"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    nlist: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign_mode: str = "blas",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the deterministic k-means quantizer
+    (ivf_train), then mark as duplicates vectors whose cosine to a
+    LOWER-id vector in the SAME cluster reaches ``threshold`` — the
+    pairwise keeper rule, deterministic and SQL-replayable.
+
+    Scale shape: assignment is map-side (one pandas_udf matmul per batch
+    in 'blas' mode); the only shuffle keys on cluster id, and the
+    within-cluster self-join is the SemDeDup trick — candidate pairs are
+    n²/nlist instead of n², with nlist grown ∝ corpus size to hold
+    cluster occupancy constant (same knob discipline as q40x's
+    bucket_bits; at 100 TB nlist is 10⁴-10⁵ and clusters are
+    partition-local). 'fold' mode keeps every dot a sequential
+    expression fold for oracle replay.
+
+    Output: one row per vector — (id_col, cid, kept).
+    """
+    cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
+    assign = ivf_assign_fold if assign_mode == "fold" else ivf_assign
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        assign(F.col(vec_col), cents).alias("cid"),
+    )
+    a = v.select(
+        "cid", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        "cid", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dup_ids = (
+        a.join(b, on="cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        v.join(dup_ids.withColumn("__dup", F.lit(True)), on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -288,3 +288,94 @@ def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             for tag, pat in PII_PATTERNS.items()
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training-data prep)
+# --------------------------------------------------------------------------
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix",
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order,
+    WITHOUT the single-task global window: rows are range-bucketed by
+    the order key (bucket = key // bucket_size), per-bucket totals are
+    cumulated across the (tiny) bucket list with one broadcast join, and
+    the within-bucket running sum is a per-bucket window. Two bounded
+    shuffles; every sort is bucket-local, so at 100 TB the parallelism
+    is |keys|/bucket_size instead of 1.
+
+    Deterministic for any numeric ``order_col`` with unique values.
+    """
+    from pyspark.sql.window import Window
+
+    b = df.withColumn("__bkt", (F.col(order_col) / bucket_size).cast("long"))
+    # per-bucket totals -> exclusive cumsum over buckets (|buckets| rows)
+    bw = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("__bkt")
+        .agg(F.sum(value_col).alias("__tot"))
+        .withColumn("__bktoff", F.coalesce(F.sum("__tot").over(bw), F.lit(0)))
+        .select("__bkt", "__bktoff")
+    )
+    iw = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), on="__bkt")
+        .withColumn(
+            out_col,
+            F.col("__bktoff") + F.coalesce(F.sum(value_col).over(iw), F.lit(0)),
+        )
+        .drop("__bkt", "__bktoff")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in ``id_col`` order and cut into fixed ``seq_len`` token windows —
+    the GPT-style pretraining sample layout, computed as pure arithmetic
+    on an exclusive global prefix sum (no concatenation materialized).
+
+    Output per document: (id, n_tokens, start_seq, start_pos, end_seq) —
+    which training sequence the document starts in, at which offset, and
+    where it ends (empty documents stay at their boundary:
+    end_seq = start_seq). Downstream shard writers group by start_seq;
+    the prefix sum comes from :func:`global_prefix_sum`, so the whole
+    plan is two bounded shuffles at any corpus size.
+    """
+    n = (
+        F.col(token_col)
+        if token_col
+        else token_count(F.col(text_col), r"\S+").cast("long")
+    )
+    base = df.select(F.col(id_col), n.alias("n_tokens"))
+    with_off = global_prefix_sum(
+        base, id_col, "n_tokens", out_col="__off", bucket_size=bucket_size
+    )
+    start_seq = (F.col("__off") / seq_len).cast("long")
+    end_seq = F.when(
+        F.col("n_tokens") > 0,
+        ((F.col("__off") + F.col("n_tokens") - 1) / seq_len).cast("long"),
+    ).otherwise(start_seq)
+    return with_off.select(
+        id_col,
+        "n_tokens",
+        start_seq.alias("start_seq"),
+        (F.col("__off") % seq_len).cast("long").alias("start_pos"),
+        end_seq.alias("end_seq"),
+    )

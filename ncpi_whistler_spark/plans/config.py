@@ -96,6 +96,12 @@ class StudyConfig:
     active_tables: dict[str, bool] = field(default_factory=dict)
     missing_values: list[str] = field(default_factory=lambda: ["NA", "", "Not Provided"])
     dataset: dict[str, TableConfig] = field(default_factory=dict)
+    #: optional study blocks passed through to the whistle-input document
+    #: (wstlr/config.py:190-199 + extractor.py:229-246): sponsor string,
+    #: {access_type, access_url}, {code, ...} consent group
+    study_sponsor: str | None = None
+    remote_data_access: dict | None = None
+    consent_group: dict | None = None
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "StudyConfig":
@@ -124,6 +130,9 @@ class StudyConfig:
             active_tables=d.get("active_tables", {}) or {},
             missing_values=missing,
             dataset=tables,
+            study_sponsor=d.get("study_sponsor"),
+            remote_data_access=d.get("remote_data_access"),
+            consent_group=d.get("consent_group"),
         )
 
     @classmethod

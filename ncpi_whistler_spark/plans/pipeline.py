@@ -197,6 +197,20 @@ def to_whistle_input(dataset: ExtractedDataset, max_rows: int | None = MAX_WHIST
         "code-systems": [],
         "harmony": [],
     }
+    # optional study blocks (wstlr/extractor.py:229-246): remote access,
+    # sponsor, consent group (whose code scopes harmony system urls)
+    if cfg.remote_data_access is not None:
+        doc["study"]["remote_access"] = {
+            "type": cfg.remote_data_access["access_type"],
+            "url": cfg.remote_data_access["access_url"],
+        }
+    if cfg.study_sponsor is not None:
+        doc["study"]["sponsor"] = cfg.study_sponsor
+    consent_code = None
+    if cfg.consent_group is not None:
+        doc["study"]["consent_group"] = cfg.consent_group
+        doc["study"]["consent_code"] = cfg.consent_group["code"]
+        consent_code = cfg.consent_group["code"]
     # study-level DataSet DD + code system, then per-table DD/CS entries in
     # config order — the reference's document skeleton
     # (wstlr/extractor.py:247-331: obj_as_dd/obj_as_cs, table_as_dd,
@@ -240,7 +254,9 @@ def to_whistle_input(dataset: ExtractedDataset, max_rows: int | None = MAX_WHIST
             if hf and hf not in seen_harmony:
                 seen_harmony.add(hf)
                 doc["harmony"].append(
-                    whistle_harmony_obj(hf, curies=cfg.curies)
+                    whistle_harmony_obj(
+                        hf, curies=cfg.curies, consent_group=consent_code
+                    )
                 )
     for name, df in dataset.tables.items():
         if max_rows is not None:

@@ -2038,13 +2038,14 @@ def q57_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
 
 
-def _q58_oracle() -> str:
-    """The ENTIRE IVF pipeline replayed in ANSI SQL — deterministic
-    k-means init (8 lowest-id vectors), one unrolled Lloyd iteration with
-    DECIMAL(28,12)-stable means, fold-exact assignment (ties → lowest
-    cid, matching np.argmax), probe ranking (ties → highest cid, matching
-    the engine's reverse(array_sort)), candidate join, exact cosine
-    top-k. Works because the engine runs assign_mode='fold' (sequential
+def _kmeans_replay_ctes() -> str:
+    """Shared ANSI-SQL replay of the deterministic k-means quantizer
+    (init = 8 lowest-id vectors, ONE Lloyd iteration with
+    DECIMAL(28,12)-stable means, fold-exact assignment with ties →
+    lowest cid): CTEs emb → c0 → s1 → a1 → dims → newc → c1 → s2 → a2,
+    where a2 is the final (vec_id, cid) assignment and c1 the final
+    centroids. Used by the IVF (q58) and semantic-dedup (q89) oracles —
+    exact because those queries run assign_mode='fold' (sequential
     dot-product folds == list_dot_product bit-for-bit)."""
     score = (
         "list_dot_product(e.v, {c}.c) / (CASE WHEN sqrt(list_dot_product({c}.c, {c}.c)) = 0 "
@@ -2087,7 +2088,19 @@ def _q58_oracle() -> str:
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
         FROM s2) WHERE rn = 1
-    ),
+    )"""
+
+
+def _q58_oracle() -> str:
+    """The ENTIRE IVF pipeline replayed in ANSI SQL: the shared k-means
+    CTEs (_kmeans_replay_ctes), probe ranking (ties → highest cid,
+    matching the engine's reverse(array_sort)), candidate join, exact
+    cosine top-k."""
+    score = (
+        "list_dot_product(e.v, {c}.c) / (CASE WHEN sqrt(list_dot_product({c}.c, {c}.c)) = 0 "
+        "THEN 1.0 ELSE sqrt(list_dot_product({c}.c, {c}.c)) END)"
+    )
+    return _kmeans_replay_ctes() + f""",
     probes AS (
       SELECT vec_id AS query_id, cid FROM (
         SELECT e.vec_id, c1.cid,
@@ -3549,6 +3562,76 @@ def q88_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def _q89_oracle() -> str:
+    """Semantic dedup replayed in SQL: shared k-means CTEs, then a vector
+    is a duplicate iff a LOWER-id vector in the same cluster reaches the
+    cosine threshold."""
+    return _kmeans_replay_ctes() + """,
+    dups AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN emb va ON va.vec_id = a.vec_id
+      JOIN emb vb ON vb.vec_id = b.vec_id
+      WHERE list_dot_product(va.v, vb.v)
+              / (sqrt(list_dot_product(va.v, va.v))
+                 * sqrt(list_dot_product(vb.v, vb.v))) >= 0.4
+    )
+    SELECT a2.vec_id, a2.cid, (dups.vid IS NULL) AS kept
+    FROM a2 LEFT JOIN dups ON dups.vid = a2.vec_id
+    """
+
+
+@query("q89_semantic_dedup", _q89_oracle())
+def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster → within-cluster pairwise
+    keeper): the training-data curation operator for pruning semantic
+    near-duplicates that lexical dedup misses. Oracle replays the
+    k-means quantizer AND the keeper rule end-to-end; the engine runs
+    fold-mode assignment for bit parity (production = the Arrow matmul,
+    same contract — see similarity.semantic_dedup)."""
+    from ncpi_whistler_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.4, nlist=8, iters=1, assign_mode="fold"
+    )
+
+
+@query(
+    "q90_sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(off // 2048 AS BIGINT) AS start_seq,
+           CAST(off % 2048 AS BIGINT) AS start_pos,
+           CAST(CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 2048
+                     ELSE off // 2048 END AS BIGINT) AS end_seq
+    FROM c
+    """,
+)
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing layout over the corpus: which
+    2048-token training sequence each document starts/ends in. The
+    engine computes it on a BUCKETED global prefix sum (two bounded
+    shuffles, no single-task global sort — operators/text.py
+    global_prefix_sum); the oracle replays it with a plain window
+    cumsum. bucket_size=64 at fixture scale forces the multi-bucket
+    path, so the bucket-offset merge itself is what gets verified."""
+    from ncpi_whistler_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=2048, bucket_size=64)
 
 
 # -------------------------------------------------------------------------

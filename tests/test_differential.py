@@ -485,3 +485,37 @@ def test_whistle_input_full_document_differential(wstlr, spark, tmp_path):
     assert sorted(ref_c) == sorted(eng_c), (sorted(ref_c), sorted(eng_c))
     for key in ref_c:
         assert eng_c[key] == ref_c[key], f"section {key!r} differs"
+
+
+def test_whistle_input_optional_blocks_differential(wstlr, spark, tmp_path):
+    """The optional study blocks — sponsor, remote_data_access,
+    consent_group (whose code scopes harmony system urls) — pass through
+    the document identically to the reference."""
+    from wstlr.config import Configuration
+    from wstlr.extractor import DataCsvToObject
+
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.pipeline import extract_dataset, to_whistle_input
+
+    d = _fulldoc_study(tmp_path)
+    extra = """study_sponsor: Example Sponsor Org
+remote_data_access:
+  access_type: dbgap
+  access_url: https://example.org/dbgap
+consent_group:
+  code: GRU
+  name: General Research Use
+"""
+    yml = d / "study.yaml"
+    yml.write_text(yml.read_text() + extra)
+    with open(yml, encoding="utf-8-sig") as fh:
+        ref_doc = DataCsvToObject(Configuration(fh))
+    eng_doc = to_whistle_input(
+        extract_dataset(spark, StudyConfig.from_yaml(str(yml))), max_rows=None
+    )
+    ref_c, eng_c = _canon_doc(ref_doc), _canon_doc(eng_doc)
+    assert eng_c["study"] == ref_c["study"]
+    assert eng_c["harmony"] == ref_c["harmony"]
+    assert eng_doc["study"]["sponsor"] == "Example Sponsor Org"
+    assert eng_doc["study"]["consent_code"] == "GRU"
+    assert "/data-dictionary/gru/" in eng_doc["harmony"][0]["source_codes"][0]["system"]

@@ -714,3 +714,70 @@ def test_paragraph_dedup_min_len(spark):
     )
     got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs, min_len=5).collect()}
     assert got == {1: "hi\n\nlong paragraph here", 2: "hi"}
+
+
+def test_pack_sequences_edges(spark):
+    """Concat-and-chunk layout: empty docs stay at their boundary, a doc
+    spanning several sequences reports the right end_seq, and the
+    bucketed prefix sum (bucket_size=2 → many buckets) is identical to
+    the straight cumsum."""
+    from ncpi_whistler_spark.operators.text import pack_sequences
+
+    docs = [
+        (0, "a b c"),            # 3 tokens, off 0
+        (1, ""),                 # empty: boundary case
+        (2, " ".join(["t"] * 10)),  # spans seqs (off 3 .. 12, L=4)
+        (3, "x"),                # off 13
+        (4, "y z"),              # off 14
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_seq"], r["start_pos"], r["end_seq"])
+        for r in pack_sequences(df, seq_len=4, bucket_size=2).collect()
+    }
+    assert got[0] == (3, 0, 0, 0)
+    assert got[1] == (0, 0, 3, 0)        # empty doc at offset 3
+    assert got[2] == (10, 0, 3, 3)       # tokens 3..12 -> seqs 0..3
+    assert got[3] == (1, 3, 1, 3)
+    assert got[4] == (2, 3, 2, 3)
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """Bucketed prefix sum == single-window cumsum on non-contiguous,
+    unordered keys."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql.window import Window
+
+    from ncpi_whistler_spark.operators.text import global_prefix_sum
+
+    rows = [(k * 7 + 3, (k * 13) % 29) for k in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    got = {
+        r["k"]: r["prefix"]
+        for r in global_prefix_sum(df, "k", "v", bucket_size=50).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["p"]
+        for r in df.withColumn(
+            "p", FF.coalesce(FF.sum("v").over(w), FF.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_blas_equals_fold(emb):
+    """The production (Arrow matmul) assignment and the oracle-replay
+    fold assignment produce identical semantic-dedup decisions."""
+    from ncpi_whistler_spark.operators.similarity import semantic_dedup
+
+    fold = {
+        (r["vec_id"], r["cid"], r["kept"])
+        for r in semantic_dedup(emb, 0.4, nlist=8, iters=1, assign_mode="fold").collect()
+    }
+    blas = {
+        (r["vec_id"], r["cid"], r["kept"])
+        for r in semantic_dedup(emb, 0.4, nlist=8, iters=1, assign_mode="blas").collect()
+    }
+    assert fold == blas
+    assert any(not k for (_, _, k) in fold), "fixture should contain semantic dups"
