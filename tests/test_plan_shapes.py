@@ -132,3 +132,23 @@ def test_q24_hot_shingle_guard_is_broadcast_anti(spark):
     df = REGISTRY["q24_ngram_jaccard"][0](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_q90_prefix_sum_plan_shape(spark):
+    """The bucketed prefix sum's SCALING claim, locked in: the full-data
+    path sees exactly ONE shuffle (hash on the bucket key) and a
+    bucket-partitioned window — never a global single-partition sort of
+    the corpus; the only SinglePartition exchange feeds the |buckets|-row
+    offset cumsum, and offsets come back via broadcast join."""
+    df = REGISTRY["q90_sequence_packing"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # offsets join, fact side unshuffled
+    # one SinglePartition exchange total — and it sits AFTER the
+    # per-bucket aggregate (input = __bkt + partial sum, not raw rows)
+    singles = re.findall(r"Exchange SinglePartition", plan)
+    assert len(singles) == 1, plan
+    # the big window is partitioned by the bucket key
+    assert re.search(r"windowspecdefinition\(__bkt#\d+L, doc_id#\d+L ASC", plan), plan
+    # data-path shuffles: one hash on __bkt for the per-doc window + the
+    # two tiny aggregate exchanges (partial/final + SinglePartition)
+    assert _shuffles(df) == 3, plan

@@ -121,12 +121,57 @@ def _salted_user_counts(spark, kdir: str, k: int):
     return salted_group_count(ev, ["user_id"], salt_buckets=16)
 
 
+#: conf keys snapshot/restored around every measured query (the skew-join
+#: pair tunes them; nothing may leak into the next measurement)
+_JOIN_CONF_KEYS = [
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.autoBroadcastJoinThreshold",
+]
+
+
+def _skew_join(spark, kdir: str, k: int, aqe_skew: bool):
+    """orders⋈lineitem sort-merge join + per-priority revenue agg on the
+    skew-replicated facts (30% of lineitem rows on ONE orderkey). Forces
+    SMJ (no broadcast) and lowers the AQE skew thresholds so the
+    splitter can actually engage at local fixture sizes — the mechanism
+    under test is AQE's skewed-partition split, not the 256 MB default
+    trigger point. Conf is snapshotted/restored by the main loop."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe_skew).lower())
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    li = spark.read.parquet(os.path.join(kdir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(kdir, "orders.parquet"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,6)"
+                )
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
 #: entries measured outside the registry: name -> fn(spark, kdir, k)
 EXTRA_QUERIES = {
     "q40x_neardup_scaled_bits": _q40_scaled_bits,
     "q55x_trailing_bucketed": _q55_trailing_bucketed,
     "q62p_plain_user_counts": _plain_user_counts,
     "q62s_salted_user_counts": _salted_user_counts,
+    "q91a_skew_join_aqe_on": lambda s, d, k: _skew_join(s, d, k, True),
+    "q91b_skew_join_aqe_off": lambda s, d, k: _skew_join(s, d, k, False),
 }
 
 #: the time-series family (events-only queries): replicas get disjoint
@@ -151,6 +196,8 @@ TPCH_QUERIES = [
     "q06_topk_orders_per_customer",
     "q15_nation_revenue",
     "q41_nation_trade_pairs",
+    "q91a_skew_join_aqe_on",
+    "q91b_skew_join_aqe_off",
 ]
 TPCH_DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -200,6 +247,17 @@ def replicate(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if skew:
+            # 30% of ALL lineitem rows onto ONE orderkey (-1): the
+            # classic skewed shuffle join (one reducer partition owns
+            # 30% of the fact table unless AQE splits it).
+            out = out.withColumn(
+                "l_orderkey",
+                F.when(
+                    F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 3,
+                    F.lit(-1).cast("long"),
+                ).otherwise(F.col("l_orderkey")),
+            )
         out.write.parquet(os.path.join(out_dir, "lineitem.parquet"))
 
         o = load_table(spark, sf_dir, "orders")
@@ -210,6 +268,9 @@ def replicate(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if skew:
+            hot = o.limit(1).withColumn("o_orderkey", F.lit(-1).cast("long"))
+            out = out.unionByName(hot)
         out.write.parquet(os.path.join(out_dir, "orders.parquet"))
 
         for dim in TPCH_DIMS:
@@ -430,6 +491,9 @@ def main() -> int:
               f"in {time.time() - t0:.1f}s", flush=True)
         for n in names:
             best = None
+            conf_snapshot = {
+                key: spark.conf.get(key, None) for key in _JOIN_CONF_KEYS
+            }
             for _ in range(max(1, args.repeats)):
                 spark.catalog.clearCache()
                 t0 = time.time()
@@ -444,6 +508,11 @@ def main() -> int:
                 secs = time.time() - t0
                 best = secs if best is None else min(best, secs)
             rows = df.count()  # untimed, result-size bookkeeping only
+            for key, val in conf_snapshot.items():
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
             results[n]["secs"][k] = round(best, 3)
             results[n]["rows"][k] = rows
             print(f"[scalebench] {n} k={k}: {best:.2f}s, {rows} rows", flush=True)
