@@ -51,8 +51,10 @@ def cmd_extract(args) -> int:
     return 0
 
 
-def cmd_resources(args) -> int:
-    from ncpi_whistler_spark.plans.config import StudyConfig
+def _generate_resources(spark, cfg):
+    """Extraction DAG → the full FHIR resource frame the reference's play
+    pipeline emits (observations, QRs, DD resource set, harmony CM/VS).
+    Returns the union DataFrame, or None when no table yields resources."""
     from ncpi_whistler_spark.plans.pipeline import extract_dataset
     from ncpi_whistler_spark.plans.resources import (
         dd_activity_definitions,
@@ -64,10 +66,7 @@ def cmd_resources(args) -> int:
         questionnaires,
         resources_to_json,
     )
-    from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
 
-    spark = _spark(args)
-    cfg = StudyConfig.from_yaml(args.config)
     ds = extract_dataset(spark, cfg)
     frames = []
     for name, df in ds.tables.items():
@@ -107,17 +106,115 @@ def cmd_resources(args) -> int:
         frames.append(resources_to_json(harmony_conceptmap(spark, ds.concept_map, cfg)))
         frames.append(resources_to_json(harmony_valuesets(spark, ds.concept_map, cfg)))
     if not frames:
-        print("no resource frames produced (check subject_id/id_colname)", file=sys.stderr)
-        return 1
+        return None
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    return out
+
+
+def cmd_resources(args) -> int:
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
+
+    spark = _spark(args)
+    cfg = StudyConfig.from_yaml(args.config)
+    out = _generate_resources(spark, cfg)
+    if out is None:
+        print("no resource frames produced (check subject_id/id_colname)", file=sys.stderr)
+        return 1
     out.write.mode("overwrite").partitionBy("module").parquet(args.out)
     print(f"wrote resources: {args.out}")
     if args.bundles:
         write_bundles(prepare_bundle_entries(out), args.bundles)
         print(f"wrote bundles: {args.bundles}")
     return 0
+
+
+def cmd_play(args) -> int:
+    """play analog — the reference's one-command pipeline
+    (wstlr/play.py:152-497): extract → resources (+bundles) → inspect →
+    load, with the mtime-manifest incremental skip (the resources stage
+    re-runs only when config/data/DD/harmony inputs changed; --force
+    overrides — wstlr/play.py:79-117,361-383) and an optional --host for
+    the real REST load (dry-run counts otherwise)."""
+    import os
+
+    from ncpi_whistler_spark.operators.inspector import module_summary, run_inspections
+    from ncpi_whistler_spark.plans.config import StudyConfig
+    from ncpi_whistler_spark.plans.incremental import run_if_stale
+    from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
+    from ncpi_whistler_spark.sinks.rest import (
+        HttpTransport,
+        InMemoryTransport,
+        auth_header,
+        load_resources,
+    )
+
+    spark = _spark(args)
+    cfg = StudyConfig.from_yaml(args.config)
+    work = args.workdir
+    os.makedirs(work, exist_ok=True)
+    res_dir = os.path.join(work, "resources")
+    bundles_dir = os.path.join(work, "bundles")
+
+    # the reference's check_latest_update input set: config + data files
+    # + DDs + harmony CSVs
+    inputs = [args.config]
+    for t in cfg.dataset.values():
+        inputs += [
+            f.strip()
+            for f in (t.filename or "").split(",")
+            if f.strip() and f.strip().lower() != "none"
+        ]
+        if t.code_harmonization:
+            inputs.append(t.code_harmonization)
+        dd = t.data_dictionary
+        if dd and dd.filename and dd.filename.lower() != "none":
+            inputs.append(dd.filename)
+    inputs = [p for p in dict.fromkeys(inputs) if os.path.exists(p)]
+
+    built: dict[str, bool] = {}
+
+    def build() -> None:
+        out = _generate_resources(spark, cfg)
+        if out is None:
+            raise RuntimeError(
+                "no resource frames produced (check subject_id/id_colname)"
+            )
+        out.write.mode("overwrite").partitionBy("module").parquet(res_dir)
+        write_bundles(prepare_bundle_entries(spark.read.parquet(res_dir)), bundles_dir)
+        built["resources"] = True
+
+    ran = run_if_stale(
+        os.path.join(work, ".manifest-resources.json"), inputs, build,
+        force=args.force,
+    )
+    print(f"resources: {'rebuilt' if ran else 'up-to-date, skipped'} -> {res_dir}")
+
+    res = spark.read.parquet(res_dir)
+    checks = run_inspections(res)
+    module_summary(res).show(100, truncate=False)
+    if any(checks.values()):
+        print(json.dumps(checks, indent=2))
+        return 2
+
+    url = None
+    headers: dict[str, str] = {}
+    if getattr(args, "host", None):
+        from ncpi_whistler_spark.sources.hostfile import resolve_host
+
+        host = resolve_host(args.host, getattr(args, "hosts_file", None))
+        url = host["target_service_url"]
+        headers = auth_header(host)
+    if url:
+        factory = lambda: HttpTransport(base_url=url, headers=headers)  # noqa: E731
+    else:
+        factory = lambda: InMemoryTransport()  # noqa: E731
+    counts = load_resources(res, factory, parallelism=args.threads)
+    rows = {r["resourceType"]: {"ok": r["ok"], "err": r["err"]} for r in counts.collect()}
+    print(json.dumps({"dry_run": not url, "counts": rows}, indent=2))
+    return 0 if all(v["err"] == 0 for v in rows.values()) else 2
 
 
 def cmd_inspect(args) -> int:
@@ -447,6 +544,19 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True)
     pr.add_argument("--bundles", help="also write transaction bundles here")
     pr.set_defaults(fn=cmd_resources)
+
+    py = sub.add_parser(
+        "play",
+        help="full pipeline: extract → resources → inspect → load "
+        "(incremental skip; dry-run load unless --host)",
+    )
+    py.add_argument("config")
+    py.add_argument("--workdir", required=True)
+    py.add_argument("--force", action="store_true", help="ignore the manifest and rebuild")
+    py.add_argument("--host", help="fhir_hosts entry name for a real REST load")
+    py.add_argument("--hosts-file", help="override fhir_hosts path")
+    py.add_argument("--threads", type=int, default=10)
+    py.set_defaults(fn=cmd_play)
 
     pi = sub.add_parser("inspect", help="validation suite over resource parquet")
     pi.add_argument("resources")

@@ -3590,7 +3590,13 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates that lexical dedup misses. Oracle replays the
     k-means quantizer AND the keeper rule end-to-end; the engine runs
     fold-mode assignment for bit parity (production = the Arrow matmul,
-    same contract — see similarity.semantic_dedup)."""
+    same contract — see similarity.semantic_dedup).
+
+    Scale note (same contrast as q40/q40x, measured in
+    SCALEBENCH_NEWOPS.json): THIS form pins nlist=8 for oracle replay →
+    candidates n²/8, exponent ~1.1 — oracle-verify operating point only.
+    Production grows nlist ∝ corpus (scalebench q89x: same operator,
+    exponent 0.40 to 128k vectors)."""
     from ncpi_whistler_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")

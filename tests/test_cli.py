@@ -362,3 +362,35 @@ def test_cli_load_auth_round_trip(spark, study_dir, tmp_path):  # noqa: F811
         srv.shutdown()
     assert f"Basic {basic_tok}" in seen and "Bearer tok-123" in seen
     assert None in seen  # the rejected anonymous attempt hit the server
+
+
+def test_cli_play_end_to_end_with_incremental_skip(spark, study_dir, tmp_path, capsys):  # noqa: F811
+    """The one-command play pipeline: first run builds resources +
+    bundles, inspects, and dry-run-loads; second run SKIPS the build
+    (manifest current); touching a data file rebuilds; --force always
+    rebuilds."""
+    import os
+    import time
+
+    work = str(tmp_path / "work")
+    rc = cli.main(["play", str(study_dir / "study.yaml"), "--workdir", work])
+    out1 = capsys.readouterr().out
+    assert rc == 0
+    assert "rebuilt" in out1 and '"dry_run": true' in out1
+    assert os.path.isdir(os.path.join(work, "resources"))
+    assert os.listdir(os.path.join(work, "bundles"))
+
+    rc = cli.main(["play", str(study_dir / "study.yaml"), "--workdir", work])
+    out2 = capsys.readouterr().out
+    assert rc == 0 and "up-to-date, skipped" in out2
+
+    # stale input -> rebuild
+    time.sleep(0.01)
+    os.utime(str(study_dir / "participant.csv"))
+    rc = cli.main(["play", str(study_dir / "study.yaml"), "--workdir", work])
+    out3 = capsys.readouterr().out
+    assert rc == 0 and "rebuilt" in out3
+
+    rc = cli.main(["play", str(study_dir / "study.yaml"), "--workdir", work, "--force"])
+    out4 = capsys.readouterr().out
+    assert rc == 0 and "rebuilt" in out4

@@ -74,3 +74,68 @@ def test_parse_enumerations_roundtrip(pairs):
             seen[k2] = v2
     for k in out:
         assert k in seen
+
+
+# --------------------------------------------------------------------------
+# Differential fuzzing vs the reference implementation (skips if absent)
+# --------------------------------------------------------------------------
+
+import os
+import sys
+
+import pytest
+
+_REF = "/root/reference"
+
+
+def _ref_wstlr():
+    if not os.path.isdir(_REF):
+        pytest.skip("reference checkout not available")
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+    import types
+
+    for name in ("ncpi_fhir_client", "rich"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+                if name == "ncpi_fhir_client":
+                    sys.modules[name].fhir_auth = types.SimpleNamespace()
+                else:
+                    sys.modules[name].print = print
+    import wstlr
+
+    return wstlr
+
+
+@given(text)
+@settings(max_examples=300, deadline=None)
+def test_fix_fieldname_differential_fuzz(s):
+    """Engine fix_fieldname == reference fix_fieldname on ARBITRARY
+    strings, not just curated cases — the header-normalization function
+    keys every join/rename in the pipeline, so any divergence silently
+    re-keys columns."""
+    from ncpi_whistler_spark.functions.core import fix_fieldname
+
+    wstlr = _ref_wstlr()
+    assert fix_fieldname(s) == wstlr.fix_fieldname(s)
+
+
+@given(st.one_of(st.none(), text))
+@settings(max_examples=300, deadline=None)
+def test_clean_values_differential_fuzz(s):
+    from ncpi_whistler_spark.functions.core import clean_values
+
+    wstlr = _ref_wstlr()
+    assert clean_values(s) == wstlr.clean_values(s)
+
+
+@given(st.one_of(st.none(), st.booleans(), st.integers(min_value=-10, max_value=10), text))
+@settings(max_examples=300, deadline=None)
+def test_evaluate_bool_differential_fuzz(v):
+    from ncpi_whistler_spark.functions.core import evaluate_bool
+
+    wstlr = _ref_wstlr()
+    assert evaluate_bool(v) == wstlr.evaluate_bool(v)

@@ -54,6 +54,9 @@ DEFAULT_QUERIES = [
     "q40x_neardup_scaled_bits",
     "q58_ivf_topk",
     "q80_fuzzy_dedup_transitive",
+    "q89_semantic_dedup",
+    "q89x_semantic_dedup_scaled",
+    "q90x_pack_sequences",
 ]
 
 
@@ -121,6 +124,27 @@ def _salted_user_counts(spark, kdir: str, k: int):
     return salted_group_count(ev, ["user_id"], salt_buckets=16)
 
 
+def _semantic_dedup_scaled(spark, kdir: str, k: int):
+    """semantic_dedup with the scale knob turned: nlist grows ∝ corpus
+    (8k clusters at k×) so cluster occupancy — and therefore candidate
+    pairs per cluster — stays constant; assignment is the production
+    Arrow matmul. The registry q89 pins nlist=8 for oracle replay, which
+    is n²/8 by construction (same contrast pattern as q40/q40x)."""
+    from ncpi_whistler_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(kdir, "embeddings.parquet"))
+    return semantic_dedup(emb, threshold=0.4, nlist=8 * k, iters=1)
+
+
+def _pack_sequences_scaled(spark, kdir: str, k: int):
+    """q90's packing layout at k× corpus (bucketed prefix sum, default
+    100k bucket size — the production operating point)."""
+    from ncpi_whistler_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet(os.path.join(kdir, "documents.parquet"))
+    return pack_sequences(docs, seq_len=2048)
+
+
 #: conf keys snapshot/restored around every measured query (the skew-join
 #: pair tunes them; nothing may leak into the next measurement)
 _JOIN_CONF_KEYS = [
@@ -172,6 +196,8 @@ EXTRA_QUERIES = {
     "q62s_salted_user_counts": _salted_user_counts,
     "q91a_skew_join_aqe_on": lambda s, d, k: _skew_join(s, d, k, True),
     "q91b_skew_join_aqe_off": lambda s, d, k: _skew_join(s, d, k, False),
+    "q89x_semantic_dedup_scaled": _semantic_dedup_scaled,
+    "q90x_pack_sequences": _pack_sequences_scaled,
 }
 
 #: the time-series family (events-only queries): replicas get disjoint
