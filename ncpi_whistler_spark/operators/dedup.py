@@ -15,6 +15,8 @@ Scale design notes (the whole point of these at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -596,6 +598,28 @@ def dot_product(x: Column, y: Column) -> Column:
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
+
+
+def dot_product_arrow(x: Column, y: Column) -> Column:
+    """Arrow-batched twin of :func:`dot_product` — BIT-IDENTICAL values
+    (test-asserted): the dot is accumulated sequentially across
+    dimensions (``acc += a[:, d] * b[:, d]``), element-for-element the
+    fold's left-to-right order in double, vectorized across rows. Use on
+    pair-scoring hot paths (10⁵+ candidate pairs) where the interpreted
+    HOF fold dominates; the fold form stays the oracle-replay shape."""
+
+    @F.pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(ma), dtype=np.float64)
+        for d in range(ma.shape[1]):
+            acc += ma[:, d] * mb[:, d]
+        return pd.Series(acc)
+
+    return pair_dot(x, y)
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -781,3 +781,22 @@ def test_semantic_dedup_blas_equals_fold(emb):
     }
     assert fold == blas
     assert any(not k for (_, _, k) in fold), "fixture should contain semantic dups"
+
+
+def test_dot_product_arrow_matches_fold(emb):
+    """Arrow pair-dot must be BIT-IDENTICAL to the fold dot on fixture
+    vector pairs (sequential-across-dims order)."""
+    from ncpi_whistler_spark.operators.dedup import dot_product, dot_product_arrow
+
+    a = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    )
+    b = emb.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 100)).select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b)
+    diff = pairs.select(
+        (dot_product(F.col("va"), F.col("vb"))
+         != dot_product_arrow(F.col("va"), F.col("vb"))).alias("neq")
+    ).where("neq").count()
+    assert diff == 0
