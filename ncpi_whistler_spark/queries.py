@@ -3691,7 +3691,10 @@ DRIVER_QUERIES = [
     "q81_decontamination",        # train/eval n-gram containment
     "q39_fuzzy_dedup_pipeline",   # LSH -> verify -> keeper
     "q40_embedding_neardup_bucketed",  # bucketed embedding dedup
-    "q45_bpe_token_counts",       # tokenization
+    "q89_semantic_dedup",         # SemDeDup cluster->keeper (BPE token
+                                  # counting q45 stays parity-tier: the
+                                  # capability is already driver-evidenced
+                                  # by q20 n_tokens + q65 chunking)
     "q53_setops_all",             # EXCEPT/INTERSECT ALL
     "q54_grouping_sets",          # GROUPING SETS + grouping()
     "q55_trailing_hour_window",   # time-RANGE window frame (rank family: tests)
@@ -3705,7 +3708,10 @@ DRIVER_QUERIES = [
     "q85_events_hourly_stream",   # structured streaming drain (§2.10)
     "q68_repetition_filter",      # Gopher repetition filter
     "q69_stratified_sample",      # stratified sampling
-    "q72_funnel_conversion",      # funnel analysis
+    "q90_sequence_packing",       # concat-and-chunk packing layout
+                                  # (funnel q72 stays parity-tier:
+                                  # product analytics, not a SURVEY §2 /
+                                  # LLM-pipeline-core capability)
     "q79_dedup_components",       # connected-components dedup
 ]
 # Natural qNN order for the driver surface; resilient at import (a stale
