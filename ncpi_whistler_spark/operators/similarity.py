@@ -305,6 +305,8 @@ def cosine_topk_lsh(
         q = q.select("query_id", "qv", "qn", F.explode(probes).alias("bkt"))
     else:
         q = q.select("query_id", "qv", "qn", F.col("qbkt").alias("bkt"))
+    from ncpi_whistler_spark.operators.dedup import dot_product_arrow
+
     scored = (
         F.broadcast(q)
         .join(c, on="bkt")
@@ -312,7 +314,9 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            # Arrow pair-dot: bit-identical to the fold/oracle, cheap on
+            # the candidate-pair hot path
+            (dot_product_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -377,6 +381,43 @@ def ivf_assign_fold(vec: Column, centroids: list[list[float]]) -> Column:
     return (-F.array_max(F.array(*structs))["negcid"]).cast("int")
 
 
+def ivf_assign_arrow(vec: Column, centroids: list[list[float]]) -> Column:
+    """Arrow-batched twin of :func:`ivf_assign_fold` — BIT-IDENTICAL
+    assignments (test-asserted): each centroid score is accumulated
+    sequentially across dimensions (the fold's left-to-right order in
+    double, so scores match bit-for-bit) and ties break to the lowest
+    cid exactly like the fold's array_max-over-(score,-cid) structs.
+    Centroids ride the closure → O(1) Py4J plan cost vs O(nlist·dim)
+    literals; use for oracle-parity modes where the BLAS matmul
+    (ivf_assign) is not bit-safe but the fold is too slow."""
+    import math
+
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.array(
+        [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(s.to_numpy()).astype(np.float64)
+        best_score = np.full(len(v), -np.inf)
+        best_cid = np.zeros(len(v), dtype=np.int32)
+        for cid in range(C.shape[0]):
+            acc = np.zeros(len(v), dtype=np.float64)
+            for d in range(C.shape[1]):
+                acc += v[:, d] * C[cid, d]
+            score = acc / norms[cid]
+            better = score > best_score  # strict: ties keep lower cid
+            best_score = np.where(better, score, best_score)
+            best_cid = np.where(better, cid, best_cid).astype(np.int32)
+        return pd.Series(best_cid)
+
+    return assign(vec)
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id (max cosine; ties → lowest cid). Arrow-batched
     numpy matmul (vectors × centroidᵀ in one BLAS call per batch) — the
@@ -394,6 +435,17 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
         return pd.Series(np.argmax((v @ C.T) / cn, axis=1).astype(np.int32))
 
     return assign(vec)
+
+
+#: assignment modes: 'fold' = Column-expression folds (the SQL-replay
+#: shape), 'arrow' = bit-identical Arrow twin (oracle-safe, ~10x cheaper
+#: to plan+run), 'blas' = numpy matmul (production; last-ulp drift on
+#: near-ties is possible, so not oracle-pinned)
+_ASSIGN_MODES = {
+    "fold": ivf_assign_fold,
+    "arrow": ivf_assign_arrow,
+    "blas": ivf_assign,
+}
 
 
 def ivf_train(
@@ -420,7 +472,7 @@ def ivf_train(
         # columnar mean: dim plain decimal sums in whole-stage codegen
         # (an exploded plan would re-evaluate the assignment expression
         # per element — the interpreted-HOF quadratic trap)
-        assign = ivf_assign_fold if assign_mode == "fold" else ivf_assign
+        assign = _ASSIGN_MODES[assign_mode]
         stats = (
             corpus.select(
                 assign(F.col(vec_col), cents).alias("cid"),
@@ -469,7 +521,7 @@ def ivf_topk(
     Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
     cosine_topk."""
     cents = ivf_train(corpus, nlist, iters, corpus_vec, corpus_id, assign_mode)
-    assign = ivf_assign_fold if assign_mode == "fold" else ivf_assign
+    assign = _ASSIGN_MODES[assign_mode]
     indexed = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
@@ -484,13 +536,15 @@ def ivf_topk(
         F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
         F.explode(F.transform(probes, lambda s: s["cid"])).alias("cid"),
     )
+    from ncpi_whistler_spark.operators.dedup import dot_product_arrow
+
     scored = F.broadcast(q).join(indexed, on="cid")
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        (dot_product_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     top = top_k_per_group(
         scored,
@@ -536,7 +590,7 @@ def semantic_dedup(
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
 
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
-    assign = ivf_assign_fold if assign_mode == "fold" else ivf_assign
+    assign = _ASSIGN_MODES[assign_mode]
     v = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

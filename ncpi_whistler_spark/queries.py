@@ -2145,7 +2145,9 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nlist=8,
         nprobe=4,
         iters=1,
-        assign_mode="fold",
+        # bit-identical to 'fold' (test-asserted), ~10x cheaper to
+        # plan+run — the oracle replay still holds exactly
+        assign_mode="arrow",
     )
 
 
@@ -3601,7 +3603,7 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, threshold=0.4, nlist=8, iters=1, assign_mode="fold"
+        emb, threshold=0.4, nlist=8, iters=1, assign_mode="arrow"
     )
 
 

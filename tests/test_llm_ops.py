@@ -800,3 +800,22 @@ def test_dot_product_arrow_matches_fold(emb):
          != dot_product_arrow(F.col("va"), F.col("vb"))).alias("neq")
     ).where("neq").count()
     assert diff == 0
+
+
+def test_ivf_assign_arrow_matches_fold(emb):
+    """Arrow IVF assignment must be BIT-IDENTICAL to the fold form on
+    every fixture vector (sequential-across-dims scores, lowest-cid
+    ties) — what lets the oracle-pinned q58/q89 run the cheap mode."""
+    from ncpi_whistler_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_assign_fold,
+        ivf_train,
+    )
+
+    cents = ivf_train(emb, nlist=8, iters=1, assign_mode="arrow")
+    both = emb.select(
+        "vec_id",
+        ivf_assign_fold(F.col("embedding"), cents).alias("fold"),
+        ivf_assign_arrow(F.col("embedding"), cents).alias("arrow"),
+    )
+    assert both.where(F.col("fold") != F.col("arrow")).count() == 0
