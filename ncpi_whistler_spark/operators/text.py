@@ -379,3 +379,89 @@ def pack_sequences(
         (F.col("__off") % seq_len).cast("long").alias("start_pos"),
         end_seq.alias("end_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher rule filters (Rae et al. 2021, "Scaling Language Models" C.2)
+# --------------------------------------------------------------------------
+
+#: the Gopher stopword set used for the "contains common English words"
+#: rule (the paper's list)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher rule filters as pure Column expressions — one map-side pass
+    emitting every rule's flag plus the aggregate keep decision, so a
+    curation pipeline can both filter and AUDIT why documents fell out.
+
+    All ratios are exact rationals over integer counts (deterministic
+    doubles; ties impossible at the comparison thresholds used here).
+    Map-side only: at 100 TB this adds zero shuffles to a curation plan.
+    """
+    t = F.col(text_col)
+    n_words = token_count(t, r"\S+")
+    total_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.when(
+        n_words > 0, total_word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    lines = F.filter(F.split(t, "\n"), lambda ln: ln != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*(•|\*|-)\s"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$")))
+    # lookaround-free forms so the DuckDB (RE2) oracle can replay them
+    alpha_words = F.size(
+        F.filter(
+            F.split(t, r"\s+"),
+            lambda w: (w != "") & w.rlike("[A-Za-z]"),
+        )
+    )
+    stop_hits = sum(
+        (
+            F.when(
+                F.lower(t).rlike(rf"\b{w}\b"), F.lit(1)
+            ).otherwise(F.lit(0))
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": (n_words > 0)
+        & (n_symbols.cast("double") / n_words < max_symbol_word_ratio),
+        "ok_bullet_lines": (n_lines == 0)
+        | (bullet_lines.cast("double") / n_lines < max_bullet_line_frac),
+        "ok_ellipsis_lines": (n_lines == 0)
+        | (ellipsis_lines.cast("double") / n_lines < max_ellipsis_line_frac),
+        "ok_alpha_words": (n_words > 0)
+        & (alpha_words.cast("double") / n_words >= min_alpha_word_frac),
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.withColumn("keep", keep)

@@ -3642,6 +3642,63 @@ def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=2048, bucket_size=64)
 
 
+@query(
+    "q92_gopher_rules",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             w -> w <> '' AND regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+             (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS stop_hits
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+             (CASE WHEN n_words > 0
+                   THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END)
+               BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+             (n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words < 0.1) AS ok_symbol_ratio,
+             (len(lines) = 0 OR
+              CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*(•|\*|-)\s')))
+                   AS DOUBLE) / len(lines) < 0.9) AS ok_bullet_lines,
+             (len(lines) = 0 OR
+              CAST(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.\s*$')))
+                   AS DOUBLE) / len(lines) < 0.3) AS ok_ellipsis_lines,
+             (n_words > 0 AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS ok_alpha_words,
+             stop_hits >= 2 AS ok_stopwords
+      FROM m
+    )
+    SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+           ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND
+            ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words AND
+            ok_stopwords) AS keep
+    FROM f
+    """,
+)
+def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filters (Rae et al. 2021 C.2) over the corpus — every
+    rule's flag plus the aggregate keep decision in one map-side pass
+    (operators/text.gopher_quality_flags), so curation can audit WHY a
+    document fell out. Zero shuffles at any scale."""
+    from ncpi_whistler_spark.operators.text import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

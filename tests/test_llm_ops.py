@@ -819,3 +819,27 @@ def test_ivf_assign_arrow_matches_fold(emb):
         ivf_assign_arrow(F.col("embedding"), cents).alias("arrow"),
     )
     assert both.where(F.col("fold") != F.col("arrow")).count() == 0
+
+
+def test_gopher_rules_adversarial(spark):
+    """Gopher flags on crafted documents: a bullet-list page, an
+    ellipsis-spam page, a symbol-heavy page, and a normal paragraph —
+    each tripping exactly its own rule."""
+    from ncpi_whistler_spark.operators.text import gopher_quality_flags
+
+    normal = ("the quick brown fox and the lazy dog have decided to be "
+              "friends with many of that field ") * 10
+    bullets = "\n".join("• item %d of the list to have and that be with of" % i
+                        for i in range(20))
+    ellipsis = "\n".join("the story continues and that is to be with of have..."
+                         for _ in range(20))
+    symbols = ("# " * 60) + "the and of to be that have with"
+    df = spark.createDataFrame(
+        [(1, normal), (2, bullets), (3, ellipsis), (4, symbols)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["ok_bullet_lines"] and not got[2]["keep"]
+    assert not got[3]["ok_ellipsis_lines"] and not got[3]["keep"]
+    assert not got[4]["ok_symbol_ratio"] and not got[4]["keep"]
