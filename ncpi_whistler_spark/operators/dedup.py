@@ -267,6 +267,115 @@ def minhash_signatures(
     )
 
 
+def _sig_band_entries(
+    sig: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(id, band, bh) band entries from a signature frame — the unit the
+    banded self-join AND the persistent ingest-dedup index share."""
+    r = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    _base_hash(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", bidx * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        ),
+                        hash_fn,
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistent corpus-side dedup index: (id, band, bh) band
+    entries. Write once (``.write.partitionBy("band").parquet(...)``) and
+    reuse across ingest batches — at 100 TB the corpus is hashed exactly
+    once, and each incoming batch joins against the stored index instead
+    of re-sketching petabytes (see dedup_against_corpus)."""
+    assert num_hashes % bands == 0
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, seed, shingle_n, None, hash_fn
+    )
+    return _sig_band_entries(sig, num_hashes, bands, hash_fn)
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_ppm: int = 800_000,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ingest dedup: drop new documents that are near-dups
+    of ANY existing corpus document (the crawl-ingest shape: the corpus
+    is settled, only the batch is in question — corpus rows are never
+    dropped).
+
+    Two-phase like fuzzy_dedup_keep: banded-LSH candidates restricted to
+    cross (batch × corpus) collisions, then exact n-gram Jaccard on the
+    candidate set only. Pass ``index`` (a stored minhash_band_index
+    frame) to skip re-sketching the corpus — the batch side is the only
+    thing hashed per ingest, and the candidate join reads just the
+    colliding index partitions.
+
+    Requires disjoint id spaces between batch and corpus. Returns the
+    SURVIVING new_docs rows."""
+    new_bands = minhash_band_index(
+        new_docs, text_col, id_col, num_hashes, bands, seed, shingle_n, hash_fn
+    )
+    corpus_bands = (
+        index
+        if index is not None
+        else minhash_band_index(
+            corpus, text_col, id_col, num_hashes, bands, seed, shingle_n, hash_fn
+        )
+    )
+    cand = (
+        new_bands.select("band", "bh", F.col("id").alias("id_a"))
+        .join(
+            corpus_bands.select("band", "bh", F.col("id").alias("id_b")),
+            on=["band", "bh"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    both = new_docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).unionByName(corpus.select(F.col(id_col), F.col(text_col)))
+    verified = jaccard_for_pairs(both, cand, text_col, id_col, shingle_n)
+    dup_new_ids = (
+        verified.where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dup_new_ids, on=id_col, how="left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -288,33 +397,12 @@ def minhash_lsh_pairs(
     self-join inside buckets only — never an all-pairs product.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     # |docs|-row signature frame feeds both band-join sides: persist so
     # the signature aggregation runs once
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, seed, shingle_n, shingles, hash_fn
     ).persist()
-    band_entries = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    _base_hash(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", bidx * r + 1, r),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        ),
-                        hash_fn,
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("e"),
-    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    band_entries = _sig_band_entries(sig, num_hashes, bands, hash_fn)
     a = band_entries.select("band", "bh", F.col("id").alias("id_a"))
     b = band_entries.select("band", "bh", F.col("id").alias("id_b"))
     return (

@@ -3699,6 +3699,57 @@ def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs)
 
 
+@query(
+    "q93_ingest_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shs
+      FROM t
+    ),
+    ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+    cross_dups AS (
+      SELECT n.doc_id AS new_id
+      FROM ex n JOIN ex c ON n.shingle = c.shingle
+      WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+      GROUP BY n.doc_id, c.doc_id, n.n_sh, c.n_sh
+      HAVING (1000000 * COUNT(*)) // (n.n_sh + c.n_sh - COUNT(*)) >= 800000
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND d.doc_id NOT IN (SELECT new_id FROM cross_dups)
+    """,
+)
+def q93_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the doc_id%3=0 slice plays the incoming
+    crawl batch, the rest the settled corpus; batch documents near-dup
+    (Jaccard ≥ 0.8) of ANY corpus document are dropped, corpus rows are
+    untouched. Engine path: a PRECOMPUTED minhash band index for the
+    corpus (the write-once reuse artifact) + banded cross-collision
+    candidates + exact-Jaccard verify on candidates only. The oracle is
+    ground-truth cross exact Jaccard (q39 precedent: qualifying pairs
+    always collide in some band)."""
+    from ncpi_whistler_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    idx = minhash_band_index(corpus, hash_fn="md5")
+    return dedup_against_corpus(
+        batch, corpus, threshold_ppm=800_000, hash_fn="md5", index=idx
+    ).select("doc_id", "lang", "source")
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

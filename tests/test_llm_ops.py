@@ -843,3 +843,30 @@ def test_gopher_rules_adversarial(spark):
     assert not got[2]["ok_bullet_lines"] and not got[2]["keep"]
     assert not got[3]["ok_ellipsis_lines"] and not got[3]["keep"]
     assert not got[4]["ok_symbol_ratio"] and not got[4]["keep"]
+
+
+def test_ingest_dedup_index_reuse(docs, spark, tmp_path):
+    """dedup_against_corpus with a PERSISTED band index (parquet round
+    trip, partitioned by band) returns exactly the same survivors as
+    computing the corpus side inline — the write-once index contract."""
+    from ncpi_whistler_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_band_index,
+    )
+
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    inline = {r["doc_id"] for r in dedup_against_corpus(batch, corpus).collect()}
+
+    path = str(tmp_path / "band_index")
+    minhash_band_index(corpus).write.partitionBy("band").parquet(path)
+    stored = spark.read.parquet(path)
+    via_index = {
+        r["doc_id"]
+        for r in dedup_against_corpus(batch, corpus, index=stored).collect()
+    }
+    assert inline == via_index
+    assert len(inline) < batch.count(), "fixture should contain cross dups"
+
+    # corpus rows are never dropped; survivors are a subset of the batch
+    assert inline <= {r["doc_id"] for r in batch.collect()}
