@@ -3744,9 +3744,11 @@ def q93_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 3 == 0)
     corpus = docs.where(F.col("doc_id") % 3 != 0)
-    idx = minhash_band_index(corpus, hash_fn="md5")
+    # production xxhash64 sketching: the oracle is ground-truth Jaccard,
+    # not a hash replay, so no md5 oracle-mode needed (q39 precedent)
+    idx = minhash_band_index(corpus)
     return dedup_against_corpus(
-        batch, corpus, threshold_ppm=800_000, hash_fn="md5", index=idx
+        batch, corpus, threshold_ppm=800_000, index=idx
     ).select("doc_id", "lang", "source")
 
 
