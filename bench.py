@@ -94,11 +94,23 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    cur_mode = (
+        "cold"
+        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "0"
+        else f"steady-state min-of-{repeats}"
+    )
     regressions: dict[str, list[float]] = {}
     try:
         with open(detail_path) as fh:
             prev = json.load(fh)
-        if prev.get("sf") == sf_val and prev.get("mode") != "cold":
+        # comparable only when BOTH runs are steady-state at the same sf
+        # (a cold run is 3-5x slower by design — comparing it against a
+        # warm baseline would report mass spurious regressions)
+        if (
+            prev.get("sf") == sf_val
+            and prev.get("mode") != "cold"
+            and cur_mode != "cold"
+        ):
             for name, secs in timings.items():
                 before = prev.get("queries", {}).get(name)
                 if before and secs > 1.5 * before and secs - before > 0.3:
@@ -119,11 +131,7 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(timings),
         "repeats": repeats,
-        "mode": (
-            "cold"
-            if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "0"
-            else f"steady-state min-of-{repeats}"
-        ),
+        "mode": cur_mode,
         "median_query_sec": round(median_q, 3),
         "fixed_overhead_est": fixed_overhead_est,
         "fixed_overhead_note": (

@@ -144,12 +144,6 @@ def cmd_play(args) -> int:
     from ncpi_whistler_spark.plans.config import StudyConfig
     from ncpi_whistler_spark.plans.incremental import run_if_stale
     from ncpi_whistler_spark.sinks.bundle import prepare_bundle_entries, write_bundles
-    from ncpi_whistler_spark.sinks.rest import (
-        HttpTransport,
-        InMemoryTransport,
-        auth_header,
-        load_resources,
-    )
 
     spark = _spark(args)
     cfg = StudyConfig.from_yaml(args.config)
@@ -174,8 +168,6 @@ def cmd_play(args) -> int:
             inputs.append(dd.filename)
     inputs = [p for p in dict.fromkeys(inputs) if os.path.exists(p)]
 
-    built: dict[str, bool] = {}
-
     def build() -> None:
         out = _generate_resources(spark, cfg)
         if out is None:
@@ -184,7 +176,6 @@ def cmd_play(args) -> int:
             )
         out.write.mode("overwrite").partitionBy("module").parquet(res_dir)
         write_bundles(prepare_bundle_entries(spark.read.parquet(res_dir)), bundles_dir)
-        built["resources"] = True
 
     ran = run_if_stale(
         os.path.join(work, ".manifest-resources.json"), inputs, build,
@@ -199,22 +190,7 @@ def cmd_play(args) -> int:
         print(json.dumps(checks, indent=2))
         return 2
 
-    url = None
-    headers: dict[str, str] = {}
-    if getattr(args, "host", None):
-        from ncpi_whistler_spark.sources.hostfile import resolve_host
-
-        host = resolve_host(args.host, getattr(args, "hosts_file", None))
-        url = host["target_service_url"]
-        headers = auth_header(host)
-    if url:
-        factory = lambda: HttpTransport(base_url=url, headers=headers)  # noqa: E731
-    else:
-        factory = lambda: InMemoryTransport()  # noqa: E731
-    counts = load_resources(res, factory, parallelism=args.threads)
-    rows = {r["resourceType"]: {"ok": r["ok"], "err": r["err"]} for r in counts.collect()}
-    print(json.dumps({"dry_run": not url, "counts": rows}, indent=2))
-    return 0 if all(v["err"] == 0 for v in rows.values()) else 2
+    return _load_via_args(res, args)
 
 
 def cmd_inspect(args) -> int:
@@ -384,9 +360,10 @@ def cmd_harmonyskel(args) -> int:
     return 0
 
 
-def cmd_load(args) -> int:
-    """load analog: resource parquet → FHIR REST sink (reference
-    wstlr/load.py:473-607). Dry run (in-memory transport) unless --url."""
+def _load_via_args(res, args) -> int:
+    """Shared REST-load tail for ``load`` and ``play``: resolve the
+    target (--url / --host entry / dry run), push the resource frame
+    through the transport, print per-type counts; nonzero on errors."""
     from ncpi_whistler_spark.sinks.rest import (
         HttpTransport,
         InMemoryTransport,
@@ -394,13 +371,7 @@ def cmd_load(args) -> int:
         load_resources,
     )
 
-    spark = _spark(args)
-    res = spark.read.parquet(args.resources)
-    if args.module:
-        from pyspark.sql import functions as F
-
-        res = res.filter(F.col("module").isin(*args.module))
-    url = args.url
+    url = getattr(args, "url", None)
     headers: dict[str, str] = {}
     if getattr(args, "host", None):
         from ncpi_whistler_spark.sources.hostfile import resolve_host
@@ -416,6 +387,18 @@ def cmd_load(args) -> int:
     rows = {r["resourceType"]: {"ok": r["ok"], "err": r["err"]} for r in counts.collect()}
     print(json.dumps({"dry_run": not url, "counts": rows}, indent=2))
     return 0 if all(v["err"] == 0 for v in rows.values()) else 2
+
+
+def cmd_load(args) -> int:
+    """load analog: resource parquet → FHIR REST sink (reference
+    wstlr/load.py:473-607). Dry run (in-memory transport) unless --url."""
+    spark = _spark(args)
+    res = spark.read.parquet(args.resources)
+    if args.module:
+        from pyspark.sql import functions as F
+
+        res = res.filter(F.col("module").isin(*args.module))
+    return _load_via_args(res, args)
 
 
 def cmd_init(args) -> int:

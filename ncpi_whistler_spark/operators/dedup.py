@@ -363,10 +363,20 @@ def dedup_against_corpus(
         )
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
-    both = new_docs.select(
+    # verify shingles ONLY candidate docs (semi-join both sides first):
+    # otherwise every ingest re-tokenizes the whole settled corpus and
+    # the stored index buys nothing — verify cost must be ∝ candidates.
+    batch_cand = new_docs.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), on=id_col, how="semi"
+    )
+    corpus_cand = corpus.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(), on=id_col, how="semi"
+    )
+    both = batch_cand.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).unionByName(corpus.select(F.col(id_col), F.col(text_col)))
+    ).unionByName(corpus_cand.select(F.col(id_col), F.col(text_col)))
     verified = jaccard_for_pairs(both, cand, text_col, id_col, shingle_n)
     dup_new_ids = (
         verified.where(F.col("jaccard_ppm") >= threshold_ppm)

@@ -220,8 +220,11 @@ def _to_pixel_array(payload: bytes):
         return None
     w, h = meta["width"], meta["height"]
     if payload[:2] == b"P6":
-        # re-walk the header to find the pixel offset
-        tokens, i = 0, 2
+        # re-walk the header to find the pixel offset (and reject 16-bit
+        # maxval: decode_ppm accepts it for metadata, but THIS path's
+        # contract is 8-bit — reading 2-byte samples as uint8 would hand
+        # the resizer garbage pixels)
+        tokens, vals, i = 0, [], 2
         while tokens < 3:
             while payload[i : i + 1].isspace():
                 i += 1
@@ -229,22 +232,32 @@ def _to_pixel_array(payload: bytes):
                 while payload[i] != 0x0A:
                     i += 1
                 continue
-            while not payload[i : i + 1].isspace():
-                i += 1
+            j = i
+            while not payload[j : j + 1].isspace():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
             tokens += 1
         i += 1
+        if vals[2] > 255:
+            return None
         arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
         return arr.reshape(h, w, 3)
     import struct
 
     pix_off = struct.unpack_from("<I", payload, 10)[0]
+    raw_h = struct.unpack_from("<ii", payload, 18)[1]
     nbytes = meta["channels"]
     stride = ((w * nbytes + 3) // 4) * 4
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=pix_off
     ).reshape(h, stride)
     bgr = rows[:, : w * nbytes].reshape(h, w, nbytes)
-    rgb = bgr[::-1, :, [2, 1, 0]]  # bottom-up BGR(A) → top-down RGB
+    # negative biHeight = rows already stored top-down; only bottom-up
+    # files (positive height) need the vertical flip
+    if raw_h > 0:
+        bgr = bgr[::-1]
+    rgb = bgr[:, :, [2, 1, 0]]  # BGR(A) → RGB
     return np.ascontiguousarray(rgb)
 
 

@@ -134,7 +134,9 @@ def hyperplane_bucket_arrow(vec: Column, dim: int, bits: int, seed: int = 42) ->
             acc = np.zeros(len(v), dtype=np.float64)
             for d in range(dim):
                 acc += v[:, d] * planes[i, d]
-            out += np.where(acc > 0, weights[i], 0)
+            # NaN sets the bit, matching Spark's NaN-is-largest `> 0`
+            # (a corrupt vector must bucket identically on both paths)
+            out += np.where((acc > 0) | np.isnan(acc), weights[i], 0)
         return pd.Series(out)
 
     return bucket(vec)
@@ -410,7 +412,12 @@ def ivf_assign_arrow(vec: Column, centroids: list[list[float]]) -> Column:
             for d in range(C.shape[1]):
                 acc += v[:, d] * C[cid, d]
             score = acc / norms[cid]
-            better = score > best_score  # strict: ties keep lower cid
+            # strict > keeps the lower cid on ties; NaN scores beat
+            # non-NaN (Spark's array_max NaN-is-largest), and among NaNs
+            # the first (lowest cid) wins — same as the fold's structs
+            better = (score > best_score) | (
+                np.isnan(score) & ~np.isnan(best_score)
+            )
             best_score = np.where(better, score, best_score)
             best_cid = np.where(better, cid, best_cid).astype(np.int32)
         return pd.Series(best_cid)
@@ -591,12 +598,14 @@ def semantic_dedup(
 
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
     assign = _ASSIGN_MODES[assign_mode]
+    # persisted: a, b, and the output join all consume this frame — the
+    # per-vector assignment + norm would otherwise run 3x per call
     v = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
         assign(F.col(vec_col), cents).alias("cid"),
-    )
+    ).persist()
     a = v.select(
         "cid", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

@@ -2045,8 +2045,11 @@ def _kmeans_replay_ctes() -> str:
     lowest cid): CTEs emb → c0 → s1 → a1 → dims → newc → c1 → s2 → a2,
     where a2 is the final (vec_id, cid) assignment and c1 the final
     centroids. Used by the IVF (q58) and semantic-dedup (q89) oracles —
-    exact because those queries run assign_mode='fold' (sequential
-    dot-product folds == list_dot_product bit-for-bit)."""
+    exact because those queries run assign_mode='arrow', whose
+    sequential-across-dims scores are BIT-IDENTICAL to the expression
+    fold and hence to list_dot_product (the load-bearing guarantees are
+    tests test_ivf_assign_arrow_matches_fold and the fold-vs-DuckDB
+    differential; 'fold' mode remains as the replay-shaped reference)."""
     score = (
         "list_dot_product(e.v, {c}.c) / (CASE WHEN sqrt(list_dot_product({c}.c, {c}.c)) = 0 "
         "THEN 1.0 ELSE sqrt(list_dot_product({c}.c, {c}.c)) END)"
@@ -3591,8 +3594,10 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper): the training-data curation operator for pruning semantic
     near-duplicates that lexical dedup misses. Oracle replays the
     k-means quantizer AND the keeper rule end-to-end; the engine runs
-    fold-mode assignment for bit parity (production = the Arrow matmul,
-    same contract — see similarity.semantic_dedup).
+    assign_mode='arrow' — bit-identical to the fold form the oracle
+    mirrors (test_ivf_assign_arrow_matches_fold) — with dot_product_arrow
+    pair scoring (test_dot_product_arrow_matches_fold). The unpinned
+    production mode is the BLAS matmul (see similarity.semantic_dedup).
 
     Scale note (same contrast as q40/q40x, measured in
     SCALEBENCH_NEWOPS.json): THIS form pins nlist=8 for oracle replay →

@@ -870,3 +870,37 @@ def test_ingest_dedup_index_reuse(docs, spark, tmp_path):
 
     # corpus rows are never dropped; survivors are a subset of the batch
     assert inline <= {r["doc_id"] for r in batch.collect()}
+
+
+def test_arrow_twins_nan_semantics(spark):
+    """Corrupt (NaN-bearing) vectors must bucket/assign IDENTICALLY on
+    the fold and Arrow paths — Spark treats NaN as larger than any
+    number (NaN > 0 is true; array_max picks NaN), and the Arrow twins
+    replicate that."""
+    from ncpi_whistler_spark.operators.similarity import (
+        hyperplane_bucket,
+        hyperplane_bucket_arrow,
+        ivf_assign_arrow,
+        ivf_assign_fold,
+    )
+
+    rows = [
+        (1, [float("nan")] * 8),
+        (2, [1.0, -2.0, float("nan"), 0.5, 0.0, 3.0, -1.0, 2.0]),
+        (3, [0.1 * i for i in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = df.select(
+        "vec_id",
+        hyperplane_bucket(F.col("embedding"), 8, 4).alias("fold"),
+        hyperplane_bucket_arrow(F.col("embedding"), 8, 4).alias("arrow"),
+    )
+    assert b.where(F.col("fold") != F.col("arrow")).count() == 0
+
+    cents = [[1.0] * 8, [float(i % 2) for i in range(8)]]
+    a = df.select(
+        "vec_id",
+        ivf_assign_fold(F.col("embedding"), cents).alias("fold"),
+        ivf_assign_arrow(F.col("embedding"), cents).alias("arrow"),
+    )
+    assert a.where(F.col("fold") != F.col("arrow")).count() == 0

@@ -86,11 +86,12 @@ def test_stateful_running_totals(spark):
 
 def test_stateful_exact_cents_matches_duckdb_cast(spark, tmp_path):
     """exact_cents must round EXACTLY like the q88 oracle's DuckDB
-    CAST(value AS DECIMAL(18,2)) — half-even on the binary value
-    (0.125→0.12, 2.675 (binary 2.67499…)→2.67) — including on .5-cent
-    ties where Spark's own decimal cast disagrees (it HALF_UPs the
-    shortest decimal string: 0.125→0.13). The adversarial values below
-    make any other rounding mode drift by ≥1 cent."""
+    CAST(value AS DECIMAL(18,2)) — HALF_UP on the SHORTEST DECIMAL REPR
+    of the double (0.125→0.13, 2.675→2.68 even though 2.675*100
+    binary-evaluates to 267.49999…), which is also what Spark's own
+    decimal cast does. Binary-value rounding (pandas .round half-even,
+    np.floor(v*100+0.5)) drifts one cent on the adversarial values
+    below; the production accumulator uses Decimal(repr(v)) HALF_UP."""
     import duckdb
     import pyspark.sql.functions as FF
 

@@ -140,10 +140,17 @@ def main() -> int:
             rec.update(status="error", error=f"{type(e).__name__}: {e}")
             print(f"✗ {name}: EXCEPTION {type(e).__name__}: {e}")
         results[name] = rec
-    if json_out:
+    if json_out and only:
+        # a filtered run must NOT overwrite the artifact's full-run
+        # record for this sf_dir with a subset — spot-check without --json
+        print(
+            f"--json ignored: query filter active ({len(only)} of "
+            f"{len(REGISTRY)}); the artifact only records FULL runs"
+        )
+    if json_out and not only:
         # Machine-readable audit artifact: one file, merged across sf
         # runs, so the judge can check every registry query (including
-        # the 38 outside the 50-entry driver surface) without re-running
+        # those outside the 50-entry driver surface) without re-running
         # Spark. Regenerate with:
         #   python tools/parity.py /root/testdata/sf0.001 --json
         #   python tools/parity.py /root/testdata/sf0.01 --json
