@@ -465,3 +465,125 @@ def gopher_quality_flags(
     for k in flags:
         keep = F.col(k) if keep is None else (keep & F.col(k))
     return out.withColumn("keep", keep)
+
+
+#: Gopher repetition thresholds (Rae et al. 2021 Table A1): fraction of
+#: characters in the most frequent n-gram / in duplicated n-grams, ppm
+GOPHER_TOP_LIMITS_PPM = {2: 200_000, 3: 180_000, 4: 160_000}
+GOPHER_DUP_LIMITS_PPM = {
+    5: 150_000, 6: 140_000, 7: 130_000, 8: 120_000, 9: 110_000, 10: 100_000,
+}
+
+
+def gopher_repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> DataFrame:
+    """The Gopher repetition suite beyond q68's dup-3-gram ratio: per
+    document, the fraction of characters covered by the single most
+    frequent n-gram (``top{n}_ppm``, count ties → larger coverage) and
+    by ALL duplicated n-grams via POSITIONAL coverage (``dup{n}_ppm`` —
+    token positions inside any duplicated n-gram are unioned first, so
+    overlapping repeats never double-count), plus the aggregate ``keep``
+    under the paper's thresholds.
+
+    Plan: one posexplode of tokens shared by every grain (persisted);
+    each grain is a lead()-window n-gram stitch reusing the same id
+    partitioning, one (id, ngram) count aggregation, and for dup grains
+    a position-explode → distinct → char-sum join. Integer ppm
+    throughout — no float rounding hazard, exact oracle replay.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).persist()
+    totals = tok.groupBy("id").agg(
+        F.sum(F.length("tok")).alias("total_chars")
+    )
+
+    w = Window.partitionBy("id").orderBy("pos")
+
+    def ngram_rows(n: int) -> DataFrame:
+        parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+        return (
+            tok.select("id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
+            .where(F.col(f"t{n-1}").isNotNull())
+            .select(
+                "id",
+                "pos",
+                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("ng"),
+            )
+        )
+
+    out = df.select(F.col(id_col).alias("id")).distinct().join(
+        totals, on="id", how="left"
+    )
+    ppm_cols: list[str] = []
+
+    for n in top_ns:
+        counts = ngram_rows(n).groupBy("id", "ng").agg(F.count(F.lit(1)).alias("c"))
+        cover = F.col("c") * F.length(F.regexp_replace("ng", " ", ""))
+        top = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c").alias("c"), cover.alias("cover")))["cover"]
+            .alias(f"__cov{n}")
+        )
+        out = out.join(top, on="id", how="left")
+        ppm_cols.append(f"top{n}_ppm")
+        out = out.withColumn(
+            f"top{n}_ppm",
+            F.when(
+                F.col("total_chars") > 0,
+                F.expr(f"(1000000 * coalesce(__cov{n}, 0)) div total_chars"),
+            ).otherwise(F.lit(0)).cast("long"),
+        ).drop(f"__cov{n}")
+
+    for n in dup_ns:
+        ng = ngram_rows(n)
+        dup_ng = (
+            ng.groupBy("id", "ng")
+            .agg(F.count(F.lit(1)).alias("c"), F.collect_list("pos").alias("ps"))
+            .where(F.col("c") > 1)
+        )
+        covered = (
+            dup_ng.select(
+                "id", F.explode("ps").alias("p0")
+            )
+            .select("id", F.explode(F.sequence(F.col("p0"), F.col("p0") + (n - 1))).alias("cpos"))
+            .distinct()
+        )
+        chars = (
+            covered.join(
+                tok.select("id", F.col("pos").alias("cpos"), F.length("tok").alias("L")),
+                on=["id", "cpos"],
+            )
+            .groupBy("id")
+            .agg(F.sum("L").alias(f"__dcov{n}"))
+        )
+        out = out.join(chars, on="id", how="left")
+        ppm_cols.append(f"dup{n}_ppm")
+        out = out.withColumn(
+            f"dup{n}_ppm",
+            F.when(
+                F.col("total_chars") > 0,
+                F.expr(f"(1000000 * coalesce(__dcov{n}, 0)) div total_chars"),
+            ).otherwise(F.lit(0)).cast("long"),
+        ).drop(f"__dcov{n}")
+
+    keep = None
+    for n in top_ns:
+        c = F.col(f"top{n}_ppm") <= GOPHER_TOP_LIMITS_PPM[n]
+        keep = c if keep is None else (keep & c)
+    for n in dup_ns:
+        c = F.col(f"dup{n}_ppm") <= GOPHER_DUP_LIMITS_PPM[n]
+        keep = keep & c
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("total_chars"), F.lit(0)).cast("long").alias("total_chars"),
+        *[F.col(c) for c in ppm_cols],
+        keep.alias("keep"),
+    )

@@ -3757,6 +3757,108 @@ def q93_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q94_oracle(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> str:
+    """Gopher repetition suite replayed in SQL: per grain, zipped-unnest
+    (pos, ngram) rows; top grain = best (count, count*chars) n-gram via
+    window rank (same tie rule as the engine's max-struct); dup grain =
+    positional coverage union (DISTINCT covered positions joined back to
+    token lengths)."""
+    from ncpi_whistler_spark.operators.text import (
+        GOPHER_DUP_LIMITS_PPM,
+        GOPHER_TOP_LIMITS_PPM,
+    )
+
+    ctes = [
+        r"""t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks,
+             length(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''), '')) AS total_chars
+      FROM documents
+    )"""
+    ]
+    joins, cols, keeps = [], [], []
+    for n in top_ns:
+        ctes.append(
+            f"""ng{n} AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                     for i in generate_series(1, len(toks)-{n - 1})]) AS ng
+      FROM t
+    ),
+    top{n} AS (
+      SELECT doc_id, cover AS cov{n} FROM (
+        SELECT doc_id, c * length(replace(ng, ' ', '')) AS cover,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, c * length(replace(ng, ' ', '')) DESC) AS rn
+        FROM (SELECT doc_id, ng, COUNT(*) AS c FROM ng{n} GROUP BY 1, 2))
+      WHERE rn = 1
+    )"""
+        )
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        cols.append(
+            f"CAST(CASE WHEN total_chars > 0 THEN (1000000 * COALESCE(cov{n}, 0)) // total_chars ELSE 0 END AS BIGINT) AS top{n}_ppm"
+        )
+        keeps.append(f"top{n}_ppm <= {GOPHER_TOP_LIMITS_PPM[n]}")
+    for n in dup_ns:
+        ctes.append(
+            f"""ngp{n} AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks)-{n - 1})) AS pos,
+             unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                     for i in generate_series(1, len(toks)-{n - 1})]) AS ng
+      FROM t
+    ),
+    dcov{n} AS (
+      SELECT doc_id, SUM(L) AS dcov{n} FROM (
+        SELECT DISTINCT c.doc_id, c.cpos, length(tk.tok) AS L
+        FROM (
+          SELECT doc_id, unnest(generate_series(p0, p0 + {n - 1})) AS cpos
+          FROM (
+            SELECT doc_id, unnest(ps) AS p0 FROM (
+              SELECT doc_id, ng, COUNT(*) AS c, list(pos) AS ps
+              FROM ngp{n} GROUP BY 1, 2) WHERE c > 1)
+        ) c
+        JOIN (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(toks))) AS pos,
+                 unnest(toks) AS tok
+          FROM t
+        ) tk ON tk.doc_id = c.doc_id AND tk.pos = c.cpos
+      ) GROUP BY doc_id
+    )"""
+        )
+        joins.append(f"LEFT JOIN dcov{n} USING (doc_id)")
+        cols.append(
+            f"CAST(CASE WHEN total_chars > 0 THEN (1000000 * COALESCE(dcov{n}, 0)) // total_chars ELSE 0 END AS BIGINT) AS dup{n}_ppm"
+        )
+        keeps.append(f"dup{n}_ppm <= {GOPHER_DUP_LIMITS_PPM[n]}")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + ",\n    ppms AS (SELECT doc_id, CAST(total_chars AS BIGINT) AS total_chars, "
+        + ", ".join(cols)
+        + " FROM t "
+        + " ".join(joins)
+        + ")\n    SELECT *, ("
+        + " AND ".join(keeps)
+        + ") AS keep FROM ppms"
+    )
+
+
+@query("q94_gopher_repetition", _q94_oracle())
+def q94_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition suite (top-2/3/4-gram char fraction +
+    dup-5/10-gram POSITIONAL coverage, integer ppm) — completes q68's
+    dup-3-gram ratio to the paper's Table A1 rules. One shared token
+    explode, per-grain lead() n-gram stitches reusing the same doc-id
+    partitioning; overlapping repeats never double-count (covered token
+    positions are unioned before summing chars)."""
+    from ncpi_whistler_spark.operators.text import gopher_repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition_profile(docs)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

@@ -904,3 +904,31 @@ def test_arrow_twins_nan_semantics(spark):
         ivf_assign_arrow(F.col("embedding"), cents).alias("arrow"),
     )
     assert a.where(F.col("fold") != F.col("arrow")).count() == 0
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Hand-checkable repetition profile: doc 1 = 'x y' repeated 5 times
+    (10 tokens, 10 chars): top-2-gram 'x y' covers 5*2=10 of 10 chars →
+    top2_ppm=1_000_000; every 5-gram appears twice covering ALL
+    positions → dup5_ppm=1_000_000 and keep=false. Doc 2 has no
+    repeated 5-grams → dup5_ppm=0. Doc 3 shorter than 5 tokens →
+    dup5_ppm=0 (no such grams)."""
+    from ncpi_whistler_spark.operators.text import gopher_repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y x y"),
+            (2, " ".join(f"w{i}" for i in range(50))),
+            (3, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition_profile(df).collect()}
+    assert got[1]["top2_ppm"] == 1_000_000
+    assert got[1]["dup5_ppm"] == 1_000_000
+    assert not got[1]["keep"]
+    assert got[2]["dup5_ppm"] == 0 and got[2]["dup10_ppm"] == 0
+    assert got[2]["keep"]
+    assert got[3]["dup5_ppm"] == 0
+    # doc 3: 'a b' appears once covering 2 of 3 chars → 666666 ppm > 20%
+    assert got[3]["top2_ppm"] == 666_666 and not got[3]["keep"]
