@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "q89_semantic_dedup",
     "q89x_semantic_dedup_scaled",
     "q90x_pack_sequences",
+    "q94_gopher_repetition",
 ]
 
 
