@@ -105,6 +105,19 @@ def _generate_resources(spark, cfg):
 
         frames.append(resources_to_json(harmony_conceptmap(spark, ds.concept_map, cfg)))
         frames.append(resources_to_json(harmony_valuesets(spark, ds.concept_map, cfg)))
+    # user-authored projectors (whistle_src/projector_lib analog,
+    # wstlr/play.py:46-76): study-registered Python builders merge their
+    # frames into the same resource union the whistle output would
+    if cfg.whistle_src or cfg.projector_lib:
+        from ncpi_whistler_spark.plans.projectors import (
+            load_projector_lib,
+            run_projectors,
+        )
+
+        registry = load_projector_lib(cfg)
+        if registry.names():
+            print(f"custom projectors: {', '.join(registry.names())}")
+        frames.extend(run_projectors(spark, registry, ds, cfg))
     if not frames:
         return None
     out = frames[0]
@@ -166,6 +179,16 @@ def cmd_play(args) -> int:
         dd = t.data_dictionary
         if dd and dd.filename and dd.filename.lower() != "none":
             inputs.append(dd.filename)
+    # user projector sources count as pipeline inputs, like the reference's
+    # whistle files in check_latest_update (wstlr/play.py:119-150)
+    if cfg.whistle_src:
+        inputs.append(cfg.whistle_src)
+    if cfg.projector_lib and os.path.isdir(cfg.projector_lib):
+        inputs += [
+            os.path.join(cfg.projector_lib, f)
+            for f in sorted(os.listdir(cfg.projector_lib))
+            if f.endswith(".py") and not f.startswith("_")
+        ]
     inputs = [p for p in dict.fromkeys(inputs) if os.path.exists(p)]
 
     def build() -> None:
@@ -177,9 +200,12 @@ def cmd_play(args) -> int:
         out.write.mode("overwrite").partitionBy("module").parquet(res_dir)
         write_bundles(prepare_bundle_entries(spark.read.parquet(res_dir)), bundles_dir)
 
+    # a surviving manifest with a deleted output dir must not skip the
+    # rebuild — treat missing outputs as stale regardless of input mtimes
+    outputs_missing = not os.path.isdir(res_dir) or not os.path.isdir(bundles_dir)
     ran = run_if_stale(
         os.path.join(work, ".manifest-resources.json"), inputs, build,
-        force=args.force,
+        force=args.force or outputs_missing,
     )
     print(f"resources: {'rebuilt' if ran else 'up-to-date, skipped'} -> {res_dir}")
 
@@ -444,6 +470,9 @@ id_colname: participant_id
 curies: {{}}
 active_tables:
   ALL: true
+# custom projector plugin point (reference whistle_src/projector_lib
+# analog): Python files whose build_* functions emit extra resources
+projector_lib: {q(os.path.join(absdest, "projector"))}
 dataset:
   participant:
     filename: {q(os.path.join(absdest, "participant.csv"))}
@@ -451,6 +480,38 @@ dataset:
     data_dictionary:
       filename: {q(os.path.join(absdest, "participant-dd.csv"))}
 """,
+    )
+    os.makedirs(os.path.join(dest, "projector"), exist_ok=True)
+    emit(
+        os.path.join("projector", "patient.py"),
+        '''"""Sample custom projector — the analog of a study's user-authored
+whistle projector library. Each build_* function receives (spark,
+dataset, study) and returns a typed resource frame; see
+examples/demo_study/projector/ for richer patterns."""
+
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.functions.harmonize import (
+    harmonize_as_code,
+    key_identifier,
+    study_meta,
+)
+from ncpi_whistler_spark.operators.harmonize import harmonize
+
+
+def build_patients(spark, dataset, study):
+    df = dataset.tables["participant"]
+    df = harmonize(df, "sex", "sex", dataset.concept_map, output_col="_sex")
+    return df.select(
+        F.lit("custom").alias("module"),
+        F.lit("Patient").alias("resourceType"),
+        F.struct(F.array(study_meta(study.study_id)).alias("tag")).alias("meta"),
+        F.array(
+            key_identifier("participant_id", study.identifier_prefix, "Patient")
+        ).alias("identifier"),
+        harmonize_as_code("_sex").alias("gender"),
+    )
+''',
     )
     emit(
         "participant.csv",

@@ -102,6 +102,11 @@ class StudyConfig:
     study_sponsor: str | None = None
     remote_data_access: dict | None = None
     consent_group: dict | None = None
+    #: user-authored projector plugin point (wstlr/config.py:134-151
+    #: whistle_src/projector_lib) — here Python files whose build_*
+    #: functions emit extra resource frames (plans/projectors.py)
+    whistle_src: str | None = None
+    projector_lib: str | None = None
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "StudyConfig":
@@ -133,6 +138,8 @@ class StudyConfig:
             study_sponsor=d.get("study_sponsor"),
             remote_data_access=d.get("remote_data_access"),
             consent_group=d.get("consent_group"),
+            whistle_src=d.get("whistle_src"),
+            projector_lib=d.get("projector_lib"),
         )
 
     @classmethod

@@ -13,7 +13,6 @@ to DOUBLE, so partial-aggregation order (Spark) vs sequential order
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
