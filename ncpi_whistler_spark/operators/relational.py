@@ -150,6 +150,81 @@ def salted_group_count(
     return partial.groupBy(*keys).agg(F.sum("__n").alias("n"))
 
 
+def bucketed_session_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    gap_secs: int = 1800,
+    bucket_secs: int = 86_400,
+) -> DataFrame:
+    """Sessionization counts (inactivity-gap sessions) without a
+    per-user global window — the 100 TB rewrite of
+    ``lag/cumsum OVER (PARTITION BY user)`` (SCALEBENCH_SKEW known
+    limit: a zipfian hot user puts ~50% of rows in ONE task's sort,
+    and AQE cannot split a running window partition).
+
+    Two-level decomposition, the q55x overlap-padding idea applied to
+    sessions:
+
+    1. **Local pass** — rows shuffle on ``(user, ⌊t/bucket⌋)``, so the
+       largest sort task is bounded by one user's events in one bucket
+       regardless of total skew. Within a bucket, a session start is a
+       row whose gap from the previous row exceeds ``gap_secs``
+       (bucket-first rows are deferred to the merge).
+    2. **Boundary merge** — per (user, bucket) summaries (one row per
+       bucket: starts, min/max ts, count) go through a per-user window,
+       but over *bucket summaries*, not events: a year of daily buckets
+       is ≤366 rows even for a user with 10⁹ events. A bucket's first
+       event starts a new session iff the previous non-empty bucket's
+       last event is more than ``gap_secs`` away (or there is none).
+
+    n_sessions = Σ local starts + Σ boundary starts, exactly the number
+    of 1-marks the lag/cumsum form counts — test-pinned hash-equal.
+
+    ``bucket_secs`` sizes the local task: pick it so one user's events
+    per bucket fit an executor sort (default 1 day). ``order_cols``
+    breaks ts ties deterministically in the local sort; gap decisions
+    use ts alone, so results are tie-order invariant either way.
+    """
+    order_cols = order_cols or []
+    t = F.unix_timestamp(F.col(ts_col))
+    bucketed = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        *[F.col(c) for c in order_cols],
+        t.alias("__t"),
+        (t - (t % F.lit(bucket_secs))).alias("__bkt"),
+    )
+    wlocal = Window.partitionBy(user_col, "__bkt").orderBy(ts_col, *order_cols)
+    prev_t = F.lag("__t").over(wlocal)
+    marked = bucketed.withColumn(
+        "__start",
+        (prev_t.isNotNull() & ((F.col("__t") - prev_t) > gap_secs)).cast("int"),
+    )
+    per_bucket = marked.groupBy(user_col, "__bkt").agg(
+        F.sum("__start").alias("__local_starts"),
+        F.min("__t").alias("__first_t"),
+        F.max("__t").alias("__last_t"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    wb = Window.partitionBy(user_col).orderBy("__bkt")
+    prev_last = F.lag("__last_t").over(wb)
+    merged = per_bucket.withColumn(
+        "__boundary",
+        F.when(
+            prev_last.isNull() | ((F.col("__first_t") - prev_last) > gap_secs),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    return merged.groupBy(user_col).agg(
+        F.sum(F.col("__local_starts") + F.col("__boundary")).alias("n_sessions"),
+        F.sum("__n").alias("n_events"),
+    )
+
+
 def trailing_range_agg(
     df: DataFrame,
     id_cols: list[str],

@@ -568,31 +568,18 @@ def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (30-min inactivity gap) via lag + cumulative sum —
-    the batch twin of session_window streaming. Single shuffle on
-    user_id shared by both windows and the final aggregate."""
+    """Sessionization (30-min inactivity gap) — batch twin of
+    session_window streaming. Skew-safe form: rows shuffle on
+    (user, day-bucket) for the local gap scan, then a per-user window
+    runs over bucket *summaries* only (operators/relational.py:
+    bucketed_session_counts), so a zipfian hot user never lands in a
+    single task's sort. Hash-equal to the lag/cumsum window form
+    (test_operators pins the equivalence)."""
+    from ncpi_whistler_spark.operators.relational import bucketed_session_counts
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.select(
-        "user_id",
-        "ts",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    w2 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sessions = marked.withColumn("session_id", F.sum("new_session").over(w2))
-    return sessions.groupBy("user_id").agg(
-        F.count_distinct("session_id").alias("n_sessions"),
-        F.count(F.lit(1)).alias("n_events"),
+    return bucketed_session_counts(
+        ev, "user_id", "ts", order_cols=["event_id"], gap_secs=1800
     )
 
 

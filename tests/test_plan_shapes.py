@@ -126,6 +126,83 @@ def test_trailing_range_agg_equals_window_form(spark):
     assert "__bkt" in plan
 
 
+def test_bucketed_sessionize_equals_window_form(spark):
+    """q19's skew-safe (user, day-bucket) rewrite returns exactly the
+    lag/cumsum window form's rows on the real events fixture, and its
+    event-level shuffle key includes the time bucket (the hot-user
+    bound)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ncpi_whistler_spark.operators.relational import bucketed_session_counts
+    from ncpi_whistler_spark.queries import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    legacy = marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    rewritten = bucketed_session_counts(
+        ev, "user_id", "ts", order_cols=["event_id"], gap_secs=1800
+    )
+    a = sorted(map(tuple, legacy.collect()))
+    b = sorted(map(tuple, rewritten.collect()))
+    assert a == b
+    plan = rewritten._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan
+
+
+def test_bucketed_sessionize_boundary_cases(spark):
+    """Hand-built sessions that straddle bucket edges: a gap of exactly
+    gap_secs does NOT split (strict >), one second more does, sessions
+    spanning 3 buckets count once, and empty buckets between events
+    don't phantom-split."""
+    from ncpi_whistler_spark.operators.relational import bucketed_session_counts
+
+    B = 3600  # 1h buckets for the test
+    rows = [
+        # u1: events at 0s, 1800s (gap == 1800 -> same session),
+        # 3601s (gap 1801 -> new session), then 3 bucket-straddling
+        # events 100s apart crossing the 7200s bucket edge (gap from
+        # 3601 -> their own session), then a multi-bucket silent
+        # stretch and one more event (new session).
+        ("u1", 0),
+        ("u1", 1800),
+        ("u1", 3601),
+        ("u1", 7150),
+        ("u1", 7250),
+        ("u1", 7350),
+        ("u1", 21000),
+        # u2: single event
+        ("u2", 5),
+    ]
+    df = spark.createDataFrame(
+        [(u, s) for u, s in rows], "user_id string, secs long"
+    ).selectExpr("user_id", "timestamp_seconds(secs) AS ts", "secs AS event_id")
+    out = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in bucketed_session_counts(
+            df, "user_id", "ts", order_cols=["event_id"], bucket_secs=B
+        ).collect()
+    }
+    assert out == {"u1": (4, 7), "u2": (1, 1)}
+
+
 def test_q24_hot_shingle_guard_is_broadcast_anti(spark):
     """The max_df skew guard joins hot shingles as a broadcast anti join
     — the index side must NOT shuffle for the guard."""

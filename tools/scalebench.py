@@ -105,6 +105,60 @@ def _q55_trailing_bucketed(spark, kdir: str, k: int):
     )
 
 
+def _sessionize_window_form(spark, kdir: str, k: int):
+    """The retired lag/cumsum per-user window form of q19 — the skew
+    CONTRAST to the shipped bucketed_session_counts rewrite. Under the
+    zipfian corpus (50% of events on one user) this shape serializes
+    half the table into one task's sort; the registry q19 bounds every
+    task by one user's events in one day."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(os.path.join(kdir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+#: sessionize pair → its event-shuffle partition key; the sweep records
+#: max rows landing on one key (the single-task bound the skew rewrite
+#: exists to break)
+_SESSIONIZE_KEYS = {
+    "q19_sessionize": ["user_id", "__bkt"],
+    "q19w_sessionize_window": ["user_id"],
+}
+
+
+def _sessionize_max_key_rows(spark, kdir: str, name: str) -> int:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(kdir, "events.parquet"))
+    t = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    keyed = ev.withColumn("__bkt", (t - (t % F.lit(86_400))))
+    return (
+        keyed.groupBy(*_SESSIONIZE_KEYS[name])
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+
+
 def _plain_user_counts(spark, kdir: str, k: int):
     """GROUP BY user_id COUNT on the (optionally skewed) events — the
     unsalted contrast for q62's salted template. Map-side partial
@@ -197,6 +251,7 @@ EXTRA_QUERIES = {
     "q62s_salted_user_counts": _salted_user_counts,
     "q91a_skew_join_aqe_on": lambda s, d, k: _skew_join(s, d, k, True),
     "q91b_skew_join_aqe_off": lambda s, d, k: _skew_join(s, d, k, False),
+    "q19w_sessionize_window": _sessionize_window_form,
     "q89x_semantic_dedup_scaled": _semantic_dedup_scaled,
     "q90x_pack_sequences": _pack_sequences_scaled,
 }
@@ -212,6 +267,7 @@ EVENTS_QUERIES = [
     "q55x_trailing_bucketed",
     "q62p_plain_user_counts",
     "q62s_salted_user_counts",
+    "q19w_sessionize_window",
 ]
 
 #: the relational family: FACT tables (lineitem/orders) replicate with
@@ -542,6 +598,11 @@ def main() -> int:
                     spark.conf.set(key, val)
             results[n]["secs"][k] = round(best, 3)
             results[n]["rows"][k] = rows
+            if n in _SESSIONIZE_KEYS:
+                mkr = _sessionize_max_key_rows(spark, kdir, n)
+                results[n].setdefault("max_key_rows", {})[k] = mkr
+                print(f"[scalebench] {n} k={k}: max rows on one "
+                      f"shuffle key = {mkr}", flush=True)
             print(f"[scalebench] {n} k={k}: {best:.2f}s, {rows} rows", flush=True)
         if not args.keep:
             shutil.rmtree(kdir, ignore_errors=True)
@@ -565,6 +626,10 @@ def main() -> int:
                 round(e, 3) if (e := fit_exponent(fit_pts)) is not None else None
             ),
         }
+        if "max_key_rows" in results[n]:
+            report["queries"][n]["max_key_rows"] = {
+                str(k): v for k, v in sorted(results[n]["max_key_rows"].items())
+            }
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
