@@ -162,7 +162,10 @@ def winnowing_fingerprint_rows(
     with plain codegen expressions. Use this for corpus-scale jobs; the
     Column variant below re-evaluates the normalization inside the HOF
     lambda per element (fine for single values, quadratic for documents).
-    ``hash_fn='md5'`` → oracle-reproducible h60 k-gram hashes.
+    ``hash_fn='md5'`` → oracle-reproducible h60 k-gram hashes;
+    ``hash_fn='kr'`` → the Karp-Rabin polynomial of the winnowing paper
+    (base 263 mod 2⁶¹-ish prime, KR_MOD) — also oracle-reproducible
+    (pure integer SQL) and ~an order of magnitude cheaper than md5.
     """
     from pyspark.sql import functions as FF
 
@@ -176,11 +179,218 @@ def winnowing_fingerprint_rows(
         "nt",
         FF.explode(FF.sequence(FF.lit(1), FF.col("n") - window + 1)).alias("i"),
     )
-    h = _base_hash(FF.col("nt").substr(FF.col("i"), FF.lit(window)), hash_fn)
+    if hash_fn == "kr":
+        h = FF.lit(0).cast("long")
+        for j in range(window):
+            h = (h * KR_BASE + FF.ascii(FF.col("nt").substr(FF.col("i") + j, FF.lit(1)))) % KR_MOD
+    else:
+        h = _base_hash(FF.col("nt").substr(FF.col("i"), FF.lit(window)), hash_fn)
     return (
         pos.select("id", h.alias("fp"))
         .where(FF.col("fp") % keep_every == 0)
         .dropDuplicates(["id", "fp"])
+    )
+
+
+#: Karp-Rabin fingerprint parameters — shared by the Spark expression
+#: form, the numpy Arrow twin, and the DuckDB oracle SQL (kr_hash_sql).
+#: Base 263 (odd, ≢1 mod small powers of two, so the mod-p selection
+#: bits mix); modulus 2⁴¹-1 keeps every Horner step h*263+255 < 2⁵⁰,
+#: inside exact BIGINT range in Spark, DuckDB AND uint64 numpy alike.
+KR_BASE = 263
+KR_MOD = (1 << 41) - 1
+
+
+def kr_hash_sql(text_expr: str, pos_expr: str, window: int) -> str:
+    """The ANSI-SQL twin of the ``hash_fn='kr'`` fingerprint: a nested
+    Horner chain over ``window`` characters of ``text_expr`` starting at
+    1-based ``pos_expr`` — replayable by DuckDB without any hash
+    builtin."""
+    h = "0"
+    for j in range(window):
+        c = f"ascii(substring({text_expr}, {pos_expr} + {j}, 1))"
+        h = f"(({h}) * {KR_BASE} + {c}) % {KR_MOD}"
+    return h
+
+
+def _xxh64_fixed_rows(win, seed: int = 42):
+    """Vectorized XXH64 over an (n, L) uint8 matrix — one hash per row,
+    bit-identical to Spark's ``xxhash64`` on the same bytes (Spark hashes
+    UTF-8 bytes with seed 42; test-pinned across window sizes covering
+    the <4, 4-byte, 8-byte and ≥32 stripe paths). All arithmetic in
+    numpy uint64, which wraps mod 2⁶⁴ exactly like the reference
+    implementation's C semantics."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    u64 = np.uint64
+
+    def rotl(x, r):
+        r = u64(r)
+        return (x << r) | (x >> (u64(64) - r))
+
+    n, L = win.shape
+    mask = (1 << 64) - 1
+    i = 0
+    if L >= 32:
+        # accumulator seeds wrap mod 2^64 by design — compute in Python
+        # ints to avoid numpy scalar-overflow warnings
+        v1 = np.full(n, u64((seed + int(P1) + int(P2)) & mask), dtype=np.uint64)
+        v2 = np.full(n, u64((seed + int(P2)) & mask), dtype=np.uint64)
+        v3 = np.full(n, u64(seed), dtype=np.uint64)
+        v4 = np.full(n, u64((seed - int(P1)) & mask), dtype=np.uint64)
+        while i + 32 <= L:
+            lanes = np.ascontiguousarray(win[:, i : i + 32]).view("<u8")
+            v1 = rotl(v1 + lanes[:, 0] * P2, 31) * P1
+            v2 = rotl(v2 + lanes[:, 1] * P2, 31) * P1
+            v3 = rotl(v3 + lanes[:, 2] * P2, 31) * P1
+            v4 = rotl(v4 + lanes[:, 3] * P2, 31) * P1
+            i += 32
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+    else:
+        h = np.full(n, u64((seed + int(P5)) & mask), dtype=np.uint64)
+    h = h + u64(L)
+    while i + 8 <= L:
+        k = np.ascontiguousarray(win[:, i : i + 8]).view("<u8").ravel()
+        h = rotl(h ^ (rotl(k * P2, 31) * P1), 27) * P1 + P4
+        i += 8
+    if i + 4 <= L:
+        k = (
+            np.ascontiguousarray(win[:, i : i + 4])
+            .view("<u4")
+            .ravel()
+            .astype(np.uint64)
+        )
+        h = rotl(h ^ (k * P1), 23) * P2 + P3
+        i += 4
+    while i < L:
+        h = rotl(h ^ (win[:, i].astype(np.uint64) * P5), 11) * P1
+        i += 1
+    h ^= h >> u64(33)
+    h *= P2
+    h ^= h >> u64(29)
+    h *= P3
+    h ^= h >> u64(32)
+    return h.view(np.int64)
+
+
+def winnowing_fingerprint_rows_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    keep_every: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Arrow twin of :func:`winnowing_fingerprint_rows` — BIT-IDENTICAL
+    rows (test-pinned in both hash modes). The expression form explodes
+    one row per window position, materializing the normalized text once
+    PER POSITION (~300× write amplification on typical docs) before
+    hashing; here each doc crosses to Python exactly once and all its
+    window hashes are computed in one vectorized pass — numpy XXH64
+    (``_xxh64_fixed_rows``) for the production mode, hashlib md5-h60 for
+    the oracle-replayable mode. Normalization stays a JVM expression
+    (identical semantics to the fold form by construction); after it the
+    text is pure ASCII ``[a-z0-9 ]``, so byte windows == char windows.
+    """
+    import numpy as np
+
+    id_type = dict(df.dtypes)[id_col]
+    norm = (
+        df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("nt"))
+        .where(F.length("nt") >= window)
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, nt in zip(pdf["id"], pdf["nt"]):
+                b = nt.encode()
+                if len(b) < window:
+                    continue
+                if hash_fn == "md5":
+                    hs = np.fromiter(
+                        (
+                            int(hashlib.md5(b[i : i + window]).hexdigest()[:15], 16)
+                            for i in range(len(b) - window + 1)
+                        ),
+                        dtype=np.int64,
+                    )
+                elif hash_fn == "kr":
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        np.frombuffer(b, dtype=np.uint8), window
+                    )
+                    h = np.zeros(win.shape[0], dtype=np.uint64)
+                    base = np.uint64(KR_BASE)
+                    mod = np.uint64(KR_MOD)
+                    for j in range(window):
+                        h = (h * base + win[:, j].astype(np.uint64)) % mod
+                    hs = h.astype(np.int64)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        np.frombuffer(b, dtype=np.uint8), window
+                    )
+                    hs = _xxh64_fixed_rows(win)
+                kept = np.unique(hs[hs % keep_every == 0])
+                ids.extend([doc_id] * len(kept))
+                fps.append(kept)
+            out = pd.DataFrame(
+                {
+                    "id": ids,
+                    "fp": np.concatenate(fps) if fps else np.array([], dtype=np.int64),
+                }
+            )
+            yield out
+
+    return norm.mapInPandas(gen, schema=f"id {id_type}, fp long")
+
+
+def winnowing_shared_pairs(
+    fp: DataFrame,
+    min_shared: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared-fingerprint pair counts over (id, fp) rows with the
+    ``max_df`` stop-hash guard (the q81/q24 pattern applied to
+    winnowing): a boilerplate k-gram shared by f docs contributes f²
+    pair rows before any filter, so fingerprints whose document
+    frequency exceeds ``max_df`` are dropped from the inverted index via
+    a broadcast anti join (the hot set is tiny by definition — it is the
+    df histogram's tail above the cutoff). Output:
+    (id_a, id_b, n_shared) with id_a < id_b and n_shared ≥ min_shared.
+
+    The fp frame feeds three consumers (df histogram + both join
+    sides); callers producing fp through a non-trivial pass (Arrow
+    fingerprinting) should persist it — q35 does.
+    """
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), on="fp", how="left_anti")
+    a = fp.select("fp", F.col("id").alias("id_a"))
+    b = fp.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

@@ -1188,8 +1188,12 @@ def q34_fhir_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q35_oracle() -> str:
-    """Winnowing (mod-p selection) in ANSI SQL: h60 k-gram hashes over
-    the same normalized text, same keep-every-16 selection."""
+    """Winnowing (mod-p selection) in ANSI SQL: Karp-Rabin k-gram
+    hashes (pure integer Horner chain — no hash builtin needed) over the
+    same normalized text, same keep-every-16 selection, same max_df
+    stop-hash guard."""
+    from ncpi_whistler_spark.operators.text import kr_hash_sql
+
     return rf"""
     WITH n AS (
       SELECT doc_id,
@@ -1202,12 +1206,20 @@ def _q35_oracle() -> str:
       FROM n WHERE len(nt) >= 16
     ),
     fp AS (
-      SELECT DISTINCT doc_id, {_h60_sql('substring(nt, i, 16)')} AS fp
+      SELECT DISTINCT doc_id, {kr_hash_sql('nt', 'i', 16)} AS fp
       FROM pos
     ),
-    kept AS (SELECT * FROM fp WHERE fp % 16 = 0)
+    kept AS (SELECT * FROM fp WHERE fp % 16 = 0),
+    -- max_df stop-hash guard: fingerprints shared by > 50 docs are
+    -- boilerplate; drop them before the pair join (same cutoff as the
+    -- engine's winnowing_shared_pairs max_df)
+    guarded AS (
+      SELECT * FROM kept WHERE fp NOT IN (
+        SELECT fp FROM kept GROUP BY fp HAVING COUNT(*) > 50
+      )
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM guarded a JOIN guarded b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING COUNT(*) >= 10
     """
 
@@ -1216,27 +1228,33 @@ def _q35_oracle() -> str:
 def q35_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints: shared sparse k-gram hashes
     between documents (plagiarism-detection shape) — h60/md5 hash mode,
-    replayed hash-for-hash by the DuckDB oracle."""
-    from ncpi_whistler_spark.operators.text import winnowing_fingerprint_rows
+    replayed hash-for-hash by the DuckDB oracle.
+
+    Round-5 hardening: the fingerprint is the winnowing paper's
+    Karp-Rabin polynomial (hash_fn='kr' — replayable in pure integer
+    SQL, ~10× cheaper than md5-h60), computed by the Arrow pass
+    (winnowing_fingerprint_rows_arrow — bit-identical to the explode
+    expression form, test-pinned, without materializing the normalized
+    text once per window position), and the pair join carries the
+    max_df=50 stop-hash guard (winnowing_shared_pairs): a boilerplate
+    k-gram in f docs would emit f² pair rows before the n_shared
+    filter; the guard drops the df histogram's tail via a broadcast
+    anti join, and the oracle SQL replays the same cutoff."""
+    from ncpi_whistler_spark.operators.text import (
+        winnowing_fingerprint_rows_arrow,
+        winnowing_shared_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # window=16/keep_every=16: sparse selection keeps the inverted index
     # small on low-entropy corpora; require a large shared-hash count so
     # the pair set stays near-dup-sized at any sf
-    # NOT persisted (measured): with only two consumers of this mid-size
-    # frame, columnar cache build costs more than one recompute — persist
-    # pays at 3+ consumers (shingles) or for doc-count-sized frames
-    # (minhash/simhash sketches)
-    fp = winnowing_fingerprint_rows(docs, window=16, keep_every=16, hash_fn="md5")
-    a = fp.select("fp", F.col("id").alias("id_a"))
-    b = fp.select("fp", F.col("id").alias("id_b"))
-    return (
-        a.join(b, on="fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 10)
-    )
+    # persist: the fp frame feeds 3 consumers (df histogram + both pair
+    # join sides); without it the Arrow fingerprint pass runs 3×
+    fp = winnowing_fingerprint_rows_arrow(
+        docs, window=16, keep_every=16, hash_fn="kr"
+    ).persist()
+    return winnowing_shared_pairs(fp, min_shared=10, max_df=50)
 
 
 @query(

@@ -932,3 +932,92 @@ def test_gopher_repetition_hand_computed(spark):
     assert got[3]["dup5_ppm"] == 0
     # doc 3: 'a b' appears once covering 2 of 3 chars → 666666 ppm > 20%
     assert got[3]["top2_ppm"] == 666_666 and not got[3]["keep"]
+
+
+def test_winnowing_arrow_matches_expression_all_hash_modes(spark, docs):
+    """The Arrow fingerprint pass is BIT-IDENTICAL to the explode
+    expression form in every hash mode (kr / md5-h60 / xxhash64) on the
+    real corpus."""
+    from ncpi_whistler_spark.operators.text import (
+        winnowing_fingerprint_rows,
+        winnowing_fingerprint_rows_arrow,
+    )
+
+    sample = docs.limit(300)
+    for hf in ("kr", "md5", "xxhash64"):
+        a = winnowing_fingerprint_rows(sample, window=16, keep_every=16, hash_fn=hf)
+        b = winnowing_fingerprint_rows_arrow(
+            sample, window=16, keep_every=16, hash_fn=hf
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), hf
+
+
+def test_xxh64_vector_matches_spark_all_length_paths(spark, docs):
+    """The numpy XXH64 covers every code path of the reference
+    algorithm — tail bytes (<4), the 4-byte lane, 8-byte lanes, and the
+    ≥32 stripe loop — window sizes 5/8/13/16/40 all match Spark's
+    xxhash64 exactly."""
+    from ncpi_whistler_spark.operators.text import (
+        winnowing_fingerprint_rows,
+        winnowing_fingerprint_rows_arrow,
+    )
+
+    sample = docs.limit(100)
+    for w in (5, 8, 13, 16, 40):
+        a = winnowing_fingerprint_rows(sample, window=w, keep_every=1, hash_fn="xxhash64")
+        b = winnowing_fingerprint_rows_arrow(sample, window=w, keep_every=1, hash_fn="xxhash64")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), w
+
+
+def test_winnowing_max_df_guard(spark):
+    """A fingerprint shared by more docs than max_df is dropped from the
+    inverted index (no pair counts through it); pairs supported by
+    below-cutoff fingerprints survive; and the guard join is a broadcast
+    anti join (the index side must not shuffle for the guard)."""
+    import re
+
+    from ncpi_whistler_spark.operators.text import winnowing_shared_pairs
+
+    # fp 100 is boilerplate (in all 5 docs); fps 1..12 shared only by
+    # docs (1,2)
+    rows = [(d, 100) for d in range(1, 6)] + [
+        (1, f) for f in range(1, 13)
+    ] + [(2, f) for f in range(1, 13)]
+    fp = spark.createDataFrame(rows, "id long, fp long")
+    unguarded = winnowing_shared_pairs(fp, min_shared=10)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in unguarded.collect()}
+    assert got == {(1, 2): 13}  # 12 shared + the boilerplate fp
+    guarded = winnowing_shared_pairs(fp, min_shared=10, max_df=4)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in guarded.collect()}
+    assert got == {(1, 2): 12}  # boilerplate fp no longer counts
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_kr_hash_sql_twin_matches_engine(spark):
+    """kr_hash_sql (the DuckDB oracle's Horner chain) computes the same
+    fingerprint values as the engine's kr mode on the same windows."""
+    import duckdb
+
+    from ncpi_whistler_spark.operators.text import (
+        kr_hash_sql,
+        winnowing_fingerprint_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog 0123456789")],
+        "doc_id long, text string",
+    )
+    eng = sorted(
+        r["fp"]
+        for r in winnowing_fingerprint_rows(
+            df, window=16, keep_every=1, hash_fn="kr"
+        ).collect()
+    )
+    sql = f"""
+    WITH n AS (SELECT 'the quick brown fox jumps over the lazy dog 0123456789' AS nt),
+    pos AS (SELECT nt, unnest(generate_series(1, len(nt) - 15)) AS i FROM n)
+    SELECT DISTINCT {kr_hash_sql('nt', 'i', 16)} AS fp FROM pos ORDER BY fp
+    """
+    ora = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert eng == ora

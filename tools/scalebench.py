@@ -58,6 +58,7 @@ DEFAULT_QUERIES = [
     "q89x_semantic_dedup_scaled",
     "q90x_pack_sequences",
     "q94_gopher_repetition",
+    "q35_winnowing",
 ]
 
 
