@@ -267,6 +267,75 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    seed: int = 42,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Arrow twin of :func:`minhash_signatures` — BIT-IDENTICAL
+    signatures (test-pinned, both hash modes). The expression form
+    projects ``num_hashes`` pmod columns per shingle row (the measured
+    hot stage of the fuzzy-dedup pipelines); here each Arrow batch
+    computes base hashes vectorized (bucketed-length numpy XXH64, or
+    hashlib md5-h60 for the oracle mode), the permutation family as one
+    (rows × num_hashes) uint64 broadcast multiply — wrapping mod 2⁶⁴
+    exactly like JVM long arithmetic, then pmod — and a per-batch
+    partial MIN per doc id, so only |ids|-sized partials reach the same
+    final min-merge aggregation the expression form uses. The
+    distributed shape (one shuffle, map-side combine) is unchanged."""
+    import numpy as np
+
+    from ncpi_whistler_spark.operators.text import xxh64_bytes_vec
+
+    ex = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, text_col, id_col, shingle_n)
+    ).select("id", "shingle")
+    id_type = dict(ex.dtypes)["id"]
+    params = _perm_params(num_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b for _, b in params], dtype=np.uint64)
+    cols = [f"h{i}" for i in range(num_hashes)]
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if hash_fn == "md5":
+                base = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in pdf["shingle"]
+                    ),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+            else:
+                base = xxh64_bytes_vec(pdf["shingle"])
+            base_u = (base % _MERSENNE).astype(np.uint64)
+            prod = base_u[:, None] * a_vec[None, :] + b_vec[None, :]
+            sig = prod.view(np.int64) % _MERSENNE
+            part = pd.DataFrame(sig, columns=cols)
+            part.insert(0, "id", pdf["id"].to_numpy())
+            yield part.groupby("id", sort=False).min().reset_index()
+
+    schema = f"id {id_type}, " + ", ".join(f"{c} long" for c in cols)
+    proj = ex.mapInPandas(gen, schema=schema)
+    agg = proj.groupBy("id").agg(*[F.min(c).alias(c) for c in cols])
+    return agg.select("id", F.array(*[F.col(c) for c in cols]).alias("sig"))
+
+
 def _sig_band_entries(
     sig: DataFrame, num_hashes: int, bands: int, hash_fn: str
 ) -> DataFrame:
@@ -330,6 +399,7 @@ def dedup_against_corpus(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     index: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Incremental ingest dedup: drop new documents that are near-dups
     of ANY existing corpus document (the crawl-ingest shape: the corpus
@@ -363,8 +433,15 @@ def dedup_against_corpus(
         )
         .select("id_a", "id_b")
         .distinct()
-        .persist()
     )
+    # the candidate set feeds three consumers (both semi-joins + the
+    # verify); ``persist`` (default) caches it for the call. The cache
+    # lives as long as the returned lazy frame — long-lived sessions
+    # running many ingests should clearCache()/unpersist between batches
+    # (bench.py does), or pass persist=False to trade recompute for
+    # memory (same contract as shingle_rows).
+    if persist:
+        cand = cand.persist()
     # verify shingles ONLY candidate docs (semi-join both sides first):
     # otherwise every ingest re-tokenizes the whole settled corpus and
     # the stored index buys nothing — verify cost must be ∝ candidates.
@@ -396,6 +473,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     hash_fn: str = "xxhash64",
+    sig_mode: str = "expr",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -408,8 +486,13 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     # |docs|-row signature frame feeds both band-join sides: persist so
-    # the signature aggregation runs once
-    sig = minhash_signatures(
+    # the signature aggregation runs once. sig_mode='arrow' swaps in the
+    # bit-identical vectorized signature build (minhash_signatures_arrow)
+    # — the measured hot stage of the fuzzy-dedup pipelines.
+    sig_builder = (
+        minhash_signatures_arrow if sig_mode == "arrow" else minhash_signatures
+    )
+    sig = sig_builder(
         df, text_col, id_col, num_hashes, seed, shingle_n, shingles, hash_fn
     ).persist()
     band_entries = _sig_band_entries(sig, num_hashes, bands, hash_fn)
@@ -527,6 +610,7 @@ def fuzzy_dedup_keep(
     shingle_n: int = 3,
     transitive: bool = False,
     hash_fn: str = "xxhash64",
+    sig_mode: str = "expr",
 ) -> DataFrame:
     """The end-to-end fuzzy-dedup pipeline: MinHash+LSH candidates →
     exact Jaccard verify on candidates only → keeper rule.
@@ -550,7 +634,7 @@ def fuzzy_dedup_keep(
     sh = shingle_rows(df, text_col, id_col, shingle_n)
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, shingles=sh, hash_fn=hash_fn,
+        shingle_n=shingle_n, shingles=sh, hash_fn=hash_fn, sig_mode=sig_mode,
     )
     verified = jaccard_for_pairs(df, cands, text_col, id_col, shingle_n, shingles=sh)
     sim_pairs = verified.where(F.col("jaccard_ppm") >= threshold_ppm)

@@ -599,7 +599,9 @@ def semantic_dedup(
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
     assign = _ASSIGN_MODES[assign_mode]
     # persisted: a, b, and the output join all consume this frame — the
-    # per-vector assignment + norm would otherwise run 3x per call
+    # per-vector assignment + norm would otherwise run 3x per call. The
+    # cache lives as long as the returned lazy frame; long-lived sessions
+    # should clearCache() between corpus passes (bench.py does).
     v = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -280,6 +280,31 @@ def _xxh64_fixed_rows(win, seed: int = 42):
     return h.view(np.int64)
 
 
+def xxh64_bytes_vec(strings, seed: int = 42):
+    """Vectorized Spark-compatible xxhash64 over a sequence of Python
+    strings (variable length): rows are bucketed by byte length and each
+    bucket hashed as one fixed-width matrix via
+    :func:`_xxh64_fixed_rows`. Returns an int64 numpy array aligned with
+    the input order — bit-identical to ``F.xxhash64(col)`` (test-pinned
+    via the minhash Arrow twin)."""
+    import numpy as np
+
+    encoded = [s.encode() for s in strings]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    out = np.empty(len(encoded), dtype=np.int64)
+    arr = np.empty(len(encoded), dtype=object)
+    arr[:] = encoded
+    for L in np.unique(lens):
+        idx = np.nonzero(lens == L)[0]
+        if L == 0:
+            # xxh64 of empty input = finalized seed state
+            out[idx] = _xxh64_fixed_rows(np.empty((len(idx), 0), dtype=np.uint8), seed)
+            continue
+        mat = np.frombuffer(b"".join(arr[idx]), dtype=np.uint8).reshape(len(idx), int(L))
+        out[idx] = _xxh64_fixed_rows(mat, seed)
+    return out
+
+
 def winnowing_fingerprint_rows_arrow(
     df: DataFrame,
     text_col: str = "text",
@@ -700,7 +725,10 @@ def gopher_repetition_profile(
     overlapping repeats never double-count), plus the aggregate ``keep``
     under the paper's thresholds.
 
-    Plan: one posexplode of tokens shared by every grain (persisted);
+    Plan: one posexplode of tokens shared by every grain (persisted
+    for the call — the cache lives as long as the returned lazy frame,
+    so long-lived sessions should clearCache() between corpus passes,
+    as bench.py does);
     each grain is a lead()-window n-gram stitch reusing the same id
     partitioning, one (id, ngram) count aggregation, and for dup grains
     a position-explode → distinct → char-sum join. Integer ppm

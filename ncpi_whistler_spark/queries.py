@@ -3046,7 +3046,10 @@ def q80_fuzzy_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify → connected components → one keeper (min id) per similarity
     cluster. The q39 (greedy keeper) + q79 (components) composition as a
     single operator call; h60/md5 hash mode so the oracle replays the
-    candidate generation exactly."""
+    candidate generation exactly. Signatures come from the Arrow twin
+    (minhash_signatures_arrow — bit-identical, test-pinned; the
+    signature projection was the measured hot stage, not the
+    join-based verify)."""
     from ncpi_whistler_spark.operators.dedup import fuzzy_dedup_keep
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3058,6 +3061,7 @@ def q80_fuzzy_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         transitive=True,
         hash_fn="md5",
+        sig_mode="arrow",
     )
     return kept.select("doc_id")
 

@@ -1021,3 +1021,32 @@ def test_kr_hash_sql_twin_matches_engine(spark):
     """
     ora = [r[0] for r in duckdb.sql(sql).fetchall()]
     assert eng == ora
+
+
+def test_minhash_signatures_arrow_matches_expression(spark, docs):
+    """The Arrow signature build (vectorized base hash + one broadcast
+    multiply + per-batch partial min) is BIT-IDENTICAL to the 64-column
+    pmod expression form, in both hash modes."""
+    from ncpi_whistler_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_arrow,
+        shingle_rows,
+    )
+
+    sample = docs.limit(400)
+    sh = shingle_rows(sample)
+    for hf in ("xxhash64", "md5"):
+        a = {
+            r["id"]: tuple(r["sig"])
+            for r in minhash_signatures(
+                sample, shingles=sh, num_hashes=64, hash_fn=hf
+            ).collect()
+        }
+        b = {
+            r["id"]: tuple(r["sig"])
+            for r in minhash_signatures_arrow(
+                sample, shingles=sh, num_hashes=64, hash_fn=hf
+            ).collect()
+        }
+        assert a == b, hf
+    sh.unpersist()
