@@ -822,6 +822,7 @@ def embedding_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     bucket_mode: str = "arrow",
+    tables: int = 1,
 ) -> DataFrame:
     """Embedding pairs with cosine >= threshold.
 
@@ -831,6 +832,15 @@ def embedding_dup_pairs(
     (the scale path; see similarity.hyperplane_bucket). Pass ``dim`` to
     skip the vector-length probe job; ``bucket_mode='fold'`` selects the
     expression-form bucket for oracle replay (bit-identical either way).
+
+    ``tables`` — OR-amplification: L independent hyperplane families
+    (seed-varied); a pair is a candidate when it collides in ANY table.
+    A same-bucket collision has probability p^bits with
+    p = 1 - θ/π, so single-table recall collapses at wide angles
+    (measured: 0.17 at cosine 0.4, bits=4 — exactly theory); L tables
+    lift recall to 1-(1-p^bits)^L at L× index cost, still linear in the
+    corpus. RECALL.json / SCALING.md carry the measured table: at
+    threshold 0.4, bits=4, L=16 holds recall ≥ 0.9.
     """
     # norms once per vector (not per pair): same bits, 3× less fold work
     v = df.select(
@@ -849,10 +859,33 @@ def embedding_dup_pairs(
         bucket_fn = (
             hyperplane_bucket if bucket_mode == "fold" else hyperplane_bucket_arrow
         )
-        v = v.withColumn("bkt", bucket_fn(F.col("v"), dim, bucket_bits, seed))
-        a = v.select("bkt", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-        b = v.select("bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-        pairs = a.join(b, on="bkt").where(F.col("id_a") < F.col("id_b"))
+        if tables > 1:
+            # one (table, bucket) entry per family; the join key includes
+            # the table id so families never cross-collide
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        bucket_fn(
+                            F.col("v"), dim, bucket_bits, seed + 7919 * t
+                        ).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+            v = v.select("*", F.explode(entries).alias("e")).select(
+                "id", "v", "nrm", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
+            )
+            key = ["tbl", "bkt"]
+        else:
+            v = v.withColumn("bkt", bucket_fn(F.col("v"), dim, bucket_bits, seed))
+            key = ["bkt"]
+        a = v.select(*key, F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        b = v.select(*key, F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        pairs = a.join(b, on=key).where(F.col("id_a") < F.col("id_b"))
+        if tables > 1:
+            # a pair colliding in several tables must score once
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
     else:
         a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
         b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

@@ -47,16 +47,16 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str) -> DataFr
 _BAD = {"width": 0, "height": 0, "channels": 0, "ok": False, "pix_sum": 0}
 
 
-def decode_ppm(payload: bytes) -> dict[str, Any]:
-    """Real, dependency-free binary-PPM (P6) decode: parses the
-    whitespace/comment-tolerant header, validates the pixel buffer
-    length, and sums the raw RGB bytes. Returns
-    ``{width, height, channels, ok, pix_sum}``; malformed input →
-    ``ok=False`` zeros (never raises — a 100 TB decode pass must not die
-    on one corrupt blob)."""
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary-PPM (P6) header: returns
+    ``(width, height, maxval, pixel_offset)`` or None when malformed.
+    Whitespace/comment-tolerant, fully bounds-guarded — the ONE header
+    walker shared by decode_ppm and _to_pixel_array (round-4 ADVICE: two
+    divergent walkers risked an unguarded executor loop if they ever
+    drifted)."""
     try:
         if payload[:2] != b"P6":
-            return dict(_BAD)
+            return None
         # header = magic + 3 ints, '#' comments allowed between tokens
         tokens: list[int] = []
         i = 2
@@ -70,25 +70,41 @@ def decode_ppm(payload: bytes) -> dict[str, Any]:
             j = i
             while j < len(payload) and not payload[j : j + 1].isspace():
                 j += 1
+            if j == i:  # ran off the end without a token
+                return None
             tokens.append(int(payload[i:j]))
             i = j
         i += 1  # single whitespace after maxval, then raw RGB
         w, h, maxval = tokens
         if w <= 0 or h <= 0 or not (0 < maxval < 65536):
-            return dict(_BAD)
-        bpp = 3 * (2 if maxval > 255 else 1)
-        pixels = payload[i : i + w * h * bpp]
-        if len(pixels) != w * h * bpp:
-            return dict(_BAD)
-        return {
-            "width": w,
-            "height": h,
-            "channels": 3,
-            "ok": True,
-            "pix_sum": sum(pixels),
-        }
+            return None
+        return w, h, maxval, i
     except (ValueError, IndexError):
+        return None
+
+
+def decode_ppm(payload: bytes) -> dict[str, Any]:
+    """Real, dependency-free binary-PPM (P6) decode: parses the
+    whitespace/comment-tolerant header (_parse_ppm_header), validates
+    the pixel buffer length, and sums the raw RGB bytes. Returns
+    ``{width, height, channels, ok, pix_sum}``; malformed input →
+    ``ok=False`` zeros (never raises — a 100 TB decode pass must not die
+    on one corrupt blob)."""
+    hdr = _parse_ppm_header(payload)
+    if hdr is None:
         return dict(_BAD)
+    w, h, maxval, i = hdr
+    bpp = 3 * (2 if maxval > 255 else 1)
+    pixels = payload[i : i + w * h * bpp]
+    if len(pixels) != w * h * bpp:
+        return dict(_BAD)
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "ok": True,
+        "pix_sum": sum(pixels),
+    }
 
 
 def decode_bmp(payload: bytes) -> dict[str, Any]:
@@ -220,27 +236,14 @@ def _to_pixel_array(payload: bytes):
         return None
     w, h = meta["width"], meta["height"]
     if payload[:2] == b"P6":
-        # re-walk the header to find the pixel offset (and reject 16-bit
+        # shared header parse for the pixel offset; reject 16-bit
         # maxval: decode_ppm accepts it for metadata, but THIS path's
         # contract is 8-bit — reading 2-byte samples as uint8 would hand
-        # the resizer garbage pixels)
-        tokens, vals, i = 0, [], 2
-        while tokens < 3:
-            while payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":
-                while payload[i] != 0x0A:
-                    i += 1
-                continue
-            j = i
-            while not payload[j : j + 1].isspace():
-                j += 1
-            vals.append(int(payload[i:j]))
-            i = j
-            tokens += 1
-        i += 1
-        if vals[2] > 255:
+        # the resizer garbage pixels
+        hdr = _parse_ppm_header(payload)
+        if hdr is None or hdr[2] > 255:
             return None
+        i = hdr[3]
         arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
         return arr.reshape(h, w, 3)
     import struct

@@ -271,10 +271,19 @@ def cosine_topk_lsh(
     multiprobe: bool = True,
     dim: int | None = None,
     bucket_mode: str = "arrow",
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket (plus all Hamming-1 neighbor buckets when ``multiprobe`` —
     recovers most recall lost at bucket boundaries for ~bits× more probes).
+
+    ``tables`` — OR-amplification with L seed-varied hyperplane
+    families: a candidate needs a collision in ANY table. Single-table
+    collision probability is (1-θ/π)^bits, so recall at moderate
+    similarities needs L > 1 (measured in RECALL.json; bits=4, L=8,
+    multiprobe holds recall ≥ 0.9 at k=16/64 on the fixture corpus).
+    Index cost is L× (still linear); candidate sets union before the
+    exact rescoring, so precision is unaffected.
 
     Same output schema as cosine_topk. At scale, write the corpus
     partitioned by bucket so a probe prunes to 1/2^bits of the files.
@@ -287,31 +296,56 @@ def cosine_topk_lsh(
     if dim is None:
         dim = len(corpus.select(corpus_vec).first()[0])
     bucket_fn = hyperplane_bucket if bucket_mode == "fold" else hyperplane_bucket_arrow
+    seeds = [seed + 7919 * t for t in range(max(1, tables))]
+    c_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                bucket_fn(F.col(corpus_vec), dim, bits, s_).alias("bkt"),
+            )
+            for t, s_ in enumerate(seeds)
+        ]
+    )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
         F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
-        bucket_fn(F.col(corpus_vec), dim, bits, seed).alias("bkt"),
+        F.explode(c_entries).alias("e"),
+    ).select(
+        "neighbor_id", "cv", "cn",
+        F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"),
+    )
+    q_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                bucket_fn(F.col(query_vec), dim, bits, s_).alias("qbkt"),
+            )
+            for t, s_ in enumerate(seeds)
+        ]
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
         F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
-        bucket_fn(F.col(query_vec), dim, bits, seed).alias("qbkt"),
+        F.explode(q_entries).alias("e"),
+    ).select(
+        "query_id", "qv", "qn",
+        F.col("e.tbl").alias("tbl"), F.col("e.qbkt").alias("qbkt"),
     )
     if multiprobe:
         probes = F.array(
             F.col("qbkt"),
             *[F.col("qbkt").bitwiseXOR(F.lit(1 << i)).cast("long") for i in range(bits)],
         )
-        q = q.select("query_id", "qv", "qn", F.explode(probes).alias("bkt"))
+        q = q.select("query_id", "qv", "qn", "tbl", F.explode(probes).alias("bkt"))
     else:
-        q = q.select("query_id", "qv", "qn", F.col("qbkt").alias("bkt"))
+        q = q.select("query_id", "qv", "qn", "tbl", F.col("qbkt").alias("bkt"))
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
 
     scored = (
         F.broadcast(q)
-        .join(c, on="bkt")
+        .join(c, on=["tbl", "bkt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -568,6 +602,33 @@ def ivf_topk(
     )
 
 
+def ivf_assign_topn_arrow(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """``array<int>`` of the ``nprobe`` closest centroid ids (descending
+    score, ties to the higher cid — the order ``reverse(array_sort)``
+    gives in ivf_topk's probe list). BLAS matmul per Arrow batch; used
+    by semantic_dedup's soft (multi-probe) assignment."""
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+
+    @F.pandas_udf("array<int>")
+    def assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(s.to_numpy()).astype(np.float64)
+        scores = (v @ C.T) / norms[None, :]
+        # stable argsort over the cid-reversed columns: descending
+        # score, and ties resolve to the higher cid
+        rev = scores[:, ::-1]
+        pos = np.argsort(-rev, axis=1, kind="stable")[:, :nprobe]
+        cids = (C.shape[0] - 1 - pos).astype(np.int32)
+        return pd.Series(list(cids))
+
+    return assign(vec)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
@@ -576,6 +637,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign_mode: str = "blas",
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with the deterministic k-means quantizer
@@ -592,6 +654,14 @@ def semantic_dedup(
     partition-local). 'fold' mode keeps every dot a sequential
     expression fold for oracle replay.
 
+    ``nprobe`` — soft assignment: each vector also joins its nprobe-1
+    next-closest lists, so a true pair straddling a cluster boundary is
+    still co-listed somewhere (the co-cluster recall loss measured in
+    RECALL.json: hard assignment finds only 16-29% of threshold-0.4
+    pairs on the fixture; nprobe=4 holds ≥0.9). Candidate cost grows
+    ~nprobe²/occupancy; kept/cid outputs keep the primary (closest)
+    cluster semantics.
+
     Output: one row per vector — (id_col, cid, kept).
     """
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
@@ -607,19 +677,34 @@ def semantic_dedup(
         F.col(vec_col).alias("v"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
         assign(F.col(vec_col), cents).alias("cid"),
+        *(
+            [ivf_assign_topn_arrow(F.col(vec_col), cents, nprobe).alias("probes")]
+            if nprobe > 1
+            else []
+        ),
     ).persist()
-    a = v.select(
-        "cid", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    join_key = "cid" if nprobe == 1 else "pcid"
+    pair_src = (
+        v
+        if nprobe == 1
+        else v.select(
+            "id", "v", "nrm", F.explode("probes").alias("pcid")
+        )
     )
-    b = v.select(
-        "cid", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    a = pair_src.select(
+        join_key, F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
+    b = pair_src.select(
+        join_key, F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cand = a.join(b, on=join_key).where(F.col("id_a") < F.col("id_b"))
+    if nprobe > 1:
+        # a pair co-listed in several probes must score once
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     # pair scoring via the Arrow dot — bit-identical to the fold (and
     # hence the oracle), ~5x cheaper on the 10^5-pair hot path
     dup_ids = (
-        a.join(b, on="cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
+        cand.where(
             dot_product_arrow(F.col("va"), F.col("vb"))
             / (F.col("na") * F.col("nb"))
             >= threshold

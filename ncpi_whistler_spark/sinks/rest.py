@@ -27,7 +27,13 @@ ERROR_SLEEP = 5.0
 #: client errors a retry cannot fix (bad auth, malformed resource, missing
 #: target): fail fast instead of sleeping — at load scale, retry-sleeping
 #: through millions of rows of a misconfigured credential is catastrophic.
-NON_RETRYABLE = frozenset({400, 401, 403, 404, 405, 409, 412, 422})
+#: 409/412 are deliberately NOT here: they are optimistic-concurrency
+#: statuses that CAN succeed on retry under concurrent FHIR writes, and
+#: the reference retries every non-2xx except the 429 path
+#: (wstlr/load.py:398-409) — fail-fast on them would permanently drop
+#: rows the reference loads. Documented deviation (fail-fast set) in
+#: COVERAGE.md.
+NON_RETRYABLE = frozenset({400, 401, 403, 404, 405, 422})
 #: terminology loads first, synchronously (wstlr/load.py:233-246)
 SYNCHRONOUS_TYPES = ("CodeSystem", "ValueSet")
 

@@ -578,6 +578,11 @@ def test_connected_components_star_equals_minlabel(spark):
         + [(10, 11), (11, 12), (20, 21)],
         # pseudo-random
         [(i, (i * 13 + 7) % 37) for i in range(37) if i != (i * 13 + 7) % 37],
+        # adversarial star: one hub in half of all pairs (the zipfian
+        # dedup graph shape), pendant chains hanging off the other half
+        [(0, i) for i in range(1, 65)]
+        + [(100 + i, 100 + i + 1) for i in range(0, 40)]
+        + [(0, 100)],
     ]
     for pairs in cases:
         edges = spark.createDataFrame(pairs, "src long, dst long")
@@ -1050,3 +1055,72 @@ def test_minhash_signatures_arrow_matches_expression(spark, docs):
         }
         assert a == b, hf
     sh.unpersist()
+
+
+def test_embedding_dup_pairs_or_amplification(spark, emb):
+    """tables=L OR-amplification: every single-table pair survives (the
+    union can only grow), the amplified set is strictly larger on the
+    fixture (wide-angle pairs straddle single-family buckets), and all
+    reported pairs still clear the exact threshold (precision is exact
+    by construction — candidates are rescored)."""
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            emb, threshold=0.4, bucket_bits=4, dim=64, tables=1
+        ).collect()
+    }
+    four = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_dup_pairs(
+            emb, threshold=0.4, bucket_bits=4, dim=64, tables=4
+        ).collect()
+    }
+    assert one <= set(four)
+    assert len(four) > len(one)
+    assert all(v >= 0.4 for v in four.values())
+
+
+def test_semantic_dedup_soft_assignment(spark, emb):
+    """nprobe>1 soft assignment can only find MORE duplicates (every
+    hard-assign candidate pair is also co-listed), and kept/cid keep the
+    primary-cluster contract."""
+    from ncpi_whistler_spark.operators.similarity import semantic_dedup
+
+    hard = {r["vec_id"]: r for r in semantic_dedup(emb, 0.4, nlist=16, iters=1).collect()}
+    soft = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, 0.4, nlist=16, iters=1, nprobe=4).collect()
+    }
+    assert set(hard) == set(soft)
+    # same primary cluster ids
+    assert all(hard[i]["cid"] == soft[i]["cid"] for i in hard)
+    dropped_hard = {i for i, r in hard.items() if not r["kept"]}
+    dropped_soft = {i for i, r in soft.items() if not r["kept"]}
+    assert dropped_hard <= dropped_soft
+
+
+def test_cosine_topk_lsh_tables_improves_recall(spark, emb):
+    """L=4 tables recovers strictly more of the exact top-k than one
+    table on the fixture (the RECALL.json measurement, pinned as a
+    directional test)."""
+    from ncpi_whistler_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    qs = emb.where(F.col("vec_id") < 64)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(qs, emb, k=16).collect()
+    }
+    def rec(tables):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_lsh(
+                qs, emb, k=16, bits=4, dim=64, multiprobe=True, tables=tables
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r4 = rec(1), rec(4)
+    assert r4 > r1
+    assert r4 >= 0.85

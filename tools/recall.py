@@ -1,0 +1,190 @@
+"""Recall measurement for the ANN / embedding-dedup PRODUCTION modes.
+
+SCALING.md's k×-sweeps prove the production knobs (grown bucket bits,
+grown nlist, multiprobe) hold cost ~linear — this tool measures the
+OTHER axis the 100 TB story needs: how much recall those knobs give up
+against exact ground truth, and which configs hold recall ≥ 0.9.
+
+Ground truth is computed in numpy on the driver (the corpus here is a
+measurement fixture, thousands of vectors — the full cosine matrix is
+exact and takes milliseconds; the production paths under test run
+distributed, unchanged). Top-k truth replicates the operators' ordering
+(sim desc, neighbor_id asc); pair truth is cos ≥ threshold over i<j.
+
+Outputs RECALL.json:
+  {"corpus": n, "dim": d,
+   "topk": {"lsh bits=4": {"16": r, "64": r}, ..., "ivf nlist=32 nprobe=4": ...},
+   "pairs": {"q40x bits=6": r, "q89x nlist=32 (co-cluster)": r, ...}}
+
+Run: PYTHONPATH=/root/repo python tools/recall.py [--k-rep 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def exact_topk_sets(mat: np.ndarray, ids: np.ndarray, k: int) -> set[tuple]:
+    """(query_id, neighbor_id) pairs of the exact top-k cosine neighbors
+    per query, self excluded, ties broken by neighbor id ascending (the
+    operators' ordering)."""
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    out: set[tuple] = set()
+    order_ids = np.argsort(ids, kind="stable")  # tie-break: smaller id first
+    for qi in range(len(ids)):
+        row = sims[qi]
+        # sort by (-sim, id): stable sort on id order then by -sim
+        idx = order_ids[np.argsort(-row[order_ids], kind="stable")][:k]
+        out.update((ids[qi], ids[ni]) for ni in idx)
+    return out
+
+
+def exact_pairs(mat: np.ndarray, ids: np.ndarray, threshold: float) -> set[tuple]:
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(ids), k=1)
+    hit = sims[iu] >= threshold
+    a, b = iu[0][hit], iu[1][hit]
+    return {
+        (min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(a, b)
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--k-rep", type=int, default=4,
+                    help="replication factor for the measurement corpus")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--workdir", default="/root/repo/.recall")
+    ap.add_argument("--out", default="RECALL.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+    from ncpi_whistler_spark.operators.similarity import (
+        cosine_topk_lsh,
+        ivf_topk,
+        semantic_dedup,
+    )
+    from ncpi_whistler_spark.session import get_spark
+    from tools.scalebench import replicate
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    kdir = os.path.join(args.workdir, f"{args.k_rep}x")
+    replicate(spark, args.sf_dir, args.k_rep, kdir, docs=True)
+    emb = spark.read.parquet(os.path.join(kdir, "embeddings.parquet")).persist()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dim = mat.shape
+    print(f"[recall] corpus {n} vectors, dim {dim}", flush=True)
+
+    report: dict = {"corpus": int(n), "dim": int(dim), "k_rep": args.k_rep,
+                    "topk": {}, "pairs": {}}
+
+    truth = {k: exact_topk_sets(mat, ids, k) for k in (16, 64)}
+
+    def topk_recall(name: str, df_builder) -> None:
+        entry = {}
+        for k in (16, 64):
+            t0 = time.time()
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in df_builder(k).collect()
+            }
+            r = len(got & truth[k]) / len(truth[k])
+            entry[str(k)] = round(r, 4)
+            print(f"[recall] {name} k={k}: {r:.4f} ({time.time()-t0:.1f}s)",
+                  flush=True)
+        report["topk"][name] = entry
+
+    # hyperplane LSH (q29 production): multiprobe on, bits swept around
+    # the log2(n)-growth rule, then OR-amplification (L tables) at the
+    # production bit width
+    for bits, tables in ((4, 1), (6, 1), (8, 1), (4, 4), (4, 8), (6, 8), (6, 16)):
+        topk_recall(
+            f"lsh bits={bits} tables={tables} multiprobe",
+            lambda k, bits=bits, tables=tables: cosine_topk_lsh(
+                emb, emb, k=k, bits=bits, dim=dim, multiprobe=True, tables=tables
+            ),
+        )
+
+    # IVF (q58 production): occupancy-constant nlist, nprobe swept
+    for nlist, nprobe in ((8, 4), (32, 4), (32, 8), (32, 16), (32, 24)):
+        topk_recall(
+            f"ivf nlist={nlist} nprobe={nprobe}",
+            lambda k, nl=nlist, np_=nprobe: ivf_topk(
+                emb, emb, k=k, nlist=nl, nprobe=np_, iters=1
+            ),
+        )
+
+    # pair ops at threshold 0.4 (the q40/q89 registry threshold)
+    pair_truth = exact_pairs(mat, ids, 0.4)
+    print(f"[recall] exact pairs at 0.4: {len(pair_truth)}", flush=True)
+
+    grown_bits = 4 + max(0, round(np.log2(args.k_rep)))
+    for bits, tables in (
+        (4, 1),
+        (grown_bits, 1),
+        (4, 8),
+        (4, 16),
+        (grown_bits, 16),
+    ):
+        got = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in embedding_dup_pairs(
+                emb, threshold=0.4, bucket_bits=bits, dim=dim, tables=tables
+            ).collect()
+        }
+        r = len(got & pair_truth) / max(1, len(pair_truth))
+        report["pairs"][f"q40x bits={bits} tables={tables}"] = round(r, 4)
+        print(f"[recall] q40x bits={bits} tables={tables}: {r:.4f}", flush=True)
+
+    # semantic dedup: measured loss surface is CANDIDATE recall — the
+    # fraction of true pairs actually co-listed (a pair can only be
+    # deduped if some list holds both). nprobe>1 = soft assignment.
+    for nlist, nprobe in ((8, 1), (8 * args.k_rep, 1), (8 * args.k_rep, 2),
+                          (8 * args.k_rep, 4), (8 * args.k_rep, 8)):
+        sd = semantic_dedup(emb, threshold=0.4, nlist=nlist, iters=1,
+                            nprobe=nprobe)
+        if nprobe == 1:
+            cid = {r["vec_id"]: (r["cid"],) for r in sd.collect()}
+        else:
+            # recompute the probe lists the operator used
+            from ncpi_whistler_spark.operators.similarity import (
+                ivf_assign_topn_arrow,
+                ivf_train,
+            )
+
+            cents = ivf_train(emb, nlist, 1, "embedding", "vec_id", "blas")
+            pl = emb.select(
+                "vec_id",
+                ivf_assign_topn_arrow(F.col("embedding"), cents, nprobe).alias("p"),
+            )
+            cid = {r["vec_id"]: tuple(r["p"]) for r in pl.collect()}
+            sd.count()  # materialize the operator itself too
+        co = sum(1 for a, b in pair_truth if set(cid[a]) & set(cid[b]))
+        r = co / max(1, len(pair_truth))
+        report["pairs"][f"q89x nlist={nlist} nprobe={nprobe} (co-listed)"] = round(r, 4)
+        print(f"[recall] q89x nlist={nlist} nprobe={nprobe}: {r:.4f}", flush=True)
+
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(f"[recall] wrote {args.out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -59,6 +59,8 @@ DEFAULT_QUERIES = [
     "q90x_pack_sequences",
     "q94_gopher_repetition",
     "q35_winnowing",
+    "q79h_cc_star_hub",
+    "q79hm_cc_star_minlabel",
 ]
 
 
@@ -104,6 +106,42 @@ def _q55_trailing_bucketed(spark, kdir: str, k: int):
             ).cast("double"),
         },
     )
+
+
+def _cc_star_edges(spark, kdir: str):
+    """Adversarial CC topology from the replicated corpus: ONE hub node
+    (-1) participates in 50% of all edges (the zipfian dedup-graph
+    shape), pendant chains hang off the other half. Deterministic in
+    doc_id, so both variants see the identical graph."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(kdir, "documents.parquet")).select(
+        "doc_id"
+    )
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    hub = docs.where(half).select(
+        F.lit(-1).cast("long").alias("src"), F.col("doc_id").alias("dst")
+    )
+    chain = docs.where(~half).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return hub.unionByName(chain)
+
+
+def _cc_star_hub(spark, kdir: str, k: int):
+    """large-star/small-star CC on the hub graph — the variant built for
+    exactly this topology (hub degree n/2; min-label must funnel every
+    hub neighbor through one groupBy key each round)."""
+    from ncpi_whistler_spark.operators.dedup import connected_components_star
+
+    return connected_components_star(_cc_star_edges(spark, kdir))
+
+
+def _cc_minlabel_hub(spark, kdir: str, k: int):
+    """min-label CC contrast on the identical hub graph."""
+    from ncpi_whistler_spark.operators.dedup import connected_components
+
+    return connected_components(_cc_star_edges(spark, kdir), max_iter=200)
 
 
 def _sessionize_window_form(spark, kdir: str, k: int):
@@ -253,6 +291,8 @@ EXTRA_QUERIES = {
     "q91a_skew_join_aqe_on": lambda s, d, k: _skew_join(s, d, k, True),
     "q91b_skew_join_aqe_off": lambda s, d, k: _skew_join(s, d, k, False),
     "q19w_sessionize_window": _sessionize_window_form,
+    "q79h_cc_star_hub": _cc_star_hub,
+    "q79hm_cc_star_minlabel": _cc_minlabel_hub,
     "q89x_semantic_dedup_scaled": _semantic_dedup_scaled,
     "q90x_pack_sequences": _pack_sequences_scaled,
 }
