@@ -61,6 +61,8 @@ DEFAULT_QUERIES = [
     "q35_winnowing",
     "q79h_cc_star_hub",
     "q79hm_cc_star_minlabel",
+    "q79c_cc_star_chain",
+    "q79cm_cc_minlabel_chain",
 ]
 
 
@@ -129,19 +131,48 @@ def _cc_star_edges(spark, kdir: str):
 
 
 def _cc_star_hub(spark, kdir: str, k: int):
-    """large-star/small-star CC on the hub graph — the variant built for
-    exactly this topology (hub degree n/2; min-label must funnel every
-    hub neighbor through one groupBy key each round)."""
+    """large-star/small-star CC on the hub graph. MEASURED LOSER here
+    (SCALING.md round-5 table): the hub graph's diameter is ~3, so
+    min-label converges in ~3 map-side-combinable rounds while the star
+    rewrites shuffle the hub's whole neighbor list every round."""
     from ncpi_whistler_spark.operators.dedup import connected_components_star
 
     return connected_components_star(_cc_star_edges(spark, kdir))
 
 
 def _cc_minlabel_hub(spark, kdir: str, k: int):
-    """min-label CC contrast on the identical hub graph."""
+    """min-label CC contrast on the identical hub graph — the winner on
+    low-diameter topologies regardless of hub degree."""
     from ncpi_whistler_spark.operators.dedup import connected_components
 
     return connected_components(_cc_star_edges(spark, kdir), max_iter=200)
+
+
+def _cc_chain_edges(spark, kdir: str, seg: int = 128):
+    """Adversarial long-diameter topology: chains of ``seg`` consecutive
+    doc ids (edge doc→doc+1 except at segment boundaries). Diameter =
+    seg-1, the regime where min-label needs ~seg rounds and the star
+    rewrite needs ~log(seg)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(kdir, "documents.parquet")).select(
+        "doc_id"
+    )
+    return docs.where(F.pmod("doc_id", F.lit(seg)) != seg - 1).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+
+
+def _cc_star_chain(spark, kdir: str, k: int):
+    from ncpi_whistler_spark.operators.dedup import connected_components_star
+
+    return connected_components_star(_cc_chain_edges(spark, kdir))
+
+
+def _cc_minlabel_chain(spark, kdir: str, k: int):
+    from ncpi_whistler_spark.operators.dedup import connected_components
+
+    return connected_components(_cc_chain_edges(spark, kdir), max_iter=300)
 
 
 def _sessionize_window_form(spark, kdir: str, k: int):
@@ -293,6 +324,8 @@ EXTRA_QUERIES = {
     "q19w_sessionize_window": _sessionize_window_form,
     "q79h_cc_star_hub": _cc_star_hub,
     "q79hm_cc_star_minlabel": _cc_minlabel_hub,
+    "q79c_cc_star_chain": _cc_star_chain,
+    "q79cm_cc_minlabel_chain": _cc_minlabel_chain,
     "q89x_semantic_dedup_scaled": _semantic_dedup_scaled,
     "q90x_pack_sequences": _pack_sequences_scaled,
 }
