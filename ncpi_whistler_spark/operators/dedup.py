@@ -1198,3 +1198,104 @@ def connected_components_star(
     )
     e.unpersist()
     return labels
+
+
+# --------------------------------------------------------------------------
+# Cross-document exact-substring coverage (Lee et al. 2021 analytics form)
+# --------------------------------------------------------------------------
+
+
+def exact_substring_coverage(
+    df: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    keep_max_ppm: int = 300_000,
+) -> DataFrame:
+    """Per-document coverage by exact token spans shared with ANOTHER
+    document — the analytics form of exact-substring deduplication
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021, which removes any ≥50-token span occurring twice in the
+    corpus; here the span grain is ``window`` tokens and the output is a
+    coverage audit + keep flag rather than a rewrite).
+
+    Every ``window``-token sliding window is hashed; a window is
+    *duplicated* when its hash occurs in ≥2 DISTINCT documents. Token
+    positions inside any duplicated window are unioned per document (the
+    q94/gopher positional-coverage rule — overlapping spans never
+    double-count) and converted to character ppm.
+
+    Scale shape — deliberately LINEAR, never pairwise: the only
+    corpus-wide aggregate is groupBy(window-hash) → distinct-doc count,
+    and only the duplicated windows (a small fraction) explode into
+    positions. There is no pair join at all, so a boilerplate span shared
+    by f documents costs f rows, not f² — this operator needs no max_df
+    guard for that reason. hash_fn='md5' (h60) makes every window key
+    replayable in DuckDB; production default xxhash64.
+
+    Returns: (doc_id, total_chars, dup_chars, dup_ppm, keep).
+    """
+    from pyspark.sql.window import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    ).persist()
+    totals = tok.groupBy("id").agg(F.sum(F.length("tok")).alias("total_chars"))
+
+    w = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, window)]
+    wins = (
+        tok.select("id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
+        .where(F.col(f"t{window-1}").isNotNull())
+        .select(
+            "id",
+            "pos",
+            _base_hash(
+                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(window)]), hash_fn
+            ).alias("wh"),
+        )
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("id").alias("dc"))
+        .where(F.col("dc") >= 2)
+        .select("wh")
+    )
+    covered = (
+        wins.join(dup_hashes, on="wh", how="semi")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (window - 1))).alias("cpos"))
+        .distinct()
+    )
+    dup_chars = (
+        covered.join(
+            tok.select("id", F.col("pos").alias("cpos"), F.length("tok").alias("L")),
+            on=["id", "cpos"],
+        )
+        .groupBy("id")
+        .agg(F.sum("L").alias("dup_chars"))
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, on="id", how="left")
+        .join(dup_chars, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("total_chars", F.lit(0)).cast("long").alias("total_chars"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.when(
+                F.col("total_chars") > 0,
+                F.expr("(1000000 * dup_chars) div total_chars"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("keep", F.col("dup_ppm") <= keep_max_ppm)
+    )
+    return out

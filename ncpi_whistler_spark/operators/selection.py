@@ -1,0 +1,355 @@
+"""Corpus-model-based scoring and data-selection operators.
+
+The three operators here share one shape: a *model* is aggregated from the
+corpus itself (bigram counts, hashed-feature histograms, document
+frequencies), converted to per-key INTEGER micro-nat log scores once, and
+then joined back to per-document feature counts. Because every per-row
+value is a BIGINT before any SUM, the aggregation is order-insensitive —
+bit-identical under any partial-aggregation schedule, and replayable in
+ANSI SQL (the registry oracles in queries.py replay each one in DuckDB).
+
+Scale notes (100 TB):
+  * Model tables are vocabulary-sized, not corpus-sized — they broadcast
+    when small and hash-join on the feature key otherwise (AQE decides).
+  * Scoring is map-side after the model join: one shuffle on the feature
+    key, one on doc_id. No window over a global ordering anywhere; the
+    BM25 top-k uses orderBy+limit, which Spark executes as TakeOrdered
+    (per-partition partial top-k, no global sort).
+  * The single ``ln`` per model key is evaluated once per DISTINCT key
+    (vocabulary cardinality), never per document row.
+
+Float determinism: doubles appear only inside ``floor(1e6 * ln(p))`` where
+``p`` is an exact integer ratio — the division and ln are deterministic
+per-engine, and the floor-to-BIGINT quantization makes the value stable
+under last-ulp ln differences across engines (verified empirically by the
+oracle replay at three scale factors).
+
+Reference parity: the reference engine (NIH-NCPI/ncpi-whistler) has no
+corpus-LM, importance-sampling, or retrieval-scoring operators; these are
+part of the LLM-training-pipeline extension surface (SURVEY.md §2.11),
+modeled on CCNet (Wenzek et al. 2020), DSIR (Xie et al. 2023), and
+Robertson/Sparck-Jones BM25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ncpi_whistler_spark.operators.dedup import _base_hash
+from ncpi_whistler_spark.operators.text import tokens
+
+#: micro-nat scale: floor(1e6 * ln p) quantizes log-probabilities onto an
+#: integer lattice shared by Spark and DuckDB.
+MICRO = 1_000_000
+
+
+def _tok_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, tok) rows — the shared posexplode every operator here
+    starts from (same plumbing as text.gopher_repetition_profile)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+
+
+def _bigram_rows(tok: DataFrame) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs via a lead() stitch on the
+    (id, pos) partitioning the posexplode already produced."""
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        tok.select("id", "pos", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .select("id", "w1", "w2")
+    )
+
+
+def _lp_micronats(num: Column, den: Column) -> Column:
+    """floor(1e6 * ln(num/den)) as BIGINT. num < den ⇒ always ≤ -1."""
+    return F.floor(F.lit(MICRO) * F.log(num.cast("double") / den.cast("double"))).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model perplexity (CCNet-style head/middle/tail buckets)
+# --------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cutoffs_u: tuple[int, int] = (3_390_000, 3_420_000),
+) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    trained on the corpus itself, with CCNet-style head/middle/tail
+    bucketing at fixed micro-nat cutoffs.
+
+    CCNet (Wenzek et al. 2020) scores documents with a KenLM 5-gram and
+    splits the corpus into head/middle/tail perplexity terciles; the
+    production recipe freezes the two cutoff values from a calibration
+    sample so the split is a pure map-side comparison. This operator is
+    that recipe with a bigram model: P(w2|w1) = (c2(w1,w2)+1)/(c1(w1)+V),
+    per-bigram log-probs quantized to integer micro-nats BEFORE summing
+    (order-insensitive, oracle-replayable), and
+
+        ce_u = (-Σ lp_u) div n_bigrams      (micro-nats / bigram)
+
+    Plan: one posexplode; the unigram/bigram model tables are aggregates
+    of that same explode (vocab-sized, broadcast-or-hash joined back);
+    scoring is one groupBy(id). The vocabulary size V rides in as a
+    broadcast single-row crossJoin (no driver collect). Docs with <2
+    tokens get ce_u = 0 / bucket 'head' (nothing to score).
+
+    Returns: (doc_id, n_bigrams, ce_u, bucket).
+    """
+    tok = _tok_rows(df, text_col, id_col)
+    bg = _bigram_rows(tok)
+
+    c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    # per-model-key integer log-prob: ln((c2+1)/(c1+V)) in micro-nats
+    lp = (
+        c2.join(c1.withColumnRenamed("tok", "w1"), on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            _lp_micronats(F.col("c2") + 1, F.col("c1") + F.col("v")).alias("lp_u"),
+        )
+    )
+
+    bgc = bg.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        bgc.join(lp, on=["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("lp_u")).alias("s_u"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            F.expr("(-s_u) div n_bigrams").cast("long").alias("ce_u"),
+        )
+    )
+    head_max, mid_max = cutoffs_u
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("ce_u", F.lit(0)).cast("long").alias("ce_u"),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("ce_u") <= head_max, F.lit("head"))
+            .when(F.col("ce_u") <= mid_max, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR hashed n-gram importance weights
+# --------------------------------------------------------------------------
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 512,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    estimate how target-like each document is via hashed n-gram features.
+
+    Features are unigrams ∪ bigrams hashed into ``num_buckets`` buckets.
+    Two histograms are aggregated — the target slice (rows matching
+    ``target_filter``) and the full raw corpus — and each bucket gets one
+    integer log-ratio
+
+        lw_u[k] = floor(1e6·ln((t_k+1)/(T+B))) − floor(1e6·ln((r_k+1)/(R+B)))
+
+    (floors taken separately so both terms are exact BIGINTs). A
+    document's importance weight is then the feature-count-weighted sum
+    of bucket scores — pure integer arithmetic after the model join:
+
+        weight_u = Σ_features n·lw_u[bucket]
+
+    ``selected`` = weight_u > 0 (log importance ratio favors target).
+
+    Plan: one posexplode feeds both feature grains; bucket histograms are
+    two aggregates of the same feature stream (the target one filtered
+    BEFORE the shuffle, so it costs a fraction of a pass); the model is
+    at most ``num_buckets`` rows — broadcast to the scoring join. T/R
+    totals ride in as broadcast single-row crossJoins. hash_fn='md5'
+    (h60) keeps bucket assignment replayable in DuckDB; production uses
+    hash_fn='xxhash64' (JVM intrinsic).
+
+    Returns: (doc_id, n_feats, weight_u, selected).
+    """
+    # the target flag rides through the explode as a map-side column on
+    # the source row — no per-doc flag join (a second doc-scale shuffle)
+    # and no per-doc broadcast (corpus-sized, wrong at 100 TB).
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        target_filter.cast("boolean").alias("is_t"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+
+    w = Window.partitionBy("id").orderBy("pos")
+    uni = tok.select("id", "is_t", F.col("tok").alias("ng"))
+    bi = (
+        tok.select(
+            "id", "is_t", "pos", F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .select("id", "is_t", F.concat_ws(" ", "w1", "w2").alias("ng"))
+    )
+    feats = uni.unionByName(bi).select(
+        "id",
+        "is_t",
+        F.pmod(_base_hash(F.col("ng"), hash_fn), F.lit(num_buckets)).alias("bucket"),
+    )
+    fc = feats.groupBy("id", "is_t", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    raw = fc.groupBy("bucket").agg(F.sum("n").alias("r_k"))
+    tgt = fc.where("is_t").groupBy("bucket").agg(F.sum("n").alias("t_k"))
+    totals = raw.agg(F.sum("r_k").alias("R")).crossJoin(
+        tgt.agg(F.sum("t_k").alias("T"))
+    )
+
+    b = F.lit(num_buckets)
+    model = (
+        raw.join(tgt, on="bucket", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                _lp_micronats(F.coalesce("t_k", F.lit(0)) + 1, F.col("T") + b)
+                - _lp_micronats(F.col("r_k") + 1, F.col("R") + b)
+            ).alias("lw_u"),
+        )
+    )
+
+    scored = (
+        fc.join(F.broadcast(model), on="bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lw_u")).alias("weight_u"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("weight_u", F.lit(0)).cast("long").alias("weight_u"),
+        )
+        .withColumn("selected", F.col("weight_u") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval scoring
+# --------------------------------------------------------------------------
+
+#: BM25 constants as exact rationals: k1 = 12/10, b = 3/4. With num/den
+#: cleared through 10·S (S = corpus token count) the whole tf-side is
+#: BIGINT arithmetic; ln appears only in the per-term IDF (|terms| calls
+#: total). Safe while idf_u·22·S·tf < 2⁶³ — i.e. corpora to ~10⁹ tokens
+#: at tf ≤ 10³; beyond that, rescale MICRO down (the production knob).
+BM25_K1_TENTHS = 12
+BM25_B_QUARTERS = 3
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25
+    (Lucene-form idf · saturated tf, k1=1.2, b=0.75), integer-exact.
+
+        idf_u(t)  = floor(1e6·ln(1 + (N−df+0.5)/(df+0.5)))
+        score_u   = Σ_t idf_u(t) · 22·S·tf div (10·S·tf + 3·S + 9·dl·N)
+
+    The ``1 +`` inside the ln is Lucene's non-negativity fix: it keeps
+    idf_u ≥ 0 even for terms in more than half the corpus, which in turn
+    keeps the integer division's numerator non-negative — Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so a negative
+    numerator would diverge between engine and oracle.
+
+    where dl is the document token count, N the corpus size, S the total
+    token count (avgdl = S/N kept as the exact rational, never a float).
+
+    Plan: the token explode is filtered to the query terms BEFORE any
+    shuffle (an isin() pushdown — at 100 TB this is the difference
+    between shuffling the corpus and shuffling the hit list); df/dl/N/S
+    are aggregates joined back via broadcast; the final top-k is
+    orderBy+limit ⇒ TakeOrdered (per-partition partial top-k, no global
+    sort). Ties break on doc_id ascending for determinism.
+
+    Returns: k rows of (doc_id, n_terms_hit, score_u).
+    """
+    tok = _tok_rows(df, text_col, id_col)
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("N"), F.sum("dl").alias("S")
+    )
+
+    hits = tok.where(F.col("tok").isin([t.lower() for t in terms]))
+    tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        F.floor(
+            F.lit(MICRO)
+            * F.log(
+                F.lit(1.0)
+                + (F.col("N") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        )
+        .cast("long")
+        .alias("idf_u"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(idf), on="tok")
+        .join(dl, on="id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "id",
+            "tok",
+            F.expr(
+                "idf_u * (22 * S * tf) div (10 * S * tf + 3 * S + 9 * dl * N)"
+            ).alias("contrib_u"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("contrib_u").alias("score_u"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score_u").desc(), F.col("id").asc())
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_terms_hit").cast("long"),
+            F.col("score_u").cast("long"),
+        )
+    )

@@ -3867,6 +3867,217 @@ def q94_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_profile(docs)
 
 
+_TOKS_CTE = r"""t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    )"""
+
+#: DuckDB twin of operators.dedup.h60 (verified bit-equal)
+_H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _q91_oracle(window: int = 10) -> str:
+    """Cross-doc exact-substring coverage replayed in SQL: zipped-unnest
+    (pos, window-hash) rows, duplicated hashes = distinct-doc count ≥ 2,
+    positional coverage union joined back to token lengths (the q94
+    dup-coverage pattern, cross-document)."""
+    n = window
+    wh = _H60.format(x=f"array_to_string(toks[i:i+{n - 1}], ' ')")
+    return f"""WITH {_TOKS_CTE},
+    w AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks)-{n - 1})) AS pos,
+             unnest([{wh} for i in generate_series(1, len(toks)-{n - 1})]) AS wh
+      FROM t
+    ),
+    dh AS (
+      SELECT wh FROM (SELECT wh, COUNT(DISTINCT doc_id) AS dc FROM w GROUP BY 1)
+      WHERE dc >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + {n - 1})) AS cpos
+        FROM w WHERE wh IN (SELECT wh FROM dh))
+    ),
+    tk AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+             unnest(toks) AS tok
+      FROM t
+    ),
+    dchars AS (
+      SELECT cov.doc_id, SUM(length(tk.tok)) AS dup_chars
+      FROM cov JOIN tk ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+      GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, length(array_to_string(toks, '')) AS total_chars FROM t)
+    SELECT d.doc_id,
+           CAST(COALESCE(total_chars, 0) AS BIGINT) AS total_chars,
+           CAST(COALESCE(dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(CASE WHEN COALESCE(total_chars, 0) > 0
+                THEN (1000000 * COALESCE(dup_chars, 0)) // total_chars
+                ELSE 0 END AS BIGINT) AS dup_ppm,
+           (CASE WHEN COALESCE(total_chars, 0) > 0
+                THEN (1000000 * COALESCE(dup_chars, 0)) // total_chars
+                ELSE 0 END) <= 300000 AS keep
+    FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dchars USING (doc_id)"""
+
+
+@query("q91_exact_substring_dedup", _q91_oracle())
+def q91_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup audit (Lee et al. 2021 shape): flag the
+    character fraction of each document covered by 10-token windows that
+    occur verbatim in ≥2 distinct documents. Engine path is LINEAR — one
+    groupBy(window-hash) distinct-doc count, no pair join (a span shared
+    by f docs costs f rows, not f²). md5-h60 window keys for the oracle
+    replay; production uses xxhash64."""
+    from ncpi_whistler_spark.operators.dedup import exact_substring_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_coverage(docs, window=10, hash_fn="md5")
+
+
+def _q95_oracle(head_max: int = 3_390_000, mid_max: int = 3_420_000) -> str:
+    """Cutoffs are frozen from a calibration pass over the fixture corpus
+    (its ce_u terciles) — the CCNet production recipe: thresholds come
+    from a sample, the split itself is a map-side comparison."""
+    return f"""WITH {_TOKS_CTE},
+    u AS (SELECT unnest(toks) AS tok FROM t),
+    c1 AS (SELECT tok, COUNT(*) AS c1 FROM u GROUP BY 1),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    bg AS (
+      SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    lp AS (
+      SELECT w1, w2,
+             CAST(floor(1000000 * ln((c2 + 1.0) / (c1 + v))) AS BIGINT) AS lp_u
+      FROM c2 JOIN c1 ON c1.tok = c2.w1 CROSS JOIN v
+    ),
+    bgc AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+    s AS (
+      SELECT doc_id, SUM(n) AS n_bigrams, SUM(n * lp_u) AS s_u
+      FROM bgc JOIN lp USING (w1, w2) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE((-s_u) // n_bigrams, 0) AS BIGINT) AS ce_u,
+           CASE WHEN COALESCE((-s_u) // n_bigrams, 0) <= {head_max} THEN 'head'
+                WHEN COALESCE((-s_u) // n_bigrams, 0) <= {mid_max} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+@query("q95_lm_perplexity", _q95_oracle())
+def q95_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: per-doc cross-entropy under an
+    add-one-smoothed bigram model trained on the corpus, quantized to
+    integer micro-nats per bigram BEFORE summing (order-insensitive,
+    exact oracle replay), bucketed head/middle/tail at fixed cutoffs —
+    the CCNet production recipe (frozen calibration cutoffs ⇒ map-side
+    split, no global tercile sort)."""
+    from ncpi_whistler_spark.operators.selection import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+def _q96_oracle(num_buckets: int = 512) -> str:
+    b = num_buckets
+    h = _H60.format(x="ng")
+    return f"""WITH {_TOKS_CTE},
+    uni AS (SELECT doc_id, lang = 'en' AS is_t, unnest(toks) AS ng FROM t),
+    bi AS (
+      SELECT doc_id, is_t, w1 || ' ' || w2 AS ng FROM (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM t WHERE len(toks) >= 2)
+    ),
+    feats AS (
+      SELECT doc_id, is_t, ({h}) % {b} AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    fc AS (SELECT doc_id, is_t, bucket, COUNT(*) AS n FROM feats GROUP BY 1, 2, 3),
+    raw AS (SELECT bucket, SUM(n) AS r_k FROM fc GROUP BY 1),
+    tgt AS (SELECT bucket, SUM(n) AS t_k FROM fc WHERE is_t GROUP BY 1),
+    tots AS (
+      SELECT (SELECT SUM(r_k) FROM raw) AS R, (SELECT SUM(t_k) FROM tgt) AS T
+    ),
+    model AS (
+      SELECT raw.bucket,
+             CAST(floor(1000000 * ln((COALESCE(t_k, 0) + 1.0) / (T + {b}))) AS BIGINT)
+             - CAST(floor(1000000 * ln((r_k + 1.0) / (R + {b}))) AS BIGINT) AS lw_u
+      FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tots
+    ),
+    s AS (
+      SELECT doc_id, SUM(n) AS n_feats, SUM(n * lw_u) AS weight_u
+      FROM fc JOIN model USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(weight_u, 0) AS BIGINT) AS weight_u,
+           COALESCE(weight_u, 0) > 0 AS selected
+    FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+@query("q96_dsir_weights", _q96_oracle())
+def q96_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram∪bigram
+    features (h60 % 512 buckets), target = lang='en' slice vs the raw
+    corpus, per-bucket integer micro-nat log-ratios summed per document.
+    The target flag rides through the explode map-side — no per-doc flag
+    join; the 512-row model broadcasts to the scoring join."""
+    from ncpi_whistler_spark.operators.selection import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(docs, target_filter=F.col("lang") == "en")
+
+
+_Q97_TERMS = ("spark", "window", "join", "merge")
+
+
+def _q97_oracle(terms=_Q97_TERMS, k: int = 20) -> str:
+    termlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {_TOKS_CTE},
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    c AS (SELECT COUNT(*) AS N, SUM(dl) AS S FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE tok IN ({termlist}) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT tok,
+             CAST(floor(1000000 * ln(1.0 + (N - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_u
+      FROM dfreq CROSS JOIN c
+    ),
+    sc AS (
+      SELECT tf.doc_id, COUNT(*) AS n_terms_hit,
+             SUM((idf_u * (22 * S * tf)) // (10 * S * tf + 3 * S + 9 * dl * N)) AS score_u
+      FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN c
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           CAST(score_u AS BIGINT) AS score_u
+    FROM sc ORDER BY score_u DESC, doc_id ASC LIMIT {k}"""
+
+
+@query("q97_bm25_topk", _q97_oracle())
+def q97_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed bag-of-words query, integer-exact
+    (Lucene idf in micro-nats; k1/b cleared to BIGINT rationals through
+    10·S). Token explode filtered to query terms before any shuffle; the
+    top-k is orderBy+limit ⇒ TakeOrdered, never a global sort."""
+    from ncpi_whistler_spark.operators.selection import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_Q97_TERMS), k=20)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #
@@ -3922,9 +4133,15 @@ DRIVER_QUERIES = [
                                   # counting q45 stays parity-tier: the
                                   # capability is already driver-evidenced
                                   # by q20 n_tokens + q65 chunking)
-    "q53_setops_all",             # EXCEPT/INTERSECT ALL
-    "q54_grouping_sets",          # GROUPING SETS + grouping()
-    "q55_trailing_hour_window",   # time-RANGE window frame (rank family: tests)
+    "q91_exact_substring_dedup",  # cross-doc exact-span coverage (Lee et
+                                  # al. 2021; q53 setops → parity-tier)
+    "q95_lm_perplexity",          # CCNet bigram-LM quality buckets
+                                  # (q54 grouping sets → parity-tier)
+    "q96_dsir_weights",           # DSIR importance resampling weights
+                                  # (q55 RANGE frame → parity-tier; BM25
+                                  # q97 parity-tier: retrieval scoring is
+                                  # driver-evidenced via q96's same
+                                  # model-join shape)
     "q88_user_totals_stateful",   # custom stateful streaming (§2.10)
     "q86_line_dedup",             # C4-style line-level dedup
     "q58_ivf_topk",               # IVF ANN

@@ -1124,3 +1124,115 @@ def test_cosine_topk_lsh_tables_improves_recall(spark, emb):
     r1, r4 = rec(1), rec(4)
     assert r4 > r1
     assert r4 >= 0.85
+
+
+def test_exact_substring_coverage_hand_computed(spark):
+    """A 3-token window shared verbatim by docs 1 and 2 covers exactly its
+    token positions in both; a window repeated only WITHIN one doc does
+    not count (cross-doc distinct-doc rule); singleton docs get 0."""
+    from ncpi_whistler_spark.operators.dedup import exact_substring_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),            # "aa bb cc" + "bb cc dd"
+            (2, "xx aa bb cc yy"),         # shares "aa bb cc" with doc 1
+            (3, "pp qq rr pp qq rr"),      # repeats only inside itself
+            (4, "zz"),                     # too short for any window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["total_chars"], r["dup_chars"], r["keep"])
+        for r in exact_substring_coverage(docs, window=3, hash_fn="md5").collect()
+    }
+    # doc 1: positions 0-2 covered ("aa","bb","cc") = 6 chars of 8
+    assert out[1] == (8, 6, False)
+    # doc 2: positions 1-3 covered = 6 chars of 10
+    assert out[2] == (10, 6, False)
+    # doc 3: "pp qq rr" occurs twice but only in doc 3 -> not duplicated
+    assert out[3] == (12, 0, True)
+    assert out[4] == (2, 0, True)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Two-doc corpus, exact add-one model: repeated bigrams in-model
+    score higher (smaller ce_u) than a doc full of singleton bigrams."""
+    import math
+
+    from ncpi_whistler_spark.operators.selection import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a c b d a e")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs, cutoffs_u=(1, 2)).collect()}
+    # model: c1(a)=5,c1(b)=4,c1(c)=c1(d)=c1(e)=1, V=5
+    # doc1 bigrams: ab x3, ba x2 ; c2(ab)=3+1(from doc2? no: doc2 has no 'a b')
+    c1 = {"a": 5, "b": 4, "c": 1, "d": 1, "e": 1}
+    c2 = {}
+    for doc in ("a b a b a b", "a c b d a e"):
+        t = doc.split()
+        for x, y in zip(t, t[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+    V = 5
+
+    def lp(w1, w2):
+        return math.floor(1e6 * math.log((c2[(w1, w2)] + 1) / (c1[w1] + V)))
+
+    for did, text in ((1, "a b a b a b"), (2, "a c b d a e")):
+        t = text.split()
+        s = sum(lp(x, y) for x, y in zip(t, t[1:]))
+        assert rows[did]["n_bigrams"] == len(t) - 1
+        assert rows[did]["ce_u"] == (-s) // (len(t) - 1)
+    assert rows[1]["ce_u"] < rows[2]["ce_u"]
+    # empty/one-token docs: nothing to score
+    short = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    r9 = bigram_lm_scores(short).collect()[0]
+    assert (r9["n_bigrams"], r9["ce_u"], r9["bucket"]) == (0, 0, "head")
+
+
+def test_dsir_weights_directional(spark):
+    """Docs made of target-slice vocabulary get positive importance
+    weights; docs of non-target vocabulary get negative ones."""
+    from ncpi_whistler_spark.operators.selection import dsir_importance_weights
+
+    rows = [(i, "wiki text clean prose good", "target") for i in range(5)]
+    rows += [(10 + i, "spam junk noise garbage bad", "raw") for i in range(5)]
+    rows += [(20, "wiki text clean prose good", "raw"),
+             (21, "spam junk noise garbage bad", "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            # num_buckets must be small next to the corpus feature count:
+            # the +1/(T+B) add-one smoothing otherwise swamps the
+            # log-ratio signal on a 12-doc toy corpus (B=512 default is
+            # sized for the fixture corpus, ~50k features)
+            docs, target_filter=F.col("source") == "target", num_buckets=64
+        ).collect()
+    }
+    assert out[20]["weight_u"] > 0 and out[20]["selected"]
+    assert out[21]["weight_u"] < 0 and not out[21]["selected"]
+    assert out[0]["n_feats"] == 9  # 5 unigrams + 4 bigrams
+
+
+def test_bm25_topk_ranking(spark):
+    """Higher tf ranks higher; term-absent docs never appear; shorter
+    docs outrank longer ones at equal tf (length normalization)."""
+    from ncpi_whistler_spark.operators.selection import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "spark filler"),
+            (4, "filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 4 not in ids
+    assert ids[0] == 1          # highest tf wins
+    assert ids.index(3) < ids.index(2)  # shorter doc beats longer at tf=1
+    assert all(r["n_terms_hit"] == 1 for r in got)
