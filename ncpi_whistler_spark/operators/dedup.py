@@ -1231,33 +1231,49 @@ def exact_substring_coverage(
     and only the duplicated windows (a small fraction) explode into
     positions. There is no pair join at all, so a boilerplate span shared
     by f documents costs f rows, not f² — this operator needs no max_df
-    guard for that reason. hash_fn='md5' (h60) makes every window key
-    replayable in DuckDB; production default xxhash64.
+    guard for that reason.
+
+    Window keys are a Karp-Rabin polynomial over PER-TOKEN hashes (each
+    token hashed once, reduced mod 2⁴¹−1, then Horner-combined with base
+    263 across the ``window`` offsets — the q35 winnowing trick lifted
+    from characters to tokens). That is n token digests instead of n·k
+    window-string digests with zero string copying, and it is built
+    MAP-SIDE from the token array — no lead()-window stitch, so nothing
+    shuffles or sorts the token stream just to assemble windows. The
+    41-bit key space is a deliberate candidate-hash tradeoff (~m²/2⁴²
+    expected extra dup marks corpus-wide); hash_fn='md5' (h60 base
+    hashes) replays bit-for-bit in DuckDB, production uses xxhash64.
 
     Returns: (doc_id, total_chars, dup_chars, dup_ppm, keep).
     """
-    from pyspark.sql.window import Window as W
+    from ncpi_whistler_spark.operators.text import KR_BASE, KR_MOD
 
-    tok = df.select(
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    tdf = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
-        ).alias("pos", "tok"),
-    ).persist()
+        toks.alias("toks"),
+        F.transform(toks, lambda t: F.pmod(_base_hash(t, hash_fn), F.lit(KR_MOD))).alias(
+            "th"
+        ),
+    )
+    tok = tdf.select("id", F.posexplode("toks").alias("pos", "tok")).persist()
     totals = tok.groupBy("id").agg(F.sum(F.length("tok")).alias("total_chars"))
 
-    w = W.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, window)]
-    wins = (
-        tok.select("id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
-        .where(F.col(f"t{window-1}").isNotNull())
-        .select(
-            "id",
-            "pos",
-            _base_hash(
-                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(window)]), hash_fn
-            ).alias("wh"),
-        )
+    n = F.size("toks")
+
+    def _window_hash(s):
+        # Horner over the window's token hashes; every step stays < 2⁵⁰
+        # (2⁴¹·263), inside exact BIGINT range in Spark and DuckDB alike
+        h = F.lit(0)
+        for j in range(window):
+            h = F.pmod(h * F.lit(KR_BASE) + F.element_at("th", s + j), F.lit(KR_MOD))
+        return h
+
+    wins = tdf.where(n >= window).select(
+        "id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), n - (window - 1)), _window_hash)
+        ).alias("pos", "wh"),
     )
     dup_hashes = (
         wins.groupBy("wh")

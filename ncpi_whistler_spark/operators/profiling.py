@@ -175,3 +175,100 @@ def hll60_distinct(
         t.alias("harmonic_denom"),
         est.alias("hll_estimate"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Explicit Count-Min sketch over a value stream on the cross-engine
+    h60 hash — like hll60_distinct, every intermediate is integer-exact,
+    so the sketch and every estimate drawn from it reproduce in ANSI SQL
+    (engine-native frequency sketches carry implementation-specific
+    binary layouts).
+
+    Construction: ``depth`` independent hash rows, each mapping a value
+    to one of ``width`` counters via h60('<row>|' || value) % width; the
+    counter is a plain SUM of occurrences. The sketch is ≤ depth·width
+    rows REGARDLESS of corpus size — built with one partial-aggregated
+    shuffle of (row, col) keys — and MERGEABLE by summing counters
+    cell-wise, which is the property that matters at 100 TB: per-shard
+    sketches combine without touching the value stream again
+    (test_llm_ops pins split-build-merge == whole-corpus-build).
+
+    Output: (row int, col int, counter bigint).
+    """
+    from ncpi_whistler_spark.operators.dedup import h60
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("__v")
+    )
+    rows = vals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            h60(F.concat(F.lit(f"{r}|"), F.col("__v")))
+                            % F.lit(width)
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return (
+        rows.select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a cms_sketch: est(v) = min over
+    rows of counter[row, h_row(v) % width] (the classic CM upper bound —
+    never an underestimate). The probe re-derives each query value's
+    (row, col) cells map-side and joins the ≤ depth·width-row sketch
+    broadcast, so estimating any number of keys never rescans the
+    corpus. Missing cells count 0 (value never touched that counter).
+
+    Output: queries' columns + (cms_est bigint).
+    """
+    from ncpi_whistler_spark.operators.dedup import h60
+
+    probes = queries.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            h60(
+                                F.concat(
+                                    F.lit(f"{r}|"), F.col(value_col).cast("string")
+                                )
+                            )
+                            % F.lit(width)
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("*", F.col("rc.row").alias("row"), F.col("rc.col").alias("col")).drop("rc")
+    joined = probes.join(F.broadcast(sketch), on=["row", "col"], how="left")
+    return (
+        joined.groupBy(*queries.columns)
+        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_est"))
+    )

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ncpi_whistler_spark.operators.dedup import _base_hash
 from ncpi_whistler_spark.operators.text import tokens
@@ -45,23 +44,30 @@ from ncpi_whistler_spark.operators.text import tokens
 MICRO = 1_000_000
 
 
-def _tok_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, tok) rows — the shared posexplode every operator here
-    starts from (same plumbing as text.gopher_repetition_profile)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+def _toks_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, toks) — token ARRAY per document, the shared map-side base
+    every operator here starts from. Keeping tokens as an array (instead
+    of a posexplode) lets adjacent-pair construction stay a zip_with over
+    the array: zero shuffles before the model aggregation, where the
+    lead()-window alternative re-shuffles and sorts the whole token
+    stream by doc just to stitch neighbors (measured contrast in
+    SCALING.md: the window form was the dominant cost of q95/q96)."""
+    return df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+
+
+def _bigram_pairs(tdf: DataFrame) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs, map-side: zip the token array
+    with itself shifted by one (slice+zip_with), then one explode."""
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-
-
-def _bigram_rows(tok: DataFrame) -> DataFrame:
-    """(id, w1, w2) adjacent-token pairs via a lead() stitch on the
-    (id, pos) partitioning the posexplode already produced."""
-    w = Window.partitionBy("id").orderBy("pos")
     return (
-        tok.select("id", "pos", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"))
-        .where(F.col("w2").isNotNull())
-        .select("id", "w1", "w2")
+        tdf.where(n >= 2)
+        .select("id", F.explode(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
 
@@ -103,8 +109,9 @@ def bigram_lm_scores(
 
     Returns: (doc_id, n_bigrams, ce_u, bucket).
     """
-    tok = _tok_rows(df, text_col, id_col)
-    bg = _bigram_rows(tok)
+    tdf = _toks_df(df, text_col, id_col)
+    tok = tdf.select("id", F.explode("toks").alias("tok"))
+    bg = _bigram_pairs(tdf)
 
     c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
@@ -196,27 +203,37 @@ def dsir_importance_weights(
     """
     # the target flag rides through the explode as a map-side column on
     # the source row — no per-doc flag join (a second doc-scale shuffle)
-    # and no per-doc broadcast (corpus-sized, wrong at 100 TB).
-    tok = df.select(
+    # and no per-doc broadcast (corpus-sized, wrong at 100 TB). Both
+    # feature grains are map-side array ops over ONE per-token hash pass:
+    # each token is digested once (transform), unigram buckets come
+    # straight from that hash, and bigram buckets pack the two adjacent
+    # token hashes' low 30 bits into one exact 60-bit key — no bigram
+    # string is ever concatenated or digested, and no window sort exists
+    # anywhere.
+    toks = tokens(text_col)
+    tdf = df.select(
         F.col(id_col).alias("id"),
         target_filter.cast("boolean").alias("is_t"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        F.transform(toks, lambda t: _base_hash(t, hash_fn)).alias("th"),
     )
-
-    w = Window.partitionBy("id").orderBy("pos")
-    uni = tok.select("id", "is_t", F.col("tok").alias("ng"))
-    bi = (
-        tok.select(
-            "id", "is_t", "pos", F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .where(F.col("w2").isNotNull())
-        .select("id", "is_t", F.concat_ws(" ", "w1", "w2").alias("ng"))
+    n = F.size("th")
+    uni = tdf.select("id", "is_t", F.explode("th").alias("fh"))
+    bi = tdf.where(n >= 2).select(
+        "id",
+        "is_t",
+        F.explode(
+            F.zip_with(
+                F.slice("th", 1, n - 1),
+                F.slice("th", 2, n - 1),
+                lambda a, b: F.pmod(a, F.lit(1 << 30)) * F.lit(1 << 30)
+                + F.pmod(b, F.lit(1 << 30)),
+            )
+        ).alias("fh"),
     )
     feats = uni.unionByName(bi).select(
         "id",
         "is_t",
-        F.pmod(_base_hash(F.col("ng"), hash_fn), F.lit(num_buckets)).alias("bucket"),
+        F.pmod(F.col("fh"), F.lit(num_buckets)).alias("bucket"),
     )
     fc = feats.groupBy("id", "is_t", "bucket").agg(F.count(F.lit(1)).alias("n"))
 
@@ -303,13 +320,17 @@ def bm25_topk(
 
     Returns: k rows of (doc_id, n_terms_hit, score_u).
     """
-    tok = _tok_rows(df, text_col, id_col)
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tdf = _toks_df(df, text_col, id_col)
+    # dl is a map-side size(), not a groupBy over an explode — the only
+    # corpus-wide aggregate is the 1-row (N, S) reduce
+    dl = tdf.select("id", F.size("toks").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("N"), F.sum("dl").alias("S")
     )
 
-    hits = tok.where(F.col("tok").isin([t.lower() for t in terms]))
+    hits = tdf.select("id", F.explode("toks").alias("tok")).where(
+        F.col("tok").isin([t.lower() for t in terms])
+    )
     tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 

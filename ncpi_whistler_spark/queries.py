@@ -3878,18 +3878,28 @@ _H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
 
 
 def _q91_oracle(window: int = 10) -> str:
-    """Cross-doc exact-substring coverage replayed in SQL: zipped-unnest
-    (pos, window-hash) rows, duplicated hashes = distinct-doc count ≥ 2,
-    positional coverage union joined back to token lengths (the q94
-    dup-coverage pattern, cross-document)."""
+    """Cross-doc exact-substring coverage replayed in SQL: per-token
+    md5-h60 hashes reduced mod 2⁴¹−1 (list_transform), window keys as
+    the same base-263 Horner chain the engine unrolls (pure-integer —
+    the q35 kr_hash_sql pattern lifted to token alphabet), duplicated
+    hashes = distinct-doc count ≥ 2, positional coverage union joined
+    back to token lengths (the q94 dup-coverage pattern, cross-doc)."""
+    from ncpi_whistler_spark.operators.text import KR_BASE, KR_MOD
+
     n = window
-    wh = _H60.format(x=f"array_to_string(toks[i:i+{n - 1}], ' ')")
+    th = (
+        "list_transform(toks, tk -> "
+        f"('0x' || substring(md5(tk), 1, 15))::BIGINT % {KR_MOD})"
+    )
+    h = "0"
+    for j in range(n):
+        h = f"(({h}) * {KR_BASE} + th[i+{j}]) % {KR_MOD}"
     return f"""WITH {_TOKS_CTE},
     w AS (
       SELECT doc_id,
              unnest(generate_series(1, len(toks)-{n - 1})) AS pos,
-             unnest([{wh} for i in generate_series(1, len(toks)-{n - 1})]) AS wh
-      FROM t
+             unnest([{h} for i in generate_series(1, len(toks)-{n - 1})]) AS wh
+      FROM (SELECT doc_id, toks, {th} AS th FROM t)
     ),
     dh AS (
       SELECT wh FROM (SELECT wh, COUNT(DISTINCT doc_id) AS dc FROM w GROUP BY 1)
@@ -3986,18 +3996,25 @@ def q95_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q96_oracle(num_buckets: int = 512) -> str:
     b = num_buckets
-    h = _H60.format(x="ng")
+    th = _H60.format(x="tk")
     return f"""WITH {_TOKS_CTE},
-    uni AS (SELECT doc_id, lang = 'en' AS is_t, unnest(toks) AS ng FROM t),
+    th AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             list_transform(toks, tk -> {th}) AS th
+      FROM t
+    ),
+    uni AS (SELECT doc_id, is_t, unnest(th) AS fh FROM th),
     bi AS (
-      SELECT doc_id, is_t, w1 || ' ' || w2 AS ng FROM (
-        SELECT doc_id, lang = 'en' AS is_t,
-               unnest(toks[1:len(toks)-1]) AS w1,
-               unnest(toks[2:len(toks)]) AS w2
-        FROM t WHERE len(toks) >= 2)
+      SELECT doc_id, is_t,
+             (a % 1073741824) * 1073741824 + (b % 1073741824) AS fh
+      FROM (
+        SELECT doc_id, is_t,
+               unnest(th[1:len(th)-1]) AS a,
+               unnest(th[2:len(th)]) AS b
+        FROM th WHERE len(th) >= 2)
     ),
     feats AS (
-      SELECT doc_id, is_t, ({h}) % {b} AS bucket
+      SELECT doc_id, is_t, fh % {b} AS bucket
       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
     ),
     fc AS (SELECT doc_id, is_t, bucket, COUNT(*) AS n FROM feats GROUP BY 1, 2, 3),
@@ -4076,6 +4093,59 @@ def q97_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_Q97_TERMS), k=20)
+
+
+def _q98_oracle(depth: int = 4, width: int = 256, k: int = 10) -> str:
+    h = _H60.format(x="(r::VARCHAR || '|' || tok)")
+    return f"""WITH {_TOKS_CTE},
+    u AS (SELECT unnest(toks) AS tok FROM t),
+    rr AS (SELECT unnest(generate_series(0, {depth - 1})) AS r),
+    ex AS (
+      SELECT tok, COUNT(*) AS n_exact FROM u GROUP BY 1
+      ORDER BY n_exact DESC, tok ASC LIMIT {k}
+    ),
+    cells AS (
+      SELECT r AS row, ({h}) % {width} AS col, COUNT(*) AS counter
+      FROM u CROSS JOIN rr GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT tok, n_exact, r AS row, ({h}) % {width} AS col
+      FROM ex CROSS JOIN rr
+    )
+    SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(MIN(COALESCE(counter, 0)) AS BIGINT) AS cms_est,
+           CAST(MIN(COALESCE(counter, 0)) - n_exact AS BIGINT) AS overest
+    FROM probe LEFT JOIN cells USING (row, col)
+    GROUP BY tok, n_exact"""
+
+
+@query("q98_cms_heavy_hitters", _q98_oracle())
+def q98_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token heavy hitters audited against an explicit Count-Min sketch:
+    the top-10 exact token counts next to their CM estimates (min over
+    depth=4 h60 hash rows of width=256 counters) and the guaranteed-
+    non-negative overestimate. The sketch is ≤ depth·width rows at ANY
+    corpus size, built in one partial-aggregated shuffle and mergeable
+    cell-wise — the frequency-sketch analog of q84's explicit HLL."""
+    from ncpi_whistler_spark.operators.profiling import cms_estimate, cms_sketch
+    from ncpi_whistler_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    sk = cms_sketch(tok, "tok")
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+    est = cms_estimate(sk, exact, "tok")
+    return est.select(
+        "tok",
+        F.col("n_exact").cast("long"),
+        F.col("cms_est").cast("long"),
+        (F.col("cms_est") - F.col("n_exact")).cast("long").alias("overest"),
+    )
 
 
 # -------------------------------------------------------------------------

@@ -1236,3 +1236,30 @@ def test_bm25_topk_ranking(spark):
     assert ids[0] == 1          # highest tf wins
     assert ids.index(3) < ids.index(2)  # shorter doc beats longer at tf=1
     assert all(r["n_terms_hit"] == 1 for r in got)
+
+
+def test_cms_sketch_merge_and_bound(spark, docs):
+    """Count-Min invariants: (a) per-shard sketches summed cell-wise
+    equal the whole-corpus sketch (the 100 TB merge property); (b) the
+    estimate never underestimates the exact count."""
+    from ncpi_whistler_spark.operators.profiling import cms_estimate, cms_sketch
+
+    tok = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    whole = cms_sketch(tok, "tok")
+    a = cms_sketch(tok.where(F.crc32(F.col("tok").cast("binary")) % 2 == 0), "tok")
+    b = cms_sketch(tok.where(F.crc32(F.col("tok").cast("binary")) % 2 == 1), "tok")
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(whole, exact, "tok")
+    bad = est.where(F.col("cms_est") < F.col("n_exact")).count()
+    assert bad == 0

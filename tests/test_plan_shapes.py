@@ -229,3 +229,31 @@ def test_q90_prefix_sum_plan_shape(spark):
     # data-path shuffles: one hash on __bkt for the per-doc window + the
     # two tiny aggregate exchanges (partial/final + SinglePartition)
     assert _shuffles(df) == 3, plan
+
+
+def test_selection_ops_have_no_window_operator(spark):
+    """q91/q95/q96/q97 build n-gram/window features map-side from the
+    token array (slice+zip_with/transform) — the lead()-window stitch
+    would put a Window (partitionBy doc, sort by pos) over the whole
+    token stream. Lock the map-side shape in: no Window node anywhere."""
+    for name in (
+        "q91_exact_substring_dedup",
+        "q95_lm_perplexity",
+        "q96_dsir_weights",
+        "q97_bm25_topk",
+    ):
+        df = REGISTRY[name][0](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{name} regressed to a window stitch"
+
+
+def test_bm25_doc_length_is_map_side(spark):
+    """BM25's per-doc length comes from size(tokens) on the source row,
+    not a groupBy over the exploded token stream: the hit-list shuffle
+    is term-selectivity-sized, and dl adds no token-stream shuffle."""
+    df = REGISTRY["q97_bm25_topk"][0](spark, SF_DIR)
+    # total shuffles: tf agg, dfreq agg, (N,S) reduce, dl join, final
+    # score agg + TakeOrdered — all over hit/doc-scale streams; the
+    # full token stream is never shuffled (would add explode-sized
+    # exchanges well beyond this bound).
+    assert _shuffles(df) <= 7

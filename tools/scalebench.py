@@ -314,8 +314,35 @@ def _skew_join(spark, kdir: str, k: int, aqe_skew: bool):
 
 
 #: entries measured outside the registry: name -> fn(spark, kdir, k)
+def _substring_xxhash(spark, kdir: str, k: int):
+    """q91's production mode: identical linear window-hash plan, xxhash64
+    window keys instead of the oracle-replayable md5-h60 (one JVM
+    intrinsic vs a digest per window — the hash is the only difference,
+    so this isolates the md5 oracle tax from the operator's scaling)."""
+    from ncpi_whistler_spark.operators.dedup import exact_substring_coverage
+
+    docs = spark.read.parquet(os.path.join(kdir, "documents.parquet"))
+    return exact_substring_coverage(docs, window=10, hash_fn="xxhash64")
+
+
+def _dsir_xxhash(spark, kdir: str, k: int):
+    """q96's production mode: xxhash64 feature bucketing (registry form
+    uses md5-h60 for the DuckDB replay). Model stays 512 rows at any k —
+    the scaling axis is the unigram∪bigram feature stream."""
+    from pyspark.sql import functions as F
+
+    from ncpi_whistler_spark.operators.selection import dsir_importance_weights
+
+    docs = spark.read.parquet(os.path.join(kdir, "documents.parquet"))
+    return dsir_importance_weights(
+        docs, target_filter=F.col("lang") == "en", hash_fn="xxhash64"
+    )
+
+
 EXTRA_QUERIES = {
     "q40x_neardup_scaled_bits": _q40_scaled_bits,
+    "q91x_substring_xxhash": _substring_xxhash,
+    "q96x_dsir_xxhash": _dsir_xxhash,
     "q55x_trailing_bucketed": _q55_trailing_bucketed,
     "q62p_plain_user_counts": _plain_user_counts,
     "q62s_salted_user_counts": _salted_user_counts,
@@ -614,6 +641,9 @@ def main() -> int:
         + [n for n in EVENTS_QUERIES if n not in DEFAULT_QUERIES]
         + [n for n in TPCH_QUERIES if n not in DEFAULT_QUERIES]
     )
+    # any registry query or EXTRA variant is sweepable by exact/prefix name,
+    # not just the default pool (new operators get sweeps without edits here)
+    pool += [n for n in list(REGISTRY) + list(EXTRA_QUERIES) if n not in pool]
     wanted = [w.strip() for w in args.queries.split(",") if w.strip()]
     if wanted == ["all"]:
         names = pool
