@@ -4148,6 +4148,58 @@ def q98_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q99_ORACLE = """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"""
+
+
+@query("q99_stream_interval_join", _Q99_ORACLE)
+def q99_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING stream-stream interval join (the §2.10
+    two-sided stateful shape q85/q88 don't cover): purchases attributed
+    to same-user views within 1 hour, both sides watermarked, drained
+    with availableNow to a memory sink and value-hashed against the
+    batch interval-join oracle (single-file fixture ⇒ one micro-batch ⇒
+    no watermark drops; q85 precedent). Lag in integer micros.
+    (Necessarily eager — a stream must run to produce rows.)"""
+    import uuid
+
+    from ncpi_whistler_spark.streaming.windows import (
+        view_purchase_interval_join_stream,
+    )
+
+    joined = view_purchase_interval_join_stream(spark, sf_dir)
+    name = f"q99_mem_{uuid.uuid4().hex[:8]}"
+    # a stream-stream join keeps FOUR state stores per shuffle partition;
+    # at the fixture's scale 32 partitions are pure state-store overhead
+    # (measured 5.8 s → 2.2 s at 8). On a cluster this knob is sized to
+    # throughput per the usual stateful-operator guidance; restore the
+    # session value once the drain finishes either way.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q99 availableNow drain did not finish within 300 s; "
+                "refusing to hash a partially-filled memory table"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

@@ -165,3 +165,63 @@ def enriched_stream(
     cols = cols or ["c_mktsegment"]
     lookup = dim.select(F.col(on_right).alias(on_left), *cols)
     return events.join(F.broadcast(lookup), on=on_left, how="left")
+
+
+def view_purchase_interval_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each purchase joined to every view by
+    the same user within ``(view_ts, view_ts + max_lag]`` — the
+    attribution-join shape, as a true two-sided stateful stream join
+    (both sides watermarked; Spark bounds the join state by the
+    watermark + interval condition, so state is O(events within the lag
+    window), not O(stream)).
+
+    Both sides are filters of ONE file stream (stream self-joins are
+    supported); in production each side swaps for its own Kafka topic
+    via read_events_stream_config without touching the join. The lag is
+    emitted in integer microseconds (unix_micros) so the drained result
+    value-hashes against the batch interval-join oracle exactly.
+
+    Append-mode semantics note: with the fixture's single parquet file
+    the availableNow drain is one micro-batch, so the final watermark
+    never drops a fixture row and the drained rows equal the batch
+    join row-for-row (the q85 precedent, join-shaped). On a live
+    multi-batch stream, rows later than the watermark are dropped —
+    that is the documented streaming contract, not a parity bug.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purch_ts"),
+        )
+        .withWatermark("purch_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user_id AND purch_ts > view_ts "
+            f"AND purch_ts <= view_ts + interval {max_lag}"
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purch_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )

@@ -382,3 +382,44 @@ def test_enriched_stream_matches_batch(spark):
     )
     want = {(r["event_id"], r["c_mktsegment"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join (two-sided stateful) drains to exactly
+    the batch interval-join pairs, lag included; and the plan really is
+    a streaming self-join of two watermarked sides."""
+    from ncpi_whistler_spark.catalog import event_micros
+    from ncpi_whistler_spark.streaming.windows import (
+        view_purchase_interval_join_stream,
+    )
+
+    joined = view_purchase_interval_join_stream(spark, SF_DIR)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["view_id"], r["purchase_id"], r["lag_us"])
+        for r in spark.table("sij_test").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    lag = event_micros("p_ts") - event_micros("v_ts")
+    batch = (
+        v.join(p, (F.col("user_id") == F.col("p_user")) & (lag > 0) & (lag <= 3_600_000_000))
+        .select("view_id", "purchase_id", lag.alias("lag_us"))
+    )
+    want = {(r["view_id"], r["purchase_id"], r["lag_us"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
