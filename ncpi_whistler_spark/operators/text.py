@@ -825,3 +825,165 @@ def gopher_repetition_profile(
         *[F.col(c) for c in ppm_cols],
         keep.alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training / application (distributed merge learning)
+# --------------------------------------------------------------------------
+
+
+def _sq(s: str) -> str:
+    """Single-quote a string for embedding in a SQL expression."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_pair_sql(syms_sql: str, left: str, right: str) -> str:
+    """One BPE merge applied to a symbol-array SQL expression, greedy
+    left-to-right non-overlapping (the standard rule: in 'a a a' the
+    pair ('a','a') merges the FIRST two, leaving 'aa a'). An aggregate()
+    fold carrying one pending symbol — interpreted HOF, which is fine
+    because every caller runs it over the vocabulary-sized word table,
+    never the corpus token stream. Emitted as ONE SQL string (merge
+    chains compose by nesting strings) so a k-merge plan costs one
+    expr() parse instead of thousands of Py4J Column calls — the
+    round-4 plan-builder lesson (NOTES.md q29)."""
+    l, r, lr = _sq(left), _sq(right), _sq(left + right)
+    return (
+        f"aggregate({syms_sql}, "
+        "struct(cast(array() as array<string>) as out, cast(null as string) as p), "
+        "(acc, s) -> case "
+        "when acc.p is null then struct(acc.out as out, s as p) "
+        f"when acc.p = {l} and s = {r} then "
+        f"struct(concat(acc.out, array({lr})) as out, cast(null as string) as p) "
+        "else struct(concat(acc.out, array(acc.p)) as out, s as p) end, "
+        "acc -> case when acc.p is null then acc.out "
+        "else concat(acc.out, array(acc.p)) end)"
+    )
+
+
+#: end-of-word marker (the classic Sennrich et al. 2016 convention)
+BPE_EOW = "</w>"
+
+
+def bpe_word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, n, syms) word-frequency table with character-level symbol
+    arrays + the </w> marker — BPE's training input. This is the ONLY
+    corpus-scale pass in BPE training: one explode + one groupBy; every
+    merge iteration afterwards touches just this vocabulary-sized table
+    (the property that makes BPE training tractable at 100 TB — the
+    corpus is never re-read)."""
+    chars = lambda c: F.filter(F.split(c, ""), lambda x: x != "")  # noqa: E731
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "w",
+            "n",
+            F.concat(chars(F.col("w")), F.array(F.lit(BPE_EOW))).alias("syms"),
+        )
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 16,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus (Sennrich et al.
+    2016): repeatedly find the most frequent adjacent symbol pair
+    (weighted by word frequency) and fuse it everywhere.
+
+    Distributed shape — the k-means/Lloyd's precedent: the corpus is
+    read ONCE into the vocabulary-sized word table; each iteration is a
+    small pair-count aggregate whose single argmax row comes back to the
+    driver (1 row per iteration, like the centroid loop), then a
+    map-side fold rewrites the word table's symbol arrays. The table is
+    localCheckpointed every iteration to cut the k-deep lineage exactly
+    as connected_components does.
+
+    Ties break deterministically: (count DESC, left ASC, right ASC).
+    Stops early when the best pair's count < ``min_pair_count``.
+
+    Per-iteration overhead control: the word table is repartitioned to
+    ~1M words per partition once up front (an argmax round on a small
+    vocabulary must not schedule 32-task stages); each round's rewrite
+    is ONE F.expr parse (see _merge_pair_sql) followed by an eager
+    localCheckpoint lineage cut.
+
+    Returns the merge list [(left, right, pair_count)] in rank order.
+    (``bpe_fit`` additionally returns the fully-merged word table, which
+    the loop has already materialized — re-deriving it by re-nesting k
+    aggregate() folds costs ~2 s of Catalyst ANALYSIS per nesting level,
+    the measured failure mode bpe_segment_words' chunking also avoids.)
+    """
+    return bpe_fit(df, num_merges, text_col, min_pair_count)[0]
+
+
+def bpe_fit(
+    df: DataFrame,
+    num_merges: int = 16,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """bpe_train + the final segmented word table (w, n, syms) in one
+    pass — see bpe_train for the distributed shape."""
+    words = bpe_word_table(df, text_col).localCheckpoint()
+    vocab_n = words.count()
+    words = words.repartition(max(1, vocab_n // 1_000_000 + 1)).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for i in range(num_merges):
+        n = F.size("syms")
+        pairs = (
+            words.where(n >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.col("c").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((l, r, c))
+        words = words.select(
+            "w", "n", F.expr(_merge_pair_sql("syms", l, r)).alias("syms")
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]],
+    chunk: int = 3,
+) -> DataFrame:
+    """Apply learned merges (in rank order) to a (w, n, syms) word table,
+    returning (w, n, subwords). Same vocabulary-scale fold as training —
+    tokenizing a 100 TB corpus is then one broadcast/hash join of this
+    table back to the token stream, never per-document re-segmentation.
+
+    Merges are applied ``chunk`` at a time with a localCheckpoint
+    between chunks: Catalyst's ANALYSIS of nested aggregate() lambdas
+    costs ~2 s PER NESTING LEVEL (measured: a 12-deep chain took 22 s
+    to analyze for a 31-row table), so deep nesting is the one thing
+    this function must never do. Within a chunk the merges still
+    compose into one expr() parse."""
+    for i in range(0, len(merges), chunk):
+        sql = "syms"
+        for l, r, _ in merges[i : i + chunk]:
+            sql = _merge_pair_sql(sql, l, r)
+        words = words.select("w", "n", F.expr(sql).alias("syms"))
+        if i + chunk < len(merges):
+            words = words.localCheckpoint()
+    return words.withColumnRenamed("syms", "subwords")

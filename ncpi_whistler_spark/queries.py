@@ -4200,6 +4200,29 @@ def q99_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query("q100_bpe_subword_vocab", None)  # iterative (argmax-per-round) —
+# genuinely non-SQL-expressible; gold-standard differential tests
+# (test_llm_ops pure-python BPE, merge-for-merge + word-for-word) carry
+# the correctness evidence, the registry row is the rows-only smoke.
+def q100_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) + the
+    resulting subword vocabulary with corpus frequencies. The corpus is
+    read ONCE into the vocabulary-sized word table; each of the 12 merge
+    rounds is a pair-count aggregate with a 1-row driver argmax (the
+    k-means/Lloyd's precedent) and a map-side fold rewrite, with
+    per-round localCheckpoint lineage cuts (the CC precedent)."""
+    from ncpi_whistler_spark.operators.text import bpe_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, seg = bpe_fit(docs, num_merges=12)
+    return (
+        seg.select(F.col("n"), F.explode("syms").alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("n").alias("total_count"))
+        .orderBy(F.col("total_count").desc(), F.col("subword").asc())
+    )
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

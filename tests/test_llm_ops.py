@@ -1263,3 +1263,100 @@ def test_cms_sketch_merge_and_bound(spark, docs):
     est = cms_estimate(whole, exact, "tok")
     bad = est.where(F.col("cms_est") < F.col("n_exact")).count()
     assert bad == 0
+
+
+def _bpe_train_reference(word_counts: dict, num_merges: int, min_pair_count: int = 2):
+    """20-line pure-python BPE (Sennrich et al. 2016) used as the gold
+    standard for the distributed trainer: same greedy left-to-right
+    merge, same (count DESC, left, right) tie rule."""
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_classic_toy(spark):
+    """The Sennrich running example: with 'low'-family words the first
+    merges fuse the shared suffixes; distributed result == pure python."""
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(w for (w,) in rows)) for i in range(1)],
+        "doc_id long, text string",
+    )
+    from ncpi_whistler_spark.operators.text import bpe_train
+
+    got = bpe_train(docs, num_merges=8)
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    want, _ = _bpe_train_reference(wc, 8)
+    assert got == want
+    # the classic result: ('e','s') then ('es','t') then ('est','</w>')
+    assert got[0][:2] == ("e", "s")
+    assert got[1][:2] == ("es", "t")
+    assert got[2][:2] == ("est", "</w>")
+
+
+def test_bpe_train_and_segment_fixture_differential(spark, docs):
+    """On the real fixture corpus the distributed trainer and segmenter
+    must match the pure-python reference merge-for-merge and
+    word-for-word."""
+    from ncpi_whistler_spark.operators.text import (
+        bpe_segment_words,
+        bpe_train,
+        bpe_word_table,
+    )
+
+    words = bpe_word_table(docs)
+    wc = {r["w"]: r["n"] for r in words.collect()}
+    got = bpe_train(docs, num_merges=12)
+    want, final_vocab = _bpe_train_reference(wc, 12)
+    assert got == want
+    seg = {
+        r["w"]: list(r["subwords"])
+        for r in bpe_segment_words(words, got).collect()
+    }
+    assert seg == final_vocab
+
+
+def test_bpe_corpus_tokenization_join(spark, docs):
+    """End-to-end BPE application: the segmented word table joined back
+    to the corpus token stream reproduces per-document subword counts —
+    the 100 TB tokenization shape (broadcast/hash join of a vocab-sized
+    table; no per-document re-segmentation)."""
+    from ncpi_whistler_spark.operators.text import bpe_fit, tokens
+
+    merges, seg = bpe_fit(docs, num_merges=6)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    per_doc = (
+        tok.join(F.broadcast(seg.select("w", F.size("syms").alias("n_sub"))), on="w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("n_subwords"))
+    )
+    got = {r["doc_id"]: r["n_subwords"] for r in per_doc.collect()}
+    # python gold standard on a sample of documents
+    wc_syms = {r["w"]: len(r["syms"]) for r in seg.collect()}
+    sample = docs.limit(20).collect()
+    for row in sample:
+        want = sum(wc_syms[w] for w in row["text"].lower().split() if w)
+        assert got.get(row["doc_id"], 0) == want

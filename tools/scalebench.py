@@ -346,6 +346,10 @@ EXTRA_QUERIES = {
     "q55x_trailing_bucketed": _q55_trailing_bucketed,
     "q62p_plain_user_counts": _plain_user_counts,
     "q62s_salted_user_counts": _salted_user_counts,
+    # NB: "q91a/q91b" are round-4 sweep-only names for the AQE skew-join
+    # contrast pair (kept for artifact continuity with
+    # SCALEBENCH_SKEWJOIN.json) — unrelated to the round-5 registry query
+    # q91_exact_substring_dedup.
     "q91a_skew_join_aqe_on": lambda s, d, k: _skew_join(s, d, k, True),
     "q91b_skew_join_aqe_off": lambda s, d, k: _skew_join(s, d, k, False),
     "q19w_sessionize_window": _sessionize_window_form,
