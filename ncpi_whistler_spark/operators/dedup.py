@@ -1246,9 +1246,9 @@ def exact_substring_coverage(
 
     Returns: (doc_id, total_chars, dup_chars, dup_ppm, keep).
     """
-    from ncpi_whistler_spark.operators.text import KR_BASE, KR_MOD
+    from ncpi_whistler_spark.operators.text import KR_BASE, KR_MOD, tokens
 
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    toks = tokens(text_col)
     tdf = df.select(
         F.col(id_col).alias("id"),
         toks.alias("toks"),
@@ -1256,7 +1256,10 @@ def exact_substring_coverage(
             "th"
         ),
     )
-    tok = tdf.select("id", F.posexplode("toks").alias("pos", "tok")).persist()
+    # two consumers only (totals + the dup_chars length join) — below the
+    # repo's measured persist threshold (3+), and caching a corpus-scale
+    # token explode would pin executor storage for the frame's lifetime
+    tok = tdf.select("id", F.posexplode("toks").alias("pos", "tok"))
     totals = tok.groupBy("id").agg(F.sum(F.length("tok")).alias("total_chars"))
 
     n = F.size("toks")

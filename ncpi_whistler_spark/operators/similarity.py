@@ -682,7 +682,16 @@ def semantic_dedup(
             if nprobe > 1
             else []
         ),
-    ).persist()
+    )
+    if nprobe > 1:
+        # the primary cluster must ALWAYS be probed: the top-n list comes
+        # from the BLAS scorer (ties → highest cid) while `cid` may come
+        # from the fold/arrow assigner (ties → lowest cid), so a last-ulp
+        # or exact-tie disagreement could otherwise rank the primary
+        # cluster out of the list and lose pairs that hard assignment
+        # finds — soft assignment must be a strict superset of hard.
+        v = v.withColumn("probes", F.array_union(F.array("cid"), "probes"))
+    v = v.persist()
     join_key = "cid" if nprobe == 1 else "pcid"
     pair_src = (
         v

@@ -640,17 +640,22 @@ def main() -> int:
     from ncpi_whistler_spark.queries import REGISTRY
 
     ks = sorted({int(k) for k in args.ks.split(",")})
-    pool = (
+    curated = (
         DEFAULT_QUERIES
         + [n for n in EVENTS_QUERIES if n not in DEFAULT_QUERIES]
         + [n for n in TPCH_QUERIES if n not in DEFAULT_QUERIES]
     )
     # any registry query or EXTRA variant is sweepable by exact/prefix name,
-    # not just the default pool (new operators get sweeps without edits here)
-    pool += [n for n in list(REGISTRY) + list(EXTRA_QUERIES) if n not in pool]
+    # not just the curated pool (new operators get sweeps without edits
+    # here). `all` stays the CURATED pool — the full registry includes
+    # streaming drains and iterative driver loops that make no sense in a
+    # k×-replication sweep.
+    pool = curated + [
+        n for n in list(REGISTRY) + list(EXTRA_QUERIES) if n not in curated
+    ]
     wanted = [w.strip() for w in args.queries.split(",") if w.strip()]
     if wanted == ["all"]:
-        names = pool
+        names = curated
     else:
         names = [n for n in pool if any(n == w or n.startswith(w) for w in wanted)]
     need_events = any(n in EVENTS_QUERIES for n in names)
@@ -658,6 +663,11 @@ def main() -> int:
     need_docs = any(
         n not in EVENTS_QUERIES and n not in TPCH_QUERIES for n in names
     )
+    # queries outside the curated lists have unknown table needs (they may
+    # read events or TPC-H tables despite not being in the curated lists) —
+    # replicate everything rather than crash mid-sweep on a missing path
+    if any(n not in curated for n in names):
+        need_events = need_tpch = need_docs = True
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
