@@ -374,3 +374,88 @@ def bm25_topk(
             F.col("score_u").cast("long"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-mix resampling (target corpus proportions → deterministic rates)
+# --------------------------------------------------------------------------
+
+#: the multiplicative hash q63/q69 use for deterministic splits/sampling
+MIX_HASH_MULT = 2654435761
+
+
+def corpus_mix(
+    df: DataFrame,
+    targets_ppm: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resample a corpus to target group proportions (the pretraining
+    data-mixing step: "make the training set 40% en, 15% each of the
+    rest") by pure DOWN-sampling, deterministically and integer-exactly.
+
+    Given target proportions t_g (ppm, summing to 1e6) and observed
+    counts n_g, the largest achievable mixed corpus is
+    T = min_g floor(n_g·1e6 / t_g); each group then keeps
+    kept_g = floor(T·t_g / 1e6) documents via a rate_ppm_g =
+    floor(kept_g·1e6 / n_g) multiplicative-hash predicate (the q63/q69
+    hash, so membership is reproducible across runs AND engines). Groups
+    absent from ``targets_ppm`` are dropped (rate 0).
+
+    Every quantity is BIGINT arithmetic — the whole computation replays
+    in ANSI SQL. Plan shape: one |groups|-sized counts aggregate, a
+    1-row min() reduce for T (broadcast crossJoin), rates broadcast back
+    to the row stream, selection map-side. At 100 TB the sampled subset
+    streams straight to its writer; nothing corpus-sized shuffles.
+
+    Output: one row per group —
+    (group_col, n_total, target_ppm, rate_ppm, n_kept, min_kept_id).
+    """
+    t_map = F.create_map(
+        *[x for g, t in sorted(targets_ppm.items()) for x in (F.lit(g), F.lit(t))]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn("target_ppm", F.coalesce(t_map[F.col(group_col)], F.lit(0)))
+    )
+    tmax = counts.where(F.col("target_ppm") > 0).agg(
+        F.min(
+            F.expr("(n_total * 1000000) div target_ppm")
+        ).alias("t_max")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tmax))
+        .withColumn(
+            "rate_ppm",
+            F.when(
+                F.col("target_ppm") > 0,
+                F.expr(
+                    "(((t_max * target_ppm) div 1000000) * 1000000) div n_total"
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .select(group_col, "n_total", "target_ppm", "rate_ppm")
+    )
+    # reduce the id BEFORE multiplying: ids striped by corpus replication
+    # (scalebench strides 1e9·r) would overflow int64 under ANSI mode if
+    # multiplied raw ((6e10)·2654435761 > 2⁶³)
+    h = ((F.col(id_col) % 1_000_000) * F.lit(MIX_HASH_MULT)) % 1_000_000
+    keep = h < F.col("rate_ppm")
+    return (
+        df.select(group_col, id_col)
+        .join(F.broadcast(rates), on=group_col)
+        .groupBy(group_col, "n_total", "target_ppm", "rate_ppm")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.min(F.when(keep, F.col(id_col))).alias("min_kept_id"),
+        )
+        .select(
+            group_col,
+            F.col("n_total").cast("long"),
+            F.col("target_ppm").cast("long"),
+            F.col("rate_ppm").cast("long"),
+            F.col("n_kept").cast("long"),
+            F.col("min_kept_id").cast("long"),
+        )
+    )

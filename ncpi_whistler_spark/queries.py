@@ -4223,6 +4223,56 @@ def q100_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q101_TARGETS = {"en": 400_000, "de": 150_000, "es": 150_000, "fr": 150_000, "zh": 150_000}
+
+
+def _q101_oracle(targets=None) -> str:
+    targets = targets or _Q101_TARGETS
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{g}' THEN {t}" for g, t in sorted(targets.items()))
+        + " ELSE 0 END"
+    )
+    return f"""WITH counts AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1
+    ),
+    c2 AS (SELECT lang, n_total, {case} AS target_ppm FROM counts),
+    tm AS (
+      SELECT MIN((n_total * 1000000) // target_ppm) AS t_max
+      FROM c2 WHERE target_ppm > 0
+    ),
+    rates AS (
+      SELECT lang, n_total, target_ppm,
+             CASE WHEN target_ppm > 0
+                  THEN ((((t_max * target_ppm) // 1000000) * 1000000) // n_total)
+                  ELSE 0 END AS rate_ppm
+      FROM c2 CROSS JOIN tm
+    )
+    SELECT d.lang,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(target_ppm AS BIGINT) AS target_ppm,
+           CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(SUM(CASE WHEN ((doc_id % 1000000) * 2654435761) % 1000000 < rate_ppm
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN ((doc_id % 1000000) * 2654435761) % 1000000 < rate_ppm
+                    THEN doc_id END) AS BIGINT) AS min_kept_id
+    FROM documents d JOIN rates USING (lang)
+    GROUP BY 1, 2, 3, 4"""
+
+
+@query("q101_corpus_mix", _q101_oracle())
+def q101_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix resampling: down-sample the corpus so language
+    proportions hit a target mix (40% en / 15% each of de-es-fr-zh),
+    with the largest achievable mixed size T = min_g(n_g·1e6/t_g) and
+    per-group hash rates derived from it — all BIGINT arithmetic, fully
+    oracle-replayable, selection map-side (q63/q69 hash family)."""
+    from ncpi_whistler_spark.operators.selection import corpus_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_mix(docs, _Q101_TARGETS, group_col="lang")
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

@@ -1360,3 +1360,25 @@ def test_bpe_corpus_tokenization_join(spark, docs):
     for row in sample:
         want = sum(wc_syms[w] for w in row["text"].lower().split() if w)
         assert got.get(row["doc_id"], 0) == want
+
+
+def test_corpus_mix_rates_exact(spark):
+    """Mix math: the scarce group binds T, the abundant group gets the
+    down-sampling rate, targetless groups are dropped entirely."""
+    from ncpi_whistler_spark.operators.selection import corpus_mix
+
+    rows = [(i, "a") for i in range(300)] + [(300 + i, "b") for i in range(100)]
+    rows += [(900 + i, "junk") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {
+        r["lang"]: r
+        for r in corpus_mix(
+            docs, {"a": 500_000, "b": 500_000}, group_col="lang"
+        ).collect()
+    }
+    # T = min(300e6/5e5, 100e6/5e5) = 200; kept_g = 100 each
+    assert out["a"]["rate_ppm"] == (100 * 1_000_000) // 300
+    assert out["b"]["rate_ppm"] == 1_000_000
+    assert out["b"]["n_kept"] == 100          # rate 1.0 keeps everything
+    assert 0 < out["a"]["n_kept"] <= 300
+    assert out["junk"]["rate_ppm"] == 0 and out["junk"]["n_kept"] == 0
