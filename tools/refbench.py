@@ -104,6 +104,41 @@ def main() -> int:
     n_eng = df.count()
 
     assert n_ref == n_eng == rows, (n_ref, n_eng, rows)
+
+    # --- second head-to-head: harmony CSV → ConceptMap compile ---
+    # (wstlr/conceptmap.py BuildConceptMap vs sources/harmony.ConceptMap;
+    # edge-set parity is proven by tests/test_differential.py — this
+    # measures wall time on a mapping table `cm_rows` long.)
+    cm_rows = max(1000, rows // 4)
+    harmony_path = os.path.join(tmp, "harmony.csv")
+    with open(harmony_path, "w") as fh:
+        fh.write("local code,text,local code system,code,display,code system\n")
+        for i in range(cm_rows):
+            sys_i = i % 50
+            fh.write(
+                f"lc{i},Text {i},system{sys_i},tc{i % 997},Display {i},"
+                f"http://example.org/cs/{sys_i}\n"
+            )
+    from wstlr.conceptmap import BuildConceptMap
+
+    ref_cm_times = []
+    for _ in range(reps):
+        out_json = os.path.join(tmp, "harmony.json")
+        t0 = time.perf_counter()
+        BuildConceptMap([harmony_path], {}, name_prefix="t", outname=out_json)
+        ref_cm_times.append(time.perf_counter() - t0)
+    ref_cm_sec = min(ref_cm_times)
+
+    from ncpi_whistler_spark.sources.harmony import ConceptMap
+
+    eng_cm_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        cm = ConceptMap.from_csv(spark, harmony_path)
+        cm.codings_df().write.format("noop").mode("overwrite").save()
+        eng_cm_times.append(time.perf_counter() - t0)
+    eng_cm_sec = min(eng_cm_times)
+
     print(
         json.dumps(
             {
@@ -113,6 +148,12 @@ def main() -> int:
                 "reference_rows_per_sec": round(rows / ref_sec),
                 "engine_rows_per_sec": round(rows / eng_sec),
                 "speedup": round(ref_sec / eng_sec, 2),
+                "conceptmap": {
+                    "rows": cm_rows,
+                    "reference_sec": round(ref_cm_sec, 3),
+                    "engine_sec": round(eng_cm_sec, 3),
+                    "speedup": round(ref_cm_sec / eng_cm_sec, 2),
+                },
             }
         )
     )
