@@ -1382,3 +1382,20 @@ def test_corpus_mix_rates_exact(spark):
     assert out["b"]["n_kept"] == 100          # rate 1.0 keeps everything
     assert 0 < out["a"]["n_kept"] <= 300
     assert out["junk"]["rate_ppm"] == 0 and out["junk"]["n_kept"] == 0
+
+
+def test_example_curation_pipeline(spark, tmp_path):
+    """The examples/curation_pipeline.py composition runs end-to-end and
+    the funnel only ever narrows."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "curation_pipeline", "examples/curation_pipeline.py"
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    funnel = mod.curate(spark, SF_DIR, str(tmp_path / "curated"))
+    assert funnel["input"] >= funnel["quality"] >= funnel["dedup"] >= funnel["lm_head_middle"]
+    assert funnel["lm_head_middle"] > 0
+    assert funnel["packed_windows"] > 0
+    assert set(funnel["mix"]) <= {"en", "de", "es", "fr", "zh"}
