@@ -1399,3 +1399,110 @@ def test_example_curation_pipeline(spark, tmp_path):
     assert funnel["lm_head_middle"] > 0
     assert funnel["packed_windows"] > 0
     assert set(funnel["mix"]) <= {"en", "de", "es", "fr", "zh"}
+
+
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _random_corpus(seed: int, n_docs: int = 40):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(5, 25))]
+    docs = []
+    for i in range(n_docs):
+        ln = rng.randint(0, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(ln))))
+    # inject verbatim shared spans so substring coverage is non-trivial
+    if n_docs >= 4 and docs[0][1]:
+        span = docs[0][1]
+        docs[1] = (1, docs[1][1] + " " + span)
+    return docs
+
+
+def test_lm_and_substring_random_corpus_differential(spark):
+    """Seeded random corpora: the distributed bigram-LM scorer and the
+    KR exact-substring coverage must match character-exact pure-python
+    mirrors (model math, hash chains, positional coverage union)."""
+    import math
+
+    from ncpi_whistler_spark.operators.dedup import exact_substring_coverage
+    from ncpi_whistler_spark.operators.selection import bigram_lm_scores
+
+    KR_MOD = (1 << 41) - 1
+    for seed in (7, 21):
+        corpus = _random_corpus(seed)
+        sdf = spark.createDataFrame(corpus, "doc_id long, text string")
+
+        # --- bigram LM mirror ---
+        toks = {i: t.lower().split() for i, t in corpus}
+        c1, c2 = {}, {}
+        for t in toks.values():
+            for w in t:
+                c1[w] = c1.get(w, 0) + 1
+            for a, b in zip(t, t[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+        V = len(c1)
+        got = {r["doc_id"]: r for r in bigram_lm_scores(sdf).collect()}
+        for i, t in toks.items():
+            bgs = list(zip(t, t[1:]))
+            s = sum(
+                math.floor(1e6 * math.log((c2[p] + 1) / (c1[p[0]] + V)))
+                for p in bgs
+            )
+            want_ce = (-s) // len(bgs) if bgs else 0
+            assert got[i]["n_bigrams"] == len(bgs)
+            assert got[i]["ce_u"] == want_ce, (seed, i)
+
+        # --- exact-substring coverage mirror (window=3, md5 mode) ---
+        k = 3
+        win_docs: dict[int, set] = {}
+        positions: dict[int, list] = {}
+        for i, t in toks.items():
+            th = [_h60_py(w) % KR_MOD for w in t]
+            for p in range(len(t) - k + 1):
+                h = 0
+                for j in range(k):
+                    h = (h * 263 + th[p + j]) % KR_MOD
+                win_docs.setdefault(h, set()).add(i)
+                positions.setdefault(i, []).append((p, h))
+        want = {}
+        for i, t in toks.items():
+            covered = set()
+            for p, h in positions.get(i, []):
+                if len(win_docs[h]) >= 2:
+                    covered.update(range(p, p + k))
+            total = sum(len(w) for w in t)
+            dup = sum(len(t[p]) for p in covered)
+            want[i] = (total, dup)
+        out = {
+            r["doc_id"]: (r["total_chars"], r["dup_chars"])
+            for r in exact_substring_coverage(sdf, window=k, hash_fn="md5").collect()
+        }
+        assert out == want, seed
+
+
+def test_selection_ops_empty_corpus(spark):
+    """Every round-5 operator degrades to an empty/defined result on an
+    empty corpus instead of raising (min()/agg-on-empty edges)."""
+    from ncpi_whistler_spark.operators.dedup import exact_substring_coverage
+    from ncpi_whistler_spark.operators.profiling import cms_sketch
+    from ncpi_whistler_spark.operators.selection import (
+        bigram_lm_scores,
+        bm25_topk,
+        corpus_mix,
+        dsir_importance_weights,
+    )
+    from ncpi_whistler_spark.operators.text import bpe_train
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert bigram_lm_scores(empty).count() == 0
+    assert dsir_importance_weights(empty, F.col("lang") == "en").count() == 0
+    assert bm25_topk(empty, ["x"]).count() == 0
+    assert exact_substring_coverage(empty).count() == 0
+    assert cms_sketch(empty, "text").count() == 0
+    assert corpus_mix(empty, {"en": 1_000_000}).count() == 0
+    assert bpe_train(empty, num_merges=2) == []
