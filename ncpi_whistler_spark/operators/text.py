@@ -987,3 +987,69 @@ def bpe_segment_words(
         if i + chunk < len(merges):
             words = words.localCheckpoint()
     return words.withColumnRenamed("syms", "subwords")
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_u: int = 2_800_000,
+    high_u: int = 3_250_000,
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy in integer
+    micro-nats — the gibberish/degenerate-repetition signal (too-low
+    entropy ⇒ one token dominates; too-high for its length ⇒ random
+    token soup; both are classic pretraining-corpus rejects).
+
+        H_u = Σ_w floor(1e6 · (n_w/N) · ln(N/n_w))
+
+    Each distinct (doc, token) term is quantized to a BIGINT before the
+    per-doc SUM, so aggregation order cannot change bits and the whole
+    computation replays in ANSI SQL. Plan: one explode → one
+    (id, tok) count aggregation; the per-doc total N rides on a
+    sort-free window over the SAME id partitioning (partitionBy only —
+    no global ordering anywhere), entropy terms are map-side, and the
+    final rollup reuses the id partitioning.
+
+    Returns (doc_id, n_tokens, n_distinct, entropy_u, flag) where flag ∈
+    {'low', 'ok', 'high'} at the given micro-nat cutoffs.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id")
+    terms = counts.select(
+        "id",
+        F.sum("n").over(w).alias("N"),
+        F.floor(
+            F.lit(1_000_000)
+            * (F.col("n").cast("double") / F.sum("n").over(w).cast("double"))
+            * F.log(F.sum("n").over(w).cast("double") / F.col("n").cast("double"))
+        )
+        .cast("long")
+        .alias("h_u"),
+    )
+    scored = terms.groupBy("id").agg(
+        F.max("N").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("h_u").alias("entropy_u"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("entropy_u", F.lit(0)).cast("long").alias("entropy_u"),
+        )
+        .withColumn(
+            "flag",
+            F.when(F.col("entropy_u") < low_u, F.lit("low"))
+            .when(F.col("entropy_u") > high_u, F.lit("high"))
+            .otherwise(F.lit("ok")),
+        )
+    )

@@ -4273,6 +4273,46 @@ def q101_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mix(docs, _Q101_TARGETS, group_col="lang")
 
 
+def _q102_oracle(low_u: int = 2_800_000, high_u: int = 3_250_000) -> str:
+    """Cutoffs frozen from a calibration pass over the fixture corpus
+    (q95 precedent): its entropy_u range is 1.64M-3.35M micro-nats."""
+    return f"""WITH {_TOKS_CTE},
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, COUNT(*) AS n FROM u GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(n) AS ntok FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.doc_id,
+             CAST(floor(1000000 * (CAST(n AS DOUBLE) / CAST(ntok AS DOUBLE))
+                        * ln(CAST(ntok AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS h_u
+      FROM c JOIN tot USING (doc_id)
+    ),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_distinct, SUM(h_u) AS entropy_u
+      FROM terms GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ntok, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(entropy_u, 0) AS BIGINT) AS entropy_u,
+           CASE WHEN COALESCE(entropy_u, 0) < {low_u} THEN 'low'
+                WHEN COALESCE(entropy_u, 0) > {high_u} THEN 'high'
+                ELSE 'ok' END AS flag
+    FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN s USING (doc_id)"""
+
+
+@query("q102_token_entropy", _q102_oracle())
+def q102_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (integer
+    micro-nats) with low/ok/high gibberish flags — each distinct
+    (doc, token) term floor-quantized to BIGINT before the per-doc sum
+    (order-insensitive, exact oracle replay); the per-doc total rides a
+    sort-free window over the same (id, tok)-count partitioning."""
+    from ncpi_whistler_spark.operators.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

@@ -1506,3 +1506,29 @@ def test_selection_ops_empty_corpus(spark):
     assert cms_sketch(empty, "text").count() == 0
     assert corpus_mix(empty, {"en": 1_000_000}).count() == 0
     assert bpe_train(empty, num_merges=2) == []
+
+
+def test_token_entropy_properties(spark):
+    """Entropy invariants: single-repeated-token doc → 0; uniform
+    distinct tokens → ~ln(N) scaled; repeated-token doc strictly lower
+    than a same-length all-distinct doc; python mirror exact."""
+    import math
+
+    from ncpi_whistler_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a b c d e f g h"),
+            (3, "a a b b c c d d"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert out[1]["entropy_u"] == 0 and out[1]["flag"] == "low"
+    # uniform over 8 distinct tokens: 8 terms of floor(1e6*(1/8)*ln 8)
+    assert out[2]["entropy_u"] == 8 * math.floor(1e6 * (1 / 8) * math.log(8))
+    assert out[3]["entropy_u"] == 4 * math.floor(1e6 * (2 / 8) * math.log(4))
+    assert out[1]["entropy_u"] < out[3]["entropy_u"] < out[2]["entropy_u"]
+    assert (out[4]["n_tokens"], out[4]["entropy_u"]) == (0, 0)
