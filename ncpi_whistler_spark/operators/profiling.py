@@ -12,7 +12,7 @@ each column is scanned/pruned independently by Catalyst.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -271,4 +271,87 @@ def cms_estimate(
     return (
         joined.groupBy(*queries.columns)
         .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_est"))
+    )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_cents: Column | str,
+    lo_cents: int,
+    hi_cents: int,
+    bins: int = 1024,
+) -> DataFrame:
+    """Explicit equi-width histogram sketch over an integer-cents value
+    column — the quantile member of the explicit-sketch family (HLL =
+    hll60_distinct, frequency = cms_sketch). ≤ ``bins`` rows at ANY data
+    size, one partial-aggregated shuffle, mergeable by summing bin
+    counts. Values outside [lo, hi] clamp into the edge bins (counted,
+    never dropped — totals stay exact). All BIGINT arithmetic, so the
+    sketch and every bracket drawn from it replay in ANSI SQL.
+
+    Output: (bin, n) rows."""
+    v = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    span = hi_cents - lo_cents + 1
+    bin_expr = F.expr(
+        f"least({bins - 1}, greatest(0, ((__v - {lo_cents}) * {bins}) div {span}))"
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(v.cast("long").alias("__v"))
+        .select(bin_expr.cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile_brackets(
+    sketch: DataFrame,
+    qs_ppm: list[int],
+    lo_cents: int,
+    hi_cents: int,
+    bins: int = 1024,
+) -> DataFrame:
+    """Quantile BRACKETS from a histogram_sketch: for each requested
+    quantile q (ppm), the bin whose cumulative count first exceeds
+    rank = (N−1)·q div 1e6, reported as its exact [lo, hi) cent bounds
+    plus the cumulative count — the honest answer an equi-width sketch
+    supports (a bracket of width (hi−lo)/bins, not a fake interpolated
+    point). Integer arithmetic end to end.
+
+    The cumulative walk is a window over the ≤ ``bins``-row sketch —
+    bounded by the sketch size, never by the data (the one place a
+    single-partition window is correct by construction).
+
+    Output per quantile: (q_ppm, bin, bracket_lo_cents, bracket_hi_cents,
+    cum_n, total_n)."""
+    from pyspark.sql.window import Window
+
+    span = hi_cents - lo_cents + 1
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin", "n", F.sum("n").over(w).alias("cum_n")
+    ).crossJoin(F.broadcast(sketch.agg(F.sum("n").alias("total_n"))))
+    qdf = cum.sparkSession.createDataFrame(
+        [(int(q),) for q in qs_ppm], "q_ppm long"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum_n") > F.expr("((total_n - 1) * q_ppm) div 1000000"))
+        .groupBy("q_ppm", "total_n")
+        .agg(
+            F.min("bin").alias("bin"),
+        )
+        .join(cum.select("bin", "cum_n"), on="bin")
+    )
+    return hit.select(
+        "q_ppm",
+        F.col("bin").cast("long"),
+        (F.lit(lo_cents) + F.expr(f"(bin * {span}) div {bins}")).cast("long").alias(
+            "bracket_lo_cents"
+        ),
+        (F.lit(lo_cents) + F.expr(f"((bin + 1) * {span}) div {bins}")).cast("long").alias(
+            "bracket_hi_cents"
+        ),
+        F.col("cum_n").cast("long"),
+        F.col("total_n").cast("long"),
     )

@@ -4313,6 +4313,61 @@ def q102_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(docs)
 
 
+_Q103 = dict(lo=90_000, hi=10_500_000, bins=1024, qs=(250_000, 500_000, 750_000, 990_000))
+
+
+def _q103_oracle() -> str:
+    lo, hi, bins, qs = _Q103["lo"], _Q103["hi"], _Q103["bins"], _Q103["qs"]
+    span = hi - lo + 1
+    return f"""WITH v AS (
+      SELECT CAST(l_extendedprice * 100 AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    sk AS (
+      SELECT LEAST({bins - 1}, GREATEST(0, ((c - {lo}) * {bins}) // {span})) AS bin,
+             COUNT(*) AS n
+      FROM v GROUP BY 1
+    ),
+    cum AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum_n FROM sk),
+    tot AS (SELECT SUM(n) AS total_n FROM sk),
+    q AS (SELECT unnest([{", ".join(str(x) for x in qs)}]) AS q_ppm),
+    hit AS (
+      SELECT q_ppm, total_n, MIN(bin) AS bin
+      FROM cum CROSS JOIN tot CROSS JOIN q
+      WHERE cum_n > ((total_n - 1) * q_ppm) // 1000000
+      GROUP BY 1, 2
+    )
+    SELECT q_ppm,
+           CAST(hit.bin AS BIGINT) AS bin,
+           CAST({lo} + (hit.bin * {span}) // {bins} AS BIGINT) AS bracket_lo_cents,
+           CAST({lo} + ((hit.bin + 1) * {span}) // {bins} AS BIGINT) AS bracket_hi_cents,
+           CAST(cum.cum_n AS BIGINT) AS cum_n,
+           CAST(total_n AS BIGINT) AS total_n
+    FROM hit JOIN cum ON cum.bin = hit.bin"""
+
+
+@query("q103_histogram_quantiles", _q103_oracle())
+def q103_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantiles: p25/p50/p75/p99 BRACKETS of
+    l_extendedprice from a 1024-bin integer-cents histogram sketch — the
+    quantile member of the explicit-sketch family (q84 HLL, q98 CMS).
+    The sketch is ≤1024 rows at any data size (one partial-aggregated
+    shuffle, mergeable by bin-count sum); the cumulative walk windows
+    over the SKETCH, never the data."""
+    from ncpi_whistler_spark.operators.profiling import (
+        histogram_quantile_brackets,
+        histogram_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = histogram_sketch(
+        li, (F.col("l_extendedprice") * 100), _Q103["lo"], _Q103["hi"], _Q103["bins"]
+    )
+    return histogram_quantile_brackets(
+        sk, list(_Q103["qs"]), _Q103["lo"], _Q103["hi"], _Q103["bins"]
+    )
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

@@ -1532,3 +1532,35 @@ def test_token_entropy_properties(spark):
     assert out[3]["entropy_u"] == 4 * math.floor(1e6 * (2 / 8) * math.log(4))
     assert out[1]["entropy_u"] < out[3]["entropy_u"] < out[2]["entropy_u"]
     assert (out[4]["n_tokens"], out[4]["entropy_u"]) == (0, 0)
+
+
+def test_histogram_sketch_merge_and_bracket(spark):
+    """Histogram-sketch invariants: per-shard sketches summed bin-wise
+    equal the whole sketch, and every quantile bracket actually contains
+    the exact quantile value."""
+    from ncpi_whistler_spark.operators.profiling import (
+        histogram_quantile_brackets,
+        histogram_sketch,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    cents = F.col("l_extendedprice") * 100
+    lo, hi, bins = 90_000, 10_500_000, 1024
+    whole = histogram_sketch(li, cents, lo, hi, bins)
+    a = histogram_sketch(li.where(F.col("l_orderkey") % 2 == 0), cents, lo, hi, bins)
+    b = histogram_sketch(li.where(F.col("l_orderkey") % 2 == 1), cents, lo, hi, bins)
+    merged = a.unionByName(b).groupBy("bin").agg(F.sum("n").alias("n"))
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+    qs = [250_000, 500_000, 750_000, 990_000]
+    br = {
+        r["q_ppm"]: (r["bracket_lo_cents"], r["bracket_hi_cents"])
+        for r in histogram_quantile_brackets(whole, qs, lo, hi, bins).collect()
+    }
+    vals = sorted(
+        int(r[0]) for r in li.select(cents.cast("long")).collect()
+    )
+    for q in qs:
+        exact = vals[((len(vals) - 1) * q) // 1_000_000]
+        blo, bhi = br[q]
+        assert blo <= exact < bhi, (q, exact, br[q])
