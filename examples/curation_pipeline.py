@@ -24,9 +24,14 @@ from pyspark.sql import functions as F
 def curate(spark, sf_dir: str, out_dir: str) -> dict:
     from ncpi_whistler_spark.catalog import load_table
     from ncpi_whistler_spark.operators.dedup import fuzzy_dedup_keep
-    from ncpi_whistler_spark.operators.selection import bigram_lm_scores, corpus_mix
+    from ncpi_whistler_spark.operators.selection import (
+        apply_corpus_mix,
+        bigram_lm_scores,
+        corpus_mix,
+    )
     from ncpi_whistler_spark.operators.text import (
         gopher_quality_flags,
+        gopher_repetition_profile,
         pack_sequences,
     )
 
@@ -46,32 +51,42 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     )
     funnel["quality"] = kept.count()
 
-    # 2. Fuzzy dedup (MinHash-LSH candidates → exact verify → keeper)
-    deduped = fuzzy_dedup_keep(kept, threshold_ppm=800_000)
+    # 2. Gopher repetition gates (top-n-gram / dup-n-gram coverage)
+    rep = gopher_repetition_profile(kept)
+    unrep = kept.join(rep.where("keep").select("doc_id"), on="doc_id")
+    funnel["repetition"] = unrep.count()
+
+    # 3. Fuzzy dedup (MinHash-LSH candidates → exact verify → keeper)
+    deduped = fuzzy_dedup_keep(unrep, threshold_ppm=800_000)
     funnel["dedup"] = deduped.count()
 
-    # 3. LM perplexity buckets; drop the noisy tail (CCNet recipe)
+    # 4. LM perplexity buckets; drop the noisy tail (CCNet recipe)
     scored = bigram_lm_scores(deduped)
     headmid = deduped.join(
         scored.where(F.col("bucket") != "tail").select("doc_id"), on="doc_id"
     )
     funnel["lm_head_middle"] = headmid.count()
 
-    # 4. Training-mix report (rates derived from target lang proportions)
-    mix = corpus_mix(
-        headmid,
-        {"en": 400_000, "de": 150_000, "es": 150_000, "fr": 150_000, "zh": 150_000},
-        group_col="lang",
-    )
+    # 5. Training-mix resampling: report AND the actual sampled subset
+    targets = {"en": 400_000, "de": 150_000, "es": 150_000, "fr": 150_000, "zh": 150_000}
+    mix = corpus_mix(headmid, targets, group_col="lang")
     funnel["mix"] = {
         r["lang"]: {"rate_ppm": r["rate_ppm"], "n_kept": r["n_kept"]}
         for r in mix.collect()
     }
+    mixed = apply_corpus_mix(headmid, targets, group_col="lang")
+    funnel["mixed"] = mixed.count()
 
-    # 5. Pack surviving docs into fixed training windows and write
-    packed = pack_sequences(headmid, seq_len=128)
+    # 6. Pack the MIXED corpus into fixed training windows and write.
+    # pack_sequences emits one placement row per document; the window
+    # count is the last window index + 1.
+    packed = pack_sequences(mixed, seq_len=128)
     packed.write.mode("overwrite").parquet(out_dir)
-    funnel["packed_windows"] = spark.read.parquet(out_dir).count()
+    placements = spark.read.parquet(out_dir)
+    funnel["docs_packed"] = placements.count()
+    funnel["train_windows"] = (
+        placements.agg(F.max("end_seq")).collect()[0][0] or -1
+    ) + 1
     return funnel
 
 

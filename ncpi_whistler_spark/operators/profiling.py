@@ -320,17 +320,26 @@ def histogram_quantile_brackets(
 
     The cumulative walk is a window over the ≤ ``bins``-row sketch —
     bounded by the sketch size, never by the data (the one place a
-    single-partition window is correct by construction).
+    single-partition window is correct by construction). The cum frame
+    is persisted: the plan below references it twice (quantile hit +
+    bracket join-back) and total_n once more, and without the persist
+    each reference would re-run the corpus-scale aggregation behind the
+    sketch — a 3-consumer frame per the repo's persist policy, and it
+    caches ≤ ``bins`` rows, never data.
 
     Output per quantile: (q_ppm, bin, bracket_lo_cents, bracket_hi_cents,
     cum_n, total_n)."""
-    from pyspark.sql.window import Window
-
     span = hi_cents - lo_cents + 1
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = sketch.select(
-        "bin", "n", F.sum("n").over(w).alias("cum_n")
-    ).crossJoin(F.broadcast(sketch.agg(F.sum("n").alias("total_n"))))
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wall).alias("total_n"),
+    ).persist()
     qdf = cum.sparkSession.createDataFrame(
         [(int(q),) for q in qs_ppm], "q_ppm long"
     )

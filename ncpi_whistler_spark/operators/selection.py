@@ -411,40 +411,11 @@ def corpus_mix(
     Output: one row per group —
     (group_col, n_total, target_ppm, rate_ppm, n_kept, min_kept_id).
     """
-    t_map = F.create_map(
-        *[x for g, t in sorted(targets_ppm.items()) for x in (F.lit(g), F.lit(t))]
-    )
-    counts = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("n_total"))
-        .withColumn("target_ppm", F.coalesce(t_map[F.col(group_col)], F.lit(0)))
-    )
-    tmax = counts.where(F.col("target_ppm") > 0).agg(
-        F.min(
-            F.expr("(n_total * 1000000) div target_ppm")
-        ).alias("t_max")
-    )
-    rates = (
-        counts.crossJoin(F.broadcast(tmax))
-        .withColumn(
-            "rate_ppm",
-            F.when(
-                F.col("target_ppm") > 0,
-                F.expr(
-                    "(((t_max * target_ppm) div 1000000) * 1000000) div n_total"
-                ),
-            ).otherwise(F.lit(0)),
-        )
-        .select(group_col, "n_total", "target_ppm", "rate_ppm")
-    )
-    # reduce the id BEFORE multiplying: ids striped by corpus replication
-    # (scalebench strides 1e9·r) would overflow int64 under ANSI mode if
-    # multiplied raw ((6e10)·2654435761 > 2⁶³)
-    h = ((F.col(id_col) % 1_000_000) * F.lit(MIX_HASH_MULT)) % 1_000_000
-    keep = h < F.col("rate_ppm")
+    rates = corpus_mix_rates(df, targets_ppm, group_col)
+    keep = _mix_keep(id_col)
     return (
         df.select(group_col, id_col)
-        .join(F.broadcast(rates), on=group_col)
+        .join(F.broadcast(rates), on=group_col, how="right")
         .groupBy(group_col, "n_total", "target_ppm", "rate_ppm")
         .agg(
             F.sum(keep.cast("long")).alias("n_kept"),
@@ -455,7 +426,92 @@ def corpus_mix(
             F.col("n_total").cast("long"),
             F.col("target_ppm").cast("long"),
             F.col("rate_ppm").cast("long"),
-            F.col("n_kept").cast("long"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
             F.col("min_kept_id").cast("long"),
         )
+    )
+
+
+def corpus_mix_rates(
+    df: DataFrame,
+    targets_ppm: dict[str, int],
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group sampling rates for ``corpus_mix`` — see there for the
+    math. Validates that the target proportions sum to exactly 1e6 ppm,
+    and includes EVERY target group in the computation even when it is
+    absent from the corpus: a missing target group means the requested
+    mix is unachievable at any size, so T — and every rate — is 0
+    (rather than silently renormalizing over the groups that exist).
+
+    Output: (group_col, n_total, target_ppm, rate_ppm), one row per
+    group present in the corpus OR named in the targets."""
+    total = sum(targets_ppm.values())
+    if total != 1_000_000:
+        raise ValueError(
+            f"targets_ppm must sum to 1_000_000 ppm, got {total} "
+            f"({targets_ppm})"
+        )
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        sorted(targets_ppm.items()), f"{group_col} string, target_ppm long"
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .join(F.broadcast(tdf), on=group_col, how="full")
+        .select(
+            group_col,
+            F.coalesce("n_total", F.lit(0)).alias("n_total"),
+            F.coalesce("target_ppm", F.lit(0)).alias("target_ppm"),
+        )
+    )
+    tmax = counts.where(F.col("target_ppm") > 0).agg(
+        F.min(
+            F.expr("(n_total * 1000000) div target_ppm")
+        ).alias("t_max")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tmax))
+        .withColumn(
+            "rate_ppm",
+            F.when(
+                (F.col("target_ppm") > 0) & (F.col("n_total") > 0),
+                F.expr(
+                    "(((t_max * target_ppm) div 1000000) * 1000000) div n_total"
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .select(group_col, "n_total", "target_ppm", "rate_ppm")
+    )
+
+
+def _mix_keep(id_col: str) -> Column:
+    """The deterministic membership predicate shared by the report and
+    the apply path (requires a joined ``rate_ppm`` column in scope).
+    The id is reduced BEFORE multiplying: ids striped by corpus
+    replication (scalebench strides 1e9·r) would overflow int64 under
+    ANSI mode if multiplied raw ((6e10)·2654435761 > 2⁶³)."""
+    h = ((F.col(id_col) % 1_000_000) * F.lit(MIX_HASH_MULT)) % 1_000_000
+    return h < F.col("rate_ppm")
+
+
+def apply_corpus_mix(
+    df: DataFrame,
+    targets_ppm: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The row-level counterpart of ``corpus_mix``: returns the sampled
+    SUBSET of ``df`` (all original columns) under the same rates and
+    hash predicate the report describes — this is the frame that
+    'streams straight to its writer' at 100 TB. Broadcast rates join +
+    map-side predicate; nothing corpus-sized shuffles."""
+    rates = corpus_mix_rates(df, targets_ppm, group_col)
+    return (
+        df.join(
+            F.broadcast(rates.select(group_col, "rate_ppm")), on=group_col
+        )
+        .where(_mix_keep(id_col))
+        .select(*df.columns)  # the USING join reorders; restore df's shape
     )

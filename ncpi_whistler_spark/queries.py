@@ -4320,7 +4320,7 @@ def _q103_oracle() -> str:
     lo, hi, bins, qs = _Q103["lo"], _Q103["hi"], _Q103["bins"], _Q103["qs"]
     span = hi - lo + 1
     return f"""WITH v AS (
-      SELECT CAST(l_extendedprice * 100 AS BIGINT) AS c
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
       FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     sk AS (
@@ -4360,8 +4360,14 @@ def q103_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # decimal-cast BEFORE scaling: the raw column is double, and
+    # double->long truncates in Spark while DuckDB CAST rounds — the
+    # double->DECIMAL(18,2) conversion is the one both engines agree on
+    # (the _dsum precedent, verified suite-wide)
     sk = histogram_sketch(
-        li, (F.col("l_extendedprice") * 100), _Q103["lo"], _Q103["hi"], _Q103["bins"]
+        li,
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100,
+        _Q103["lo"], _Q103["hi"], _Q103["bins"],
     )
     return histogram_quantile_brackets(
         sk, list(_Q103["qs"]), _Q103["lo"], _Q103["hi"], _Q103["bins"]

@@ -1395,10 +1395,16 @@ def test_example_curation_pipeline(spark, tmp_path):
     mod = ilu.module_from_spec(spec)
     spec.loader.exec_module(mod)
     funnel = mod.curate(spark, SF_DIR, str(tmp_path / "curated"))
-    assert funnel["input"] >= funnel["quality"] >= funnel["dedup"] >= funnel["lm_head_middle"]
-    assert funnel["lm_head_middle"] > 0
-    assert funnel["packed_windows"] > 0
+    assert (
+        funnel["input"] >= funnel["quality"] >= funnel["repetition"]
+        >= funnel["dedup"] >= funnel["lm_head_middle"] >= funnel["mixed"]
+    )
+    assert funnel["mixed"] > 0
+    assert funnel["docs_packed"] == funnel["mixed"]
+    assert funnel["train_windows"] > 0
     assert set(funnel["mix"]) <= {"en", "de", "es", "fr", "zh"}
+    # the report's per-group kept counts describe exactly the applied subset
+    assert sum(g["n_kept"] for g in funnel["mix"].values()) == funnel["mixed"]
 
 
 def _h60_py(s: str) -> int:
@@ -1504,7 +1510,12 @@ def test_selection_ops_empty_corpus(spark):
     assert bm25_topk(empty, ["x"]).count() == 0
     assert exact_substring_coverage(empty).count() == 0
     assert cms_sketch(empty, "text").count() == 0
-    assert corpus_mix(empty, {"en": 1_000_000}).count() == 0
+    # target groups now ALWAYS appear in the report (missing-group
+    # semantics): an empty corpus yields the one target row at rate 0
+    mrow = corpus_mix(empty, {"en": 1_000_000}).collect()
+    assert [(r["lang"], r["n_total"], r["rate_ppm"], r["n_kept"]) for r in mrow] == [
+        ("en", 0, 0, 0)
+    ]
     assert bpe_train(empty, num_merges=2) == []
 
 
@@ -1544,7 +1555,7 @@ def test_histogram_sketch_merge_and_bracket(spark):
     )
 
     li = load_table(spark, SF_DIR, "lineitem")
-    cents = F.col("l_extendedprice") * 100
+    cents = F.col("l_extendedprice").cast("decimal(18,2)") * 100
     lo, hi, bins = 90_000, 10_500_000, 1024
     whole = histogram_sketch(li, cents, lo, hi, bins)
     a = histogram_sketch(li.where(F.col("l_orderkey") % 2 == 0), cents, lo, hi, bins)
@@ -1564,3 +1575,42 @@ def test_histogram_sketch_merge_and_bracket(spark):
         exact = vals[((len(vals) - 1) * q) // 1_000_000]
         blo, bhi = br[q]
         assert blo <= exact < bhi, (q, exact, br[q])
+
+
+def test_corpus_mix_validation_and_missing_groups(spark):
+    """targets must sum to 1e6 ppm; a target group absent from the
+    corpus makes the mix unachievable (every rate 0, reported row with
+    n_total=0) instead of silently renormalizing; apply_corpus_mix
+    returns exactly the rows the report's n_kept counts."""
+    import pytest
+
+    from ncpi_whistler_spark.operators.selection import (
+        apply_corpus_mix,
+        corpus_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(30)] + [(100 + i, "b") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    with pytest.raises(ValueError, match="sum to 1_000_000"):
+        corpus_mix(docs, {"a": 500_000, "b": 400_000})
+
+    out = {
+        r["lang"]: r
+        for r in corpus_mix(
+            docs, {"a": 500_000, "zz": 500_000}, group_col="lang"
+        ).collect()
+    }
+    assert out["zz"]["n_total"] == 0 and out["zz"]["rate_ppm"] == 0
+    assert out["a"]["rate_ppm"] == 0 and out["a"]["n_kept"] == 0
+    assert out["b"]["rate_ppm"] == 0  # not a target group
+
+    targets = {"a": 500_000, "b": 500_000}
+    rep = {r["lang"]: r for r in corpus_mix(docs, targets).collect()}
+    sampled = apply_corpus_mix(docs, targets)
+    got = sampled.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {
+        g: r["n_kept"] for g, r in rep.items() if r["n_kept"] > 0
+    }
+    assert sampled.columns == docs.columns
