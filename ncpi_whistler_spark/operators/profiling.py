@@ -242,11 +242,26 @@ def cms_estimate(
     broadcast, so estimating any number of keys never rescans the
     corpus. Missing cells count 0 (value never touched that counter).
 
+    Each input row gets its own output row — duplicate query rows stay
+    duplicated (the grouping key is a per-row probe id, not the row's
+    values). ``queries`` must not already contain a column named
+    ``row``, ``col``, or ``__probe_id`` (those names are reserved for
+    the probe plumbing; a collision raises rather than silently
+    shadowing).
+
     Output: queries' columns + (cms_est bigint).
     """
     from ncpi_whistler_spark.operators.dedup import h60
 
-    probes = queries.select(
+    reserved = {"row", "col", "__probe_id"} & set(queries.columns)
+    if reserved:
+        raise ValueError(
+            f"cms_estimate: queries frame uses reserved column name(s) "
+            f"{sorted(reserved)}; rename them before probing"
+        )
+    probes = queries.withColumn(
+        "__probe_id", F.monotonically_increasing_id()
+    ).select(
         "*",
         F.explode(
             F.array(
@@ -269,8 +284,12 @@ def cms_estimate(
     ).select("*", F.col("rc.row").alias("row"), F.col("rc.col").alias("col")).drop("rc")
     joined = probes.join(F.broadcast(sketch), on=["row", "col"], how="left")
     return (
-        joined.groupBy(*queries.columns)
-        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_est"))
+        joined.groupBy("__probe_id")
+        .agg(
+            *[F.first(c).alias(c) for c in queries.columns],
+            F.min(F.coalesce("counter", F.lit(0))).alias("cms_est"),
+        )
+        .drop("__probe_id")
     )
 
 
@@ -315,8 +334,23 @@ def histogram_quantile_brackets(
     quantile q (ppm), the bin whose cumulative count first exceeds
     rank = (N−1)·q div 1e6, reported as its exact [lo, hi) cent bounds
     plus the cumulative count — the honest answer an equi-width sketch
-    supports (a bracket of width (hi−lo)/bins, not a fake interpolated
-    point). Integer arithmetic end to end.
+    supports (a bracket of width ~(hi−lo)/bins, not a fake interpolated
+    point). Integer arithmetic end to end. The bounds are the TRUE bin
+    membership interval: a value c lands in bin b iff
+    (c−lo)·bins div span == b, i.e. c−lo ∈ [⌈b·span/bins⌉,
+    ⌈(b+1)·span/bins⌉), so both edges use ceiling division — floor on
+    the upper edge would exclude the bin's largest member whenever bins
+    does not divide (b+1)·span. Containment holds for in-range values;
+    the two edge bins additionally absorb clamped out-of-range values.
+
+    Duplicate entries in ``qs_ppm`` are deduplicated (one output row per
+    distinct quantile). The ≤ ``bins``-row ``cum`` frame is persisted for
+    the plan's three consumers and stays cached for the lifetime of the
+    returned DataFrame — by design, like semantic_dedup's centroid cache:
+    unpersisting before the caller collects would re-run the corpus-scale
+    aggregation behind the sketch per consumer. It holds ≤ ``bins`` tiny
+    rows; call ``spark.catalog.clearCache()`` in long-lived sessions if
+    even that matters.
 
     The cumulative walk is a window over the ≤ ``bins``-row sketch —
     bounded by the sketch size, never by the data (the one place a
@@ -341,7 +375,7 @@ def histogram_quantile_brackets(
         F.sum("n").over(wall).alias("total_n"),
     ).persist()
     qdf = cum.sparkSession.createDataFrame(
-        [(int(q),) for q in qs_ppm], "q_ppm long"
+        [(q,) for q in sorted({int(q) for q in qs_ppm})], "q_ppm long"
     )
     hit = (
         cum.crossJoin(F.broadcast(qdf))
@@ -355,12 +389,12 @@ def histogram_quantile_brackets(
     return hit.select(
         "q_ppm",
         F.col("bin").cast("long"),
-        (F.lit(lo_cents) + F.expr(f"(bin * {span}) div {bins}")).cast("long").alias(
-            "bracket_lo_cents"
-        ),
-        (F.lit(lo_cents) + F.expr(f"((bin + 1) * {span}) div {bins}")).cast("long").alias(
-            "bracket_hi_cents"
-        ),
+        (
+            F.lit(lo_cents) + F.expr(f"(bin * {span} + {bins - 1}) div {bins}")
+        ).cast("long").alias("bracket_lo_cents"),
+        (
+            F.lit(lo_cents) + F.expr(f"((bin + 1) * {span} + {bins - 1}) div {bins}")
+        ).cast("long").alias("bracket_hi_cents"),
         F.col("cum_n").cast("long"),
         F.col("total_n").cast("long"),
     )

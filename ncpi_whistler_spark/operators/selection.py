@@ -199,6 +199,14 @@ def dsir_importance_weights(
     (h60) keeps bucket assignment replayable in DuckDB; production uses
     hash_fn='xxhash64' (JVM intrinsic).
 
+    Degenerate target: if ``target_filter`` matches zero rows the target
+    histogram is empty and T coalesces to 0, so every bucket scores the
+    uniform smoothed target ln(1/B) against the raw model — weights are
+    well-defined (typically all ≤ 0, so ``selected`` is all-false), not
+    NULL. Callers that consider an empty target slice an error should
+    validate it themselves; this operator stays single-pass and lazy
+    rather than forcing an eager count on the corpus.
+
     Returns: (doc_id, n_feats, weight_u, selected).
     """
     # the target flag rides through the explode as a map-side column on
@@ -250,7 +258,10 @@ def dsir_importance_weights(
         .select(
             "bucket",
             (
-                _lp_micronats(F.coalesce("t_k", F.lit(0)) + 1, F.col("T") + b)
+                _lp_micronats(
+                    F.coalesce("t_k", F.lit(0)) + 1,
+                    F.coalesce("T", F.lit(0)) + b,
+                )
                 - _lp_micronats(F.col("r_k") + 1, F.col("R") + b)
             ).alias("lw_u"),
         )

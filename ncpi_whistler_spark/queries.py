@@ -4339,8 +4339,8 @@ def _q103_oracle() -> str:
     )
     SELECT q_ppm,
            CAST(hit.bin AS BIGINT) AS bin,
-           CAST({lo} + (hit.bin * {span}) // {bins} AS BIGINT) AS bracket_lo_cents,
-           CAST({lo} + ((hit.bin + 1) * {span}) // {bins} AS BIGINT) AS bracket_hi_cents,
+           CAST({lo} + (hit.bin * {span} + {bins - 1}) // {bins} AS BIGINT) AS bracket_lo_cents,
+           CAST({lo} + ((hit.bin + 1) * {span} + {bins - 1}) // {bins} AS BIGINT) AS bracket_hi_cents,
            CAST(cum.cum_n AS BIGINT) AS cum_n,
            CAST(total_n AS BIGINT) AS total_n
     FROM hit JOIN cum ON cum.bin = hit.bin"""

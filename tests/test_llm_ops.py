@@ -1265,6 +1265,51 @@ def test_cms_sketch_merge_and_bound(spark, docs):
     assert bad == 0
 
 
+def test_cms_estimate_duplicate_queries_and_reserved_names(spark):
+    """Duplicate query rows each get their own output row (per-row probe
+    id, not value-grouping), and a queries frame that already uses the
+    reserved probe column names raises instead of silently shadowing."""
+    import pytest
+
+    from ncpi_whistler_spark.operators.profiling import cms_estimate, cms_sketch
+
+    vals = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "tok string")
+    sk = cms_sketch(vals, "tok")
+    dup_queries = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+    got = cms_estimate(sk, dup_queries, "tok").collect()
+    assert len(got) == 3
+    by_tok = sorted((r["tok"], r["cms_est"]) for r in got)
+    assert by_tok == [("a", 7), ("a", 7), ("b", 3)]
+
+    for bad_col in ("row", "col", "__probe_id"):
+        bad = dup_queries.withColumn(bad_col, F.lit(1))
+        with pytest.raises(ValueError, match="reserved column"):
+            cms_estimate(sk, bad, "tok")
+
+
+def test_dsir_empty_target_degenerates_to_uniform(spark):
+    """A target_filter matching zero rows must not yield NULL weights:
+    T coalesces to 0, the target model degenerates to uniform smoothing,
+    and every doc gets a well-defined (non-positive here) weight with
+    selected=false."""
+    from ncpi_whistler_spark.operators.selection import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "raw") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    out = dsir_importance_weights(
+        docs, target_filter=F.col("source") == "nonexistent", num_buckets=64
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["weight_u"] is not None
+        assert r["n_feats"] == 7  # 4 unigrams + 3 bigrams
+        assert not r["selected"]
+        # uniform target ln(1/B) vs a peaked raw model: never positive
+        assert r["weight_u"] <= 0
+
+
 def _bpe_train_reference(word_counts: dict, num_merges: int, min_pair_count: int = 2):
     """20-line pure-python BPE (Sennrich et al. 2016) used as the gold
     standard for the distributed trainer: same greedy left-to-right
@@ -1575,6 +1620,33 @@ def test_histogram_sketch_merge_and_bracket(spark):
         exact = vals[((len(vals) - 1) * q) // 1_000_000]
         blo, bhi = br[q]
         assert blo <= exact < bhi, (q, exact, br[q])
+
+
+def test_histogram_bracket_bounds_are_true_bin_edges(spark):
+    """Bracket edges are the exact bin-membership interval (ceiling
+    division on both edges). With lo=0 hi=9 bins=3 (span=10, which 3
+    does not divide), value 3 lands in bin 0 — a floor upper edge would
+    report [0,3) and exclude it; the true interval is [0,4). Every value
+    must fall inside its quantile's reported bracket, and duplicate
+    quantiles in qs_ppm must collapse to one row each."""
+    from ncpi_whistler_spark.operators.profiling import (
+        histogram_quantile_brackets,
+        histogram_sketch,
+    )
+
+    vals = spark.createDataFrame([(v,) for v in range(10)], "c long")
+    lo, hi, bins = 0, 9, 3
+    sk = histogram_sketch(vals, "c", lo, hi, bins)
+    qs = [0, 300_000, 300_000, 500_000, 1_000_000]
+    got = histogram_quantile_brackets(sk, qs, lo, hi, bins).collect()
+    assert len(got) == 4  # duplicate 300_000 deduplicated
+    rows = {r["q_ppm"]: r for r in got}
+    ordered = sorted(range(10))
+    for q, r in rows.items():
+        exact = ordered[((len(ordered) - 1) * q) // 1_000_000]
+        assert r["bracket_lo_cents"] <= exact < r["bracket_hi_cents"], (q, exact, r)
+    # q=30%: rank floor(9*0.3)=2 -> value 2, bin 0, true interval [0,4)
+    assert (rows[300_000]["bracket_lo_cents"], rows[300_000]["bracket_hi_cents"]) == (0, 4)
 
 
 def test_corpus_mix_validation_and_missing_groups(spark):
