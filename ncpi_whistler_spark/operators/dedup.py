@@ -127,7 +127,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold, via an
     inverted-index self-join (explode shingles → join on shingle →
-    count共 intersections → Jaccard from |A|+|B|-|A∩B|).
+    count intersections → Jaccard from |A|+|B|-|A∩B|).
 
     ``max_df`` drops shingles appearing in more than that many docs before
     the join — the skew/blowup guard at scale. ``shingles`` (a
@@ -822,7 +822,7 @@ def embedding_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     bucket_mode: str = "arrow",
-    tables: int = 1,
+    tables: int = 24,
 ) -> DataFrame:
     """Embedding pairs with cosine >= threshold.
 
@@ -839,8 +839,13 @@ def embedding_dup_pairs(
     p = 1 - θ/π, so single-table recall collapses at wide angles
     (measured: 0.17 at cosine 0.4, bits=4 — exactly theory); L tables
     lift recall to 1-(1-p^bits)^L at L× index cost, still linear in the
-    corpus. RECALL.json / SCALING.md carry the measured table: at
-    threshold 0.4, bits=4, L=16 holds recall ≥ 0.9.
+    corpus. The DEFAULT tables=24 is the measured recall-≥0.9
+    production config (RECALL.json: bits=4 L=16 → 0.944 on the
+    synthetic corpus; the fixture's wider-angle 0.4-pairs need L=24 →
+    0.970, pinned ≥0.9 by a regression test; tables is ignored when
+    bucket_bits=0 — the exact tier needs no amplification). The
+    oracle-replayable registry form (q40) pins tables=1 EXPLICITLY for
+    DuckDB bucket parity — oracle-only.
     """
     # norms once per vector (not per pair): same bits, 3× less fold work
     v = df.select(
@@ -1234,28 +1239,51 @@ def exact_substring_coverage(
     guard for that reason.
 
     Window keys are a Karp-Rabin polynomial over PER-TOKEN hashes (each
-    token hashed once, reduced mod 2⁴¹−1, then Horner-combined with base
-    263 across the ``window`` offsets — the q35 winnowing trick lifted
-    from characters to tokens). That is n token digests instead of n·k
-    window-string digests with zero string copying, and it is built
-    MAP-SIDE from the token array — no lead()-window stitch, so nothing
-    shuffles or sorts the token stream just to assemble windows. The
-    41-bit key space is a deliberate candidate-hash tradeoff (~m²/2⁴²
-    expected extra dup marks corpus-wide); hash_fn='md5' (h60 base
-    hashes) replays bit-for-bit in DuckDB, production uses xxhash64.
+    token hashed once, reduced mod the chain modulus, then
+    Horner-combined across the ``window`` offsets — the q35 winnowing
+    trick lifted from characters to tokens). That is n token digests
+    instead of n·k window-string digests with zero string copying, and
+    it is built MAP-SIDE from the token array — no lead()-window
+    stitch, so nothing shuffles or sorts the token stream just to
+    assemble windows.
+
+    Key width: the oracle mode (``hash_fn='md5'``, h60 base hashes —
+    replays bit-for-bit in DuckDB) uses the single 41-bit chain
+    (KR_BASE/KR_MOD), a fixture-scale candidate-hash tradeoff. The
+    PRODUCTION mode (``hash_fn='xxhash64'``) pairs it with a second,
+    fully independent chain — a second xxhash64 pass (seed-tweaked via
+    a leading literal column, so base hashes are independent, not a
+    re-reduction of the same 64 bits) reduced mod KR_MOD2 = 2⁵⁴−33
+    (prime) and Horner-combined with KR_BASE2 = 269 — and the window
+    key is the (wh1, wh2) struct: ~95 bits, so at 10¹¹ windows the
+    expected false dup marks drop from ~10⁹ (41-bit) to ~10⁻⁷. Every
+    Horner step of both chains stays < 2⁶³ (exact BIGINT).
 
     Returns: (doc_id, total_chars, dup_chars, dup_ppm, keep).
     """
-    from ncpi_whistler_spark.operators.text import KR_BASE, KR_MOD, tokens
+    from ncpi_whistler_spark.operators.text import (
+        KR_BASE,
+        KR_BASE2,
+        KR_MOD,
+        KR_MOD2,
+        tokens,
+    )
 
+    paired = hash_fn != "md5"
     toks = tokens(text_col)
-    tdf = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("toks"),
+    th_cols = [
         F.transform(toks, lambda t: F.pmod(_base_hash(t, hash_fn), F.lit(KR_MOD))).alias(
             "th"
-        ),
-    )
+        )
+    ]
+    if paired:
+        th_cols.append(
+            F.transform(
+                toks,
+                lambda t: F.pmod(F.xxhash64(F.lit(1), t), F.lit(KR_MOD2)),
+            ).alias("th2")
+        )
+    tdf = df.select(F.col(id_col).alias("id"), toks.alias("toks"), *th_cols)
     # two consumers only (totals + the dup_chars length join) — below the
     # repo's measured persist threshold (3+), and caching a corpus-scale
     # token explode would pin executor storage for the frame's lifetime
@@ -1264,13 +1292,20 @@ def exact_substring_coverage(
 
     n = F.size("toks")
 
-    def _window_hash(s):
-        # Horner over the window's token hashes; every step stays < 2⁵⁰
-        # (2⁴¹·263), inside exact BIGINT range in Spark and DuckDB alike
+    def _chain(s, arr, base, mod):
+        # Horner over the window's token hashes; every step stays < 2⁶³
+        # (chain 1: 2⁴¹·263 < 2⁵⁰; chain 2: 2⁵⁴·270 < 2⁶³), inside exact
+        # BIGINT range in Spark and DuckDB alike
         h = F.lit(0)
         for j in range(window):
-            h = F.pmod(h * F.lit(KR_BASE) + F.element_at("th", s + j), F.lit(KR_MOD))
+            h = F.pmod(h * F.lit(base) + F.element_at(arr, s + j), F.lit(mod))
         return h
+
+    def _window_hash(s):
+        h1 = _chain(s, "th", KR_BASE, KR_MOD)
+        if not paired:
+            return F.struct(h1.alias("h1"))
+        return F.struct(h1.alias("h1"), _chain(s, "th2", KR_BASE2, KR_MOD2).alias("h2"))
 
     wins = tdf.where(n >= window).select(
         "id",

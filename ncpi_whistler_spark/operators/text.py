@@ -164,8 +164,15 @@ def winnowing_fingerprint_rows(
     lambda per element (fine for single values, quadratic for documents).
     ``hash_fn='md5'`` → oracle-reproducible h60 k-gram hashes;
     ``hash_fn='kr'`` → the Karp-Rabin polynomial of the winnowing paper
-    (base 263 mod 2⁶¹-ish prime, KR_MOD) — also oracle-reproducible
-    (pure integer SQL) and ~an order of magnitude cheaper than md5.
+    (base 263 mod 2⁴¹−1 = KR_MOD; not prime — chosen for BIGINT Horner
+    headroom) — also oracle-reproducible (pure integer SQL) and ~an
+    order of magnitude cheaper than md5; ``hash_fn='kr2'`` → the
+    PRODUCTION KR mode: two independent Horner chains (KR_BASE/KR_MOD
+    and KR_BASE2/KR_MOD2) packed into one ~63-bit key
+    (wh1·2²² + wh2 mod 2²²), shrinking the per-window collision rate
+    from 2⁻⁴¹ to ~2⁻⁶³ — at 10¹¹ windows that is ~0.5 expected false
+    shared-fingerprint marks corpus-wide instead of ~10⁹. Use 'kr2' at
+    corpus scale; 'kr'/'md5' stay byte-identical for oracle replay.
     """
     from pyspark.sql import functions as FF
 
@@ -179,10 +186,18 @@ def winnowing_fingerprint_rows(
         "nt",
         FF.explode(FF.sequence(FF.lit(1), FF.col("n") - window + 1)).alias("i"),
     )
-    if hash_fn == "kr":
+    if hash_fn in ("kr", "kr2"):
         h = FF.lit(0).cast("long")
         for j in range(window):
             h = (h * KR_BASE + FF.ascii(FF.col("nt").substr(FF.col("i") + j, FF.lit(1)))) % KR_MOD
+        if hash_fn == "kr2":
+            h2 = FF.lit(0).cast("long")
+            for j in range(window):
+                h2 = (
+                    h2 * KR_BASE2
+                    + FF.ascii(FF.col("nt").substr(FF.col("i") + j, FF.lit(1)))
+                ) % KR_MOD2
+            h = h * FF.lit(1 << KR2_PACK) + FF.pmod(h2, FF.lit(1 << KR2_PACK))
     else:
         h = _base_hash(FF.col("nt").substr(FF.col("i"), FF.lit(window)), hash_fn)
     return (
@@ -195,10 +210,26 @@ def winnowing_fingerprint_rows(
 #: Karp-Rabin fingerprint parameters — shared by the Spark expression
 #: form, the numpy Arrow twin, and the DuckDB oracle SQL (kr_hash_sql).
 #: Base 263 (odd, ≢1 mod small powers of two, so the mod-p selection
-#: bits mix); modulus 2⁴¹-1 keeps every Horner step h*263+255 < 2⁵⁰,
-#: inside exact BIGINT range in Spark, DuckDB AND uint64 numpy alike.
+#: bits mix); modulus 2⁴¹−1 (composite; primality is irrelevant here —
+#: what matters is base⊥mod and BIGINT headroom) keeps every Horner
+#: step h*263+255 < 2⁵⁰, inside exact BIGINT range in Spark, DuckDB
+#: AND uint64 numpy alike.
 KR_BASE = 263
 KR_MOD = (1 << 41) - 1
+
+#: Second, independent Karp-Rabin chain for PRODUCTION key widening
+#: (hash_fn='kr2' here; exact_substring_coverage's xxhash64 mode): a
+#: different base AND a different modulus, so a chain-1 collision says
+#: nothing about chain 2. KR_MOD2 = 2⁵⁴ − 33 is prime (Miller-Rabin
+#: verified, deterministic bases to 37); the worst Horner step —
+#: the token-level chain h*269 + th with h, th < KR_MOD2 — is
+#: (KR_MOD2−1)·270 < 2⁶³, exact BIGINT in Spark, DuckDB and numpy
+#: uint64 alike. Paired with chain 1 the window key is 41+54 = 95 bits
+#: (two columns) or 41+22 = 63 bits (packed single BIGINT, KR2_PACK
+#: low bits of chain 2).
+KR_BASE2 = 269
+KR_MOD2 = (1 << 54) - 33
+KR2_PACK = 22
 
 
 def kr_hash_sql(text_expr: str, pos_expr: str, window: int) -> str:
@@ -314,7 +345,8 @@ def winnowing_fingerprint_rows_arrow(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Arrow twin of :func:`winnowing_fingerprint_rows` — BIT-IDENTICAL
-    rows (test-pinned in both hash modes). The expression form explodes
+    rows (test-pinned in every hash mode, including the packed
+    two-chain 'kr2' production mode). The expression form explodes
     one row per window position, materializing the normalized text once
     PER POSITION (~300× write amplification on typical docs) before
     hashing; here each doc crosses to Python exactly once and all its
@@ -353,7 +385,7 @@ def winnowing_fingerprint_rows_arrow(
                         ),
                         dtype=np.int64,
                     )
-                elif hash_fn == "kr":
+                elif hash_fn in ("kr", "kr2"):
                     win = np.lib.stride_tricks.sliding_window_view(
                         np.frombuffer(b, dtype=np.uint8), window
                     )
@@ -362,6 +394,15 @@ def winnowing_fingerprint_rows_arrow(
                     mod = np.uint64(KR_MOD)
                     for j in range(window):
                         h = (h * base + win[:, j].astype(np.uint64)) % mod
+                    if hash_fn == "kr2":
+                        h2 = np.zeros(win.shape[0], dtype=np.uint64)
+                        base2 = np.uint64(KR_BASE2)
+                        mod2 = np.uint64(KR_MOD2)
+                        for j in range(window):
+                            h2 = (h2 * base2 + win[:, j].astype(np.uint64)) % mod2
+                        h = h * np.uint64(1 << KR2_PACK) + (
+                            h2 % np.uint64(1 << KR2_PACK)
+                        )
                     hs = h.astype(np.int64)
                 else:
                     win = np.lib.stride_tricks.sliding_window_view(
