@@ -1022,8 +1022,11 @@ def q29_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.similarity import cosine_topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # ORACLE-ONLY shape: tables=1 pinned so DuckDB replays the single
+    # hyperplane family hash-for-hash. Production recall defaults are
+    # the operator's own (bits=4, tables=4 — RECALL.json ≥0.9).
     return cosine_topk_lsh(
-        emb.where(F.col("vec_id") < 16), emb, k=5, bits=4, dim=64
+        emb.where(F.col("vec_id") < 16), emb, k=5, bits=4, dim=64, tables=1
     )
 
 
@@ -1436,7 +1439,9 @@ def q40_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=4, dim=64)
+    # ORACLE-ONLY shape: tables=1 pinned for DuckDB bucket parity; the
+    # operator's production default is tables=16 (RECALL.json ≥0.9)
+    return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=4, dim=64, tables=1)
 
 
 @query(
@@ -2145,6 +2150,9 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # ORACLE-ONLY shape: nlist=8/nprobe=4 pinned so the oracle replays
+    # training+probing exactly; production defaults are nlist=32 /
+    # nprobe=24 (RECALL.json ≥0.9)
     return ivf_topk(
         emb.where(F.col("vec_id") < 16),
         emb,
@@ -3615,8 +3623,11 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # ORACLE-ONLY shape: nlist=8/nprobe=1 pinned so DuckDB replays the
+    # quantizer + hard assignment; production defaults are nlist=32 /
+    # nprobe=8 soft assignment (RECALL.json pair recall 0.998)
     return semantic_dedup(
-        emb, threshold=0.4, nlist=8, iters=1, assign_mode="arrow"
+        emb, threshold=0.4, nlist=8, iters=1, assign_mode="arrow", nprobe=1
     )
 
 
@@ -4371,6 +4382,98 @@ def q103_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return histogram_quantile_brackets(
         sk, list(_Q103["qs"]), _Q103["lo"], _Q103["hi"], _Q103["bins"]
+    )
+
+
+#: Frozen BPE merge table for q104 — constants, not corpus-trained, so
+#: the oracle can replay application without replaying training (q100
+#: verifies training itself, rows-only + pure-python differential).
+#: Includes an EOW merge ('the','</w>') to exercise the marker path.
+_Q104_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("a", "n"), ("an", "d"), ("i", "n"), ("e", "r"), ("o", "n"),
+]
+
+
+def _q104_oracle() -> str:
+    """DuckDB replay of greedy left-to-right non-overlapping BPE merge
+    application via delimiter-encoded string replace: each word becomes
+    ␟␟s1␟␟s2␟␟…␟␟ (␟ = unit separator, two per boundary) and merge
+    (l, r)→lr is replace('␟l␟␟r␟' → '␟lr␟') — the match consumes one ␟
+    of each outer boundary, so adjacent matches never share consumed
+    text and replace()'s continue-after-replacement scan IS the BPE
+    greedy rule (verified bit-equal to the Spark fold on the
+    'aaaa'/'aaaaa' overlap edge cases in test_llm_ops)."""
+    d = "\x1f"
+    dd = d + d
+    s = f"'{dd}' || regexp_replace(w, '(.)', '\\1{dd}', 'g') || '</w>{dd}'"
+    for l, r in _Q104_MERGES:
+        s = f"replace({s}, '{d}{l}{dd}{r}{d}', '{d}{l}{r}{d}')"
+    return f"""WITH {_TOKS_CTE},
+    flat AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    vocab AS (SELECT DISTINCT w FROM flat),
+    seg AS (
+      SELECT w, list_filter(string_split({s}, '{dd}'), x -> x != '') AS pieces
+      FROM vocab
+    ),
+    j AS (SELECT doc_id, flat.w, pieces FROM flat JOIN seg USING (w)),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(len(pieces)) AS n_pieces
+      FROM j GROUP BY 1
+    ),
+    dp AS (
+      SELECT doc_id, COUNT(DISTINCT piece) AS distinct_pieces
+      FROM (SELECT doc_id, unnest(pieces) AS piece FROM j) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(COALESCE(distinct_pieces, 0) AS BIGINT) AS distinct_pieces
+    FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN dp USING (doc_id)"""
+
+
+@query("q104_bpe_apply", _q104_oracle())
+def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a FROZEN BPE merge list to the corpus — the deterministic,
+    SQL-replayable half of tokenization (q100 covers training). This is
+    the tokenize-at-scale shape 100 TB jobs actually run: merges fold
+    over the VOCABULARY-scale word table (bpe_segment_words, chunked
+    expr with localCheckpoint lineage cuts), then one broadcast join
+    carries the (word → subwords) map back to the corpus token stream —
+    the corpus is never re-segmented per document. Output per doc:
+    token count, subword-piece count, distinct pieces."""
+    from ncpi_whistler_spark.operators.text import (
+        bpe_segment_words,
+        bpe_word_table,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_table(docs)
+    seg = bpe_segment_words(words, [(l, r, 0) for l, r in _Q104_MERGES])
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    j = tok.join(F.broadcast(seg.select("w", "subwords")), on="w")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.size("subwords")).alias("n_pieces"),
+    )
+    dp = (
+        j.select("doc_id", F.explode("subwords").alias("piece"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("piece").alias("distinct_pieces"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, on="doc_id", how="left")
+        .join(dp, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce("distinct_pieces", F.lit(0)).cast("long").alias(
+                "distinct_pieces"
+            ),
+        )
     )
 
 

@@ -78,7 +78,10 @@ def _q40_scaled_bits(spark, kdir: str, k: int):
 
     emb = spark.read.parquet(os.path.join(kdir, "embeddings.parquet"))
     bits = 4 + max(0, round(math.log2(k)))
-    return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=bits)
+    # tables=1 pinned: this sweep measures the bits-growth knob alone
+    # (comparable with the recorded SCALEBENCH jsons); production
+    # default is tables=16
+    return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=bits, tables=1)
 
 
 def _q55_trailing_bucketed(spark, kdir: str, k: int):
@@ -258,7 +261,10 @@ def _semantic_dedup_scaled(spark, kdir: str, k: int):
     from ncpi_whistler_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(os.path.join(kdir, "embeddings.parquet"))
-    return semantic_dedup(emb, threshold=0.4, nlist=8 * k, iters=1)
+    # nprobe=1 pinned: this sweep measures the occupancy-constant
+    # (nlist ∝ n) knob alone, comparable with recorded sweeps;
+    # production default is nprobe=8 soft assignment
+    return semantic_dedup(emb, threshold=0.4, nlist=8 * k, iters=1, nprobe=1)
 
 
 def _pack_sequences_scaled(spark, kdir: str, k: int):
@@ -339,8 +345,22 @@ def _dsir_xxhash(spark, kdir: str, k: int):
     )
 
 
+def _bm25_hot_term(spark, kdir: str, k: int):
+    """q97's adversarial skew shape: the query includes the INJECTED hot
+    token (present in ~30% of ALL docs under --skew), so the term-filtered
+    explode is as large as it can get — 0.3n rows shuffling to one term's
+    doc-frequency aggregate plus the per-doc tf groupBy. The plan must
+    stay linear (isin() pushdown before the shuffle, TakeOrdered top-k);
+    a superlinear exponent here means the hot term serialized a stage."""
+    from ncpi_whistler_spark.operators.selection import bm25_topk
+
+    docs = spark.read.parquet(os.path.join(kdir, "documents.parquet"))
+    return bm25_topk(docs, ["zqhot1", "data"], k=20)
+
+
 EXTRA_QUERIES = {
     "q40x_neardup_scaled_bits": _q40_scaled_bits,
+    "q97h_bm25_hot_term": _bm25_hot_term,
     "q91x_substring_xxhash": _substring_xxhash,
     "q96x_dsir_xxhash": _dsir_xxhash,
     "q55x_trailing_bucketed": _q55_trailing_bucketed,
