@@ -81,11 +81,47 @@ def _lp_micronats(num: Column, den: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
+def bigram_lm_model(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the add-one-smoothed bigram LM — the FREEZABLE half of the
+    CCNet recipe. Returns the (w1, w2, lp_u) model table where
+    lp_u = floor(1e6·ln((c2+1)/(c1+V))), exactly the table
+    :func:`bigram_lm_scores` trains internally when ``model=None``.
+
+    Production shape: train this ONCE on a calibration corpus (CCNet
+    trains KenLM on Wikipedia, not on the corpus being scored), persist
+    it, and pass it to ``bigram_lm_scores(model=...)`` — then scoring a
+    100 TB corpus never aggregates that corpus's bigram vocabulary; the
+    only corpus-wide work is the per-document feature count. The model
+    is vocabulary-sized: it broadcasts when small and hash-joins on
+    (w1, w2) otherwise (AQE decides — the q96 broadcast-model
+    precedent)."""
+    tdf = df.select(F.lit(0).alias("id"), tokens(text_col).alias("toks"))
+    tok = tdf.select(F.explode("toks").alias("tok"))
+    bg = _bigram_pairs(tdf).select("w1", "w2")
+    c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        c2.join(c1.withColumnRenamed("tok", "w1"), on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            _lp_micronats(F.col("c2") + 1, F.col("c1") + F.col("v")).alias("lp_u"),
+        )
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     cutoffs_u: tuple[int, int] = (3_390_000, 3_420_000),
+    model: DataFrame | None = None,
+    oov_lp_u: int = -20_000_000,
 ) -> DataFrame:
     """Per-document cross-entropy under an add-one-smoothed bigram LM
     trained on the corpus itself, with CCNet-style head/middle/tail
@@ -107,30 +143,54 @@ def bigram_lm_scores(
     broadcast single-row crossJoin (no driver collect). Docs with <2
     tokens get ce_u = 0 / bucket 'head' (nothing to score).
 
+    ``model`` — the PRODUCTION path (CCNet's actual recipe: score
+    against a FIXED pretrained LM, never the corpus being scored): pass
+    a frozen (w1, w2, lp_u) table from :func:`bigram_lm_model` and
+    scoring runs with ZERO corpus-wide model aggregation — the corpus
+    is touched only by the per-doc bigram counts, and the model joins
+    broadcast-or-hash on (w1, w2). Bigrams absent from the frozen model
+    score ``oov_lp_u`` (default −20 nats, a deep closed-vocabulary
+    penalty) and still count in n_bigrams — so OOV-heavy docs land in
+    the tail, they don't silently shrink their denominator. When the
+    frozen model equals the corpus-trained one, output is IDENTICAL to
+    ``model=None`` (test-pinned; no bigram is OOV by construction).
+
     Returns: (doc_id, n_bigrams, ce_u, bucket).
     """
     tdf = _toks_df(df, text_col, id_col)
-    tok = tdf.select("id", F.explode("toks").alias("tok"))
     bg = _bigram_pairs(tdf)
 
-    c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-
-    # per-model-key integer log-prob: ln((c2+1)/(c1+V)) in micro-nats
-    lp = (
-        c2.join(c1.withColumnRenamed("tok", "w1"), on="w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "w1",
-            "w2",
-            _lp_micronats(F.col("c2") + 1, F.col("c1") + F.col("v")).alias("lp_u"),
+    if model is None:
+        # self-trained model (the oracle-replayable registry shape):
+        # per-model-key integer log-prob ln((c2+1)/(c1+V)) in micro-nats
+        tok = tdf.select("id", F.explode("toks").alias("tok"))
+        c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+        vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+        c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        lp = (
+            c2.join(c1.withColumnRenamed("tok", "w1"), on="w1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "w1",
+                "w2",
+                _lp_micronats(F.col("c2") + 1, F.col("c1") + F.col("v")).alias(
+                    "lp_u"
+                ),
+            )
         )
-    )
+        how = "inner"  # self-trained ⇒ every scored bigram is in-model
+    else:
+        lp = model.select("w1", "w2", F.col("lp_u").cast("long").alias("lp_u"))
+        how = "left"  # frozen model ⇒ unseen bigrams take the OOV score
 
     bgc = bg.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    joined = bgc.join(lp, on=["w1", "w2"], how=how)
+    if model is not None:
+        joined = joined.withColumn(
+            "lp_u", F.coalesce("lp_u", F.lit(int(oov_lp_u)))
+        )
     scored = (
-        bgc.join(lp, on=["w1", "w2"])
+        joined
         .groupBy("id")
         .agg(
             F.sum("n").alias("n_bigrams"),

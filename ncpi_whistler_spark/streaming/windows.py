@@ -173,6 +173,30 @@ def view_purchase_interval_join_stream(
     max_lag: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
+    """STREAM-STREAM interval join over the fixture events stream — see
+    :func:`view_purchase_interval_join` for the join semantics (this
+    wrapper only supplies the file source).
+
+    Append-mode semantics note: with the fixture's single parquet file
+    the availableNow drain is one micro-batch, so the final watermark
+    never drops a fixture row and the drained rows equal the batch
+    join row-for-row (the q85 precedent, join-shaped). The multi-batch
+    failure mode — late rows arriving after the watermark has advanced —
+    is exercised separately: test_streaming's watermark test drives
+    :func:`view_purchase_interval_join` with a 2-file out-of-order
+    stream (maxFilesPerTrigger=1) and pins both the on-time results and
+    the late-row drops.
+    """
+    return view_purchase_interval_join(
+        read_events_stream(spark, sf_dir), max_lag, watermark
+    )
+
+
+def view_purchase_interval_join(
+    stream: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
     """STREAM-STREAM interval join: each purchase joined to every view by
     the same user within ``(view_ts, view_ts + max_lag]`` — the
     attribution-join shape, as a true two-sided stateful stream join
@@ -180,20 +204,15 @@ def view_purchase_interval_join_stream(
     watermark + interval condition, so state is O(events within the lag
     window), not O(stream)).
 
-    Both sides are filters of ONE file stream (stream self-joins are
-    supported); in production each side swaps for its own Kafka topic
-    via read_events_stream_config without touching the join. The lag is
-    emitted in integer microseconds (unix_micros) so the drained result
-    value-hashes against the batch interval-join oracle exactly.
-
-    Append-mode semantics note: with the fixture's single parquet file
-    the availableNow drain is one micro-batch, so the final watermark
-    never drops a fixture row and the drained rows equal the batch
-    join row-for-row (the q85 precedent, join-shaped). On a live
-    multi-batch stream, rows later than the watermark are dropped —
-    that is the documented streaming contract, not a parity bug.
+    Both sides are filters of ONE events-schema stream (stream
+    self-joins are supported); in production each side swaps for its own
+    Kafka topic via read_events_stream_config without touching the join.
+    The lag is emitted in integer microseconds (unix_micros) so the
+    drained result value-hashes against the batch interval-join oracle
+    exactly. Input rows older than the current watermark are dropped by
+    the engine (the documented streaming contract — pinned by the
+    multi-batch watermark test, not a parity bug).
     """
-    stream = read_events_stream(spark, sf_dir)
     views = (
         stream.where(F.col("event_type") == "view")
         .select(

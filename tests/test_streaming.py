@@ -384,6 +384,90 @@ def test_enriched_stream_matches_batch(spark):
     assert got == want
 
 
+def test_stream_interval_join_multibatch_watermark(spark, tmp_path):
+    """The §2.10 semantics q99's single-batch drain can't exercise: the
+    interval join under REAL late data, across two explicit
+    micro-batches with out-of-order events.
+
+    Batch 1 carries an on-time view/purchase pair plus far-future
+    events on BOTH branches (the global watermark is the MIN over the
+    plan's watermark nodes, and each branch tracks its own max event
+    time AFTER its event_type filter — a far-future view alone leaves
+    the purchase branch's watermark at epoch and nothing ever drops);
+    batch 2 carries (a) a late view/purchase pair whose event times sit
+    BEHIND the advanced watermark — the engine must drop those input
+    rows, so their join never appears — and (b) a fresh on-time pair
+    that must join. Pins:
+
+    1. drained rows == the batch interval-join oracle restricted to the
+       watermark window (i.e. computed over the non-late rows only),
+    2. the late pair — present in the unrestricted batch oracle — is
+       absent, and the engine's own numRowsDroppedByWatermark metric
+       counts the late rows."""
+    from ncpi_whistler_spark.streaming.windows import view_purchase_interval_join
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1: pair (1 -> 2) 10 min apart; events 9/10 at +6h (distinct
+    # users, same timestamp so they cannot join each other under the
+    # strict p.ts > v.ts condition) push BOTH branches' watermarks
+    # (2h delay) to 04:00 for the next batch
+    _drop_events(
+        spark,
+        src,
+        [
+            (1, 1, "view", 1.0, "2024-01-01 00:00:00"),
+            (2, 1, "purchase", 1.0, "2024-01-01 00:10:00"),
+            (9, 9, "view", 1.0, "2024-01-01 06:00:00"),
+            (10, 8, "purchase", 1.0, "2024-01-01 06:00:00"),
+        ],
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double, ts timestamp"
+    ).parquet(str(src))
+    joined = view_purchase_interval_join(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij_wm_test")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: pair (3 -> 4) is LATE (00:05/00:20 < the 04:00
+        # watermark) -> dropped on input; pair (5 -> 6) is on-time
+        _drop_events(
+            spark,
+            src,
+            [
+                (3, 2, "view", 1.0, "2024-01-01 00:05:00"),
+                (4, 2, "purchase", 1.0, "2024-01-01 00:20:00"),
+                (5, 3, "view", 1.0, "2024-01-01 05:00:00"),
+                (6, 3, "purchase", 1.0, "2024-01-01 05:30:00"),
+            ],
+        )
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    got = {
+        (r["view_id"], r["purchase_id"], r["lag_us"])
+        for r in spark.table("sij_wm_test").collect()
+    }
+    # on-time results == batch oracle restricted to the watermark window
+    assert got == {(1, 2, 600_000_000), (5, 6, 1_800_000_000)}
+    # the late pair (3, 4) — which the UNRESTRICTED batch join contains —
+    # must be absent, and the engine must report the dropped inputs
+    assert not any(v == 3 or p == 4 for (v, p, _) in got)
+    assert dropped >= 2, f"expected both late rows dropped, metric={dropped}"
+
+
 def test_stream_interval_join_matches_batch(spark):
     """Stream-stream interval join (two-sided stateful) drains to exactly
     the batch interval-join pairs, lag included; and the plan really is

@@ -180,6 +180,57 @@ def main() -> int:
         report["pairs"][f"q89x nlist={nlist} nprobe={nprobe} (co-listed)"] = round(r, 4)
         print(f"[recall] q89x nlist={nlist} nprobe={nprobe}: {r:.4f}", flush=True)
 
+    # incremental ingest dedup (q93): CANDIDATE recall of the write-once
+    # minhash band index under the production xxhash64 sketch — the
+    # fraction of TRUE cross (batch × corpus) near-dup pairs (exact
+    # 3-gram Jaccard ≥ 0.8, the q93 threshold) that collide in at least
+    # one band. Verification is exact Jaccard, so end-to-end dedup
+    # recall == candidate recall. Swept over bands (rows-per-band is the
+    # s-curve knob) and batch sizes (recall is per-pair, so it should be
+    # flat in batch fraction — measured to confirm).
+    from ncpi_whistler_spark.operators.dedup import (
+        minhash_band_index,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(kdir, "documents.parquet")).persist()
+    truth_all = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    report["ingest"] = {}
+    for batch_pct, bands in ((2, 16), (10, 8), (10, 16), (10, 32), (30, 16)):
+        is_batch = F.pmod(F.xxhash64("doc_id"), F.lit(100)) < batch_pct
+        batch = docs.where(is_batch)
+        corpus = docs.where(~is_batch)
+        batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        cross_truth = {
+            (a, b)
+            for a, b in truth_all
+            if (a in batch_ids) != (b in batch_ids)
+        }
+        if not cross_truth:
+            print(f"[recall] q93 batch={batch_pct}%: no cross pairs, skipped",
+                  flush=True)
+            continue
+        bi = minhash_band_index(batch, num_hashes=64, bands=bands)
+        ci = minhash_band_index(corpus, num_hashes=64, bands=bands)
+        cand = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in bi.select("band", "bh", F.col("id").alias("id_a"))
+            .join(ci.select("band", "bh", F.col("id").alias("id_b")), on=["band", "bh"])
+            .select("id_a", "id_b")
+            .distinct()
+            .collect()
+        }
+        r = len(cand & cross_truth) / len(cross_truth)
+        key = f"q93 batch={batch_pct}% bands={bands} (of {len(cross_truth)} pairs)"
+        report["ingest"][key] = round(r, 4)
+        print(f"[recall] {key}: {r:.4f}", flush=True)
+    docs.unpersist()
+
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(f"[recall] wrote {args.out}", flush=True)
