@@ -4439,9 +4439,14 @@ def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenize-at-scale shape 100 TB jobs actually run: merges fold
     over the VOCABULARY-scale word table (bpe_segment_words, chunked
     expr with localCheckpoint lineage cuts), then one broadcast join
-    carries the (word → subwords) map back to the corpus token stream —
-    the corpus is never re-segmented per document. Output per doc:
-    token count, subword-piece count, distinct pieces."""
+    carries the (word → subwords) map back to the corpus — the corpus
+    is never re-segmented per document. The join runs at (doc, word)
+    COUNT grain, not the raw token stream: one corpus pass aggregates
+    (doc_id, w, c), the subwords map joins that doc-vocabulary-sized
+    frame once, and both rollups (counts weighted by c; per-doc
+    distinct pieces) read the joined word-grain frame — the token
+    stream is never shuffled or joined directly. Output per doc: token
+    count, subword-piece count, distinct pieces."""
     from ncpi_whistler_spark.operators.text import (
         bpe_segment_words,
         bpe_word_table,
@@ -4451,11 +4456,15 @@ def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = bpe_word_table(docs)
     seg = bpe_segment_words(words, [(l, r, 0) for l, r in _Q104_MERGES])
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
-    j = tok.join(F.broadcast(seg.select("w", "subwords")), on="w")
+    tokc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = tokc.join(F.broadcast(seg.select("w", "subwords")), on="w")
     agg = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.size("subwords")).alias("n_pieces"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.size("subwords")).alias("n_pieces"),
     )
     dp = (
         j.select("doc_id", F.explode("subwords").alias("piece"))

@@ -257,3 +257,20 @@ def test_bm25_doc_length_is_map_side(spark):
     # full token stream is never shuffled (would add explode-sized
     # exchanges well beyond this bound).
     assert _shuffles(df) <= 7
+
+
+def test_q104_subword_map_joins_broadcast_at_word_grain(spark):
+    """BPE application must carry the (word -> subwords) map back to the
+    corpus via a BROADCAST join at (doc, word)-count grain: the raw
+    token stream is never the probe side of a shuffle join (a
+    SortMergeJoin here would shuffle the whole corpus token stream on
+    the word key at 100 TB)."""
+    df = REGISTRY["q104_bpe_apply"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the word-key join must be broadcast…
+    assert re.search(r"BroadcastHashJoin \[w#\d+\], \[w#\d+\]", plan), plan
+    # …and must never appear as a shuffle join (the doc_id-grain outer
+    # rollup joins may legitimately sort-merge; the word key must not)
+    assert not re.search(r"SortMergeJoin \[w#\d+\]", plan), (
+        "subword map regressed to a shuffle join on the word key"
+    )
