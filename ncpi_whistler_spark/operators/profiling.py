@@ -245,15 +245,16 @@ def cms_estimate(
     Each input row gets its own output row — duplicate query rows stay
     duplicated (the grouping key is a per-row probe id, not the row's
     values). ``queries`` must not already contain a column named
-    ``row``, ``col``, or ``__probe_id`` (those names are reserved for
-    the probe plumbing; a collision raises rather than silently
-    shadowing).
+    ``row``, ``col``, ``counter``, or ``__probe_id`` (those names are
+    reserved for the probe plumbing and the sketch join; a collision
+    raises rather than silently shadowing or failing with an ambiguous
+    reference).
 
     Output: queries' columns + (cms_est bigint).
     """
     from ncpi_whistler_spark.operators.dedup import h60
 
-    reserved = {"row", "col", "__probe_id"} & set(queries.columns)
+    reserved = {"row", "col", "counter", "__probe_id"} & set(queries.columns)
     if reserved:
         raise ValueError(
             f"cms_estimate: queries frame uses reserved column name(s) "

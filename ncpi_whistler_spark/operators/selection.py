@@ -161,23 +161,10 @@ def bigram_lm_scores(
     bg = _bigram_pairs(tdf)
 
     if model is None:
-        # self-trained model (the oracle-replayable registry shape):
-        # per-model-key integer log-prob ln((c2+1)/(c1+V)) in micro-nats
-        tok = tdf.select("id", F.explode("toks").alias("tok"))
-        c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
-        vocab = c1.agg(F.count(F.lit(1)).alias("v"))
-        c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-        lp = (
-            c2.join(c1.withColumnRenamed("tok", "w1"), on="w1")
-            .crossJoin(F.broadcast(vocab))
-            .select(
-                "w1",
-                "w2",
-                _lp_micronats(F.col("c2") + 1, F.col("c1") + F.col("v")).alias(
-                    "lp_u"
-                ),
-            )
-        )
+        # self-trained model (the oracle-replayable registry shape) —
+        # the SAME construction as bigram_lm_model (one definition, so a
+        # future smoothing tweak cannot silently diverge the two paths)
+        lp = bigram_lm_model(df, text_col)
         how = "inner"  # self-trained ⇒ every scored bigram is in-model
     else:
         lp = model.select("w1", "w2", F.col("lp_u").cast("long").alias("lp_u"))

@@ -170,9 +170,12 @@ def winnowing_fingerprint_rows(
     PRODUCTION KR mode: two independent Horner chains (KR_BASE/KR_MOD
     and KR_BASE2/KR_MOD2) packed into one ~63-bit key
     (wh1·2²² + wh2 mod 2²²), shrinking the per-window collision rate
-    from 2⁻⁴¹ to ~2⁻⁶³ — at 10¹¹ windows that is ~0.5 expected false
-    shared-fingerprint marks corpus-wide instead of ~10⁹. Use 'kr2' at
-    corpus scale; 'kr'/'md5' stay byte-identical for oracle replay.
+    from 2⁻⁴¹ to ~2⁻⁶³ — at 10¹¹ windows that is ~5·10² expected false
+    shared-fingerprint marks corpus-wide (m²/2 / 2⁶³) instead of ~10⁹;
+    negligible against the n_shared/keep thresholds. Where even that
+    matters, exact_substring_coverage's paired-struct form carries the
+    full 95 bits (~10⁻⁷ expected marks). Use 'kr2' at corpus scale;
+    'kr'/'md5' stay byte-identical for oracle replay.
     """
     from pyspark.sql import functions as FF
 

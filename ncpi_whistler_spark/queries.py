@@ -1440,7 +1440,7 @@ def q40_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, sf_dir, "embeddings")
     # ORACLE-ONLY shape: tables=1 pinned for DuckDB bucket parity; the
-    # operator's production default is tables=16 (RECALL.json ≥0.9)
+    # operator's production default is tables=24 (RECALL.json ≥0.9)
     return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=4, dim=64, tables=1)
 
 
@@ -4441,26 +4441,37 @@ def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr with localCheckpoint lineage cuts), then one broadcast join
     carries the (word → subwords) map back to the corpus — the corpus
     is never re-segmented per document. The join runs at (doc, word)
-    COUNT grain, not the raw token stream: one corpus pass aggregates
-    (doc_id, w, c), the subwords map joins that doc-vocabulary-sized
-    frame once, and both rollups (counts weighted by c; per-doc
-    distinct pieces) read the joined word-grain frame — the token
-    stream is never shuffled or joined directly. Output per doc: token
-    count, subword-piece count, distinct pieces."""
+    COUNT grain, not the raw token stream: ONE corpus pass aggregates
+    (doc_id, w, c) — persisted so it feeds both the vocabulary word
+    table (rolled up from it, no second corpus scan) and the join probe
+    side — and both rollups (counts weighted by c; per-doc distinct
+    pieces) read the joined word-grain frame. The token stream is never
+    shuffled or joined directly. Output per doc: token count,
+    subword-piece count, distinct pieces."""
     from ncpi_whistler_spark.operators.text import (
+        BPE_EOW,
         bpe_segment_words,
-        bpe_word_table,
         tokens,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    words = bpe_word_table(docs)
-    seg = bpe_segment_words(words, [(l, r, 0) for l, r in _Q104_MERGES])
+    # ONE corpus-scale pass: the (doc_id, w, c) frame is both the join
+    # probe side AND the source of the vocabulary word table (persisted:
+    # the seg build materializes it eagerly via its localCheckpoints,
+    # and the join probe reuses the cache — without it the corpus
+    # explode would run once per consumer; doc-vocabulary-sized, within
+    # the repo's persist policy)
     tokc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
+    chars = F.filter(F.split("w", ""), lambda x: x != "")
+    words = tokc.groupBy("w").agg(F.sum("c").alias("n")).select(
+        "w", "n", F.concat(chars, F.array(F.lit(BPE_EOW))).alias("syms")
+    )
+    seg = bpe_segment_words(words, [(l, r, 0) for l, r in _Q104_MERGES])
     j = tokc.join(F.broadcast(seg.select("w", "subwords")), on="w")
     agg = j.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),

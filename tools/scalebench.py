@@ -80,7 +80,7 @@ def _q40_scaled_bits(spark, kdir: str, k: int):
     bits = 4 + max(0, round(math.log2(k)))
     # tables=1 pinned: this sweep measures the bits-growth knob alone
     # (comparable with the recorded SCALEBENCH jsons); production
-    # default is tables=16
+    # default is tables=24
     return embedding_dup_pairs(emb, threshold=0.4, bucket_bits=bits, tables=1)
 
 
