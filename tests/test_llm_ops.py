@@ -1867,6 +1867,73 @@ def test_histogram_bracket_bounds_are_true_bin_edges(spark):
     assert (rows[300_000]["bracket_lo_cents"], rows[300_000]["bracket_hi_cents"]) == (0, 4)
 
 
+def test_histogram_bracket_containment_randomized(spark):
+    """Containment generalized past the hand case: across seeded-random
+    (lo, hi, bins, values) configs — including bins that don't divide
+    span, negative lo, and single-value corpora — every in-range value's
+    quantile sits inside its reported bracket."""
+    import random
+
+    from ncpi_whistler_spark.operators.profiling import (
+        histogram_quantile_brackets,
+        histogram_sketch,
+    )
+
+    rng = random.Random(42)
+    qs = [0, 125_000, 333_333, 500_000, 777_777, 1_000_000]
+    for _ in range(6):
+        lo = rng.randint(-500, 500)
+        hi = lo + rng.randint(1, 3000)
+        bins = rng.choice([3, 7, 16, 129])
+        n = rng.randint(1, 400)
+        vals = sorted(rng.randint(lo, hi) for _ in range(n))
+        sk = histogram_sketch(
+            spark.createDataFrame([(v,) for v in vals], "c long"), "c", lo, hi, bins
+        )
+        rows = {
+            r["q_ppm"]: r
+            for r in histogram_quantile_brackets(sk, qs, lo, hi, bins).collect()
+        }
+        for q in qs:
+            exact = vals[((len(vals) - 1) * q) // 1_000_000]
+            r = rows[q]
+            assert r["bracket_lo_cents"] <= exact < r["bracket_hi_cents"], (
+                lo, hi, bins, n, q, exact, dict(r.asDict()),
+            )
+            assert r["total_n"] == len(vals)
+
+
+def test_winnowing_kr2_twin_randomized_texts(spark):
+    """kr2 twin robustness beyond the fixture corpus: seeded-random texts
+    stressing the edge shapes — length exactly == window after
+    normalization, runs of one character (maximal chain overlap),
+    punctuation stripped to empty, and mixed-case/digit text — must
+    produce bit-identical (id, fp) rows in the expression and Arrow
+    forms."""
+    import random
+
+    from ncpi_whistler_spark.operators.text import (
+        winnowing_fingerprint_rows,
+        winnowing_fingerprint_rows_arrow,
+    )
+
+    rng = random.Random(7)
+    alpha = "ab01 "
+    rows = [
+        (1, "a" * 8),                      # len == window, single char
+        (2, "!!! ??? ..."),                # normalizes to empty
+        (3, "A" * 7),                      # one short of a window
+        (4, ("ab" * 40)),                  # periodic text, many equal fps
+    ] + [
+        (10 + i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 120))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = winnowing_fingerprint_rows(df, window=8, keep_every=2, hash_fn="kr2")
+    b = winnowing_fingerprint_rows_arrow(df, window=8, keep_every=2, hash_fn="kr2")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_corpus_mix_validation_and_missing_groups(spark):
     """targets must sum to 1e6 ppm; a target group absent from the
     corpus makes the mix unachievable (every rate 0, reported row with
