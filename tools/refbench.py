@@ -39,6 +39,16 @@ def _import_reference():
         for a in attrs:
             setattr(m, a, print if a == "print" else types.SimpleNamespace())
         sys.modules[name] = m
+    # wstlr/bundle.py needs rich.progress.track; stub it as the identity
+    # iterator (REAL rich adds per-item progress overhead, so the stub
+    # favors the reference side of the bundle head-to-head)
+    try:
+        from rich.progress import track  # noqa: F401
+    except ImportError:
+        prog = types.ModuleType("rich.progress")
+        prog.track = lambda it, *a, **k: it
+        sys.modules["rich.progress"] = prog
+        sys.modules["rich"].progress = prog
     from wstlr.extractor import BuildAggregators, GroupBy, ObjectifyCSV
 
     return BuildAggregators, GroupBy, ObjectifyCSV
@@ -139,6 +149,84 @@ def main() -> int:
         eng_cm_times.append(time.perf_counter() - t0)
     eng_cm_sec = min(eng_cm_times)
 
+    # --- third head-to-head: whistle-output bundle JSON ingest ---
+    # (wstlr/bundle.py ParseBundle — json.load + per-resource consumer
+    # loop, serial over files — vs sources/json_source.read_bundle_json,
+    # a JVM-side multiLine JSON read parallel ACROSS files + explode.
+    # Resource-for-resource parity is proven by tests/test_differential;
+    # here both sides additionally produce the same per-resourceType
+    # counts, asserted below. rich's per-item progress iterator is
+    # stubbed to identity, favoring the reference.)
+    n_files = 8
+    n_bundle_resources = max(8000, rows // 2)
+    per_file = n_bundle_resources // n_files
+    bundle_dir = os.path.join(tmp, "bundles")
+    os.makedirs(bundle_dir)
+    for f_i in range(n_files):
+        patients = [
+            {
+                "resourceType": "Patient",
+                "id": f"p{f_i}-{i}",
+                "gender": "female" if i % 2 else "male",
+                "identifier": [{"system": "urn:study", "value": f"P{f_i}-{i}"}],
+            }
+            for i in range(per_file // 4)
+        ]
+        observations = [
+            {
+                "resourceType": "Observation",
+                "id": f"o{f_i}-{i}",
+                "status": "final",
+                "code": {"coding": [{"system": "urn:v", "code": f"v{i % 37}"}]},
+                "valueQuantity": {"value": float(i % 400), "unit": "mg"},
+                "subject": {"reference": f"Patient/p{f_i}-{i % (per_file // 4)}"},
+            }
+            for i in range(per_file - per_file // 4)
+        ]
+        with open(os.path.join(bundle_dir, f"bundle_{f_i}.json"), "w") as fh:
+            json.dump({"patient": patients, "observation": observations}, fh)
+
+    from wstlr.bundle import ParseBundle
+
+    bundle_files = sorted(
+        os.path.join(bundle_dir, f) for f in os.listdir(bundle_dir)
+    )
+    ref_counts: dict = {}
+    ref_bp_times = []
+    for _ in range(reps):
+        counts: dict = {}
+
+        def consumer(group, resource):
+            rt = resource.get("resourceType", "")
+            counts[rt] = counts.get(rt, 0) + 1
+
+        t0 = time.perf_counter()
+        for fp in bundle_files:
+            with open(fp) as fh:
+                ParseBundle(fh, [consumer])
+        ref_bp_times.append(time.perf_counter() - t0)
+        ref_counts = counts
+    ref_bp_sec = min(ref_bp_times)
+
+    from pyspark.sql import functions as F
+
+    from ncpi_whistler_spark.sources.json_source import read_bundle_json
+
+    eng_counts: dict = {}
+    eng_bp_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        eng_counts = {
+            r["resourceType"]: r["n"]
+            for r in read_bundle_json(spark, bundle_dir)
+            .groupBy("resourceType")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        eng_bp_times.append(time.perf_counter() - t0)
+    eng_bp_sec = min(eng_bp_times)
+    assert eng_counts == ref_counts, (eng_counts, ref_counts)
+
     print(
         json.dumps(
             {
@@ -153,6 +241,13 @@ def main() -> int:
                     "reference_sec": round(ref_cm_sec, 3),
                     "engine_sec": round(eng_cm_sec, 3),
                     "speedup": round(ref_cm_sec / eng_cm_sec, 2),
+                },
+                "bundle_parse": {
+                    "resources": n_bundle_resources,
+                    "files": n_files,
+                    "reference_sec": round(ref_bp_sec, 3),
+                    "engine_sec": round(eng_bp_sec, 3),
+                    "speedup": round(ref_bp_sec / eng_bp_sec, 2),
                 },
             }
         )
