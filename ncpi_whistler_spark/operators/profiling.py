@@ -237,61 +237,50 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates from a cms_sketch: est(v) = min over
     rows of counter[row, h_row(v) % width] (the classic CM upper bound —
-    never an underestimate). The probe re-derives each query value's
-    (row, col) cells map-side and joins the ≤ depth·width-row sketch
-    broadcast, so estimating any number of keys never rescans the
-    corpus. Missing cells count 0 (value never touched that counter).
+    never an underestimate). Each hash row becomes ONE broadcast left
+    join of the query frame against that row's ≤ ``width`` sketch cells
+    (probe column derived map-side), and the min folds as a ``least``
+    expression — no explode, no groupBy, NO shuffle at all, so the
+    estimate plan is a pure map-side chain of ``depth`` tiny broadcast
+    joins. Missing cells count 0 (value never touched that counter).
 
-    Each input row gets its own output row — duplicate query rows stay
-    duplicated (the grouping key is a per-row probe id, not the row's
-    values). ``queries`` must not already contain a column named
-    ``row``, ``col``, ``counter``, or ``__probe_id`` (those names are
-    reserved for the probe plumbing and the sketch join; a collision
-    raises rather than silently shadowing or failing with an ambiguous
-    reference).
+    Each input row keeps its own output row — duplicate query rows stay
+    duplicated, and because there is no row-identity bookkeeping (no
+    generated ids, no aggregation) the result is deterministic under
+    partial-stage retries. ``queries`` must not already contain the
+    output column ``cms_est`` or any ``__cms_``-prefixed column (the
+    join plumbing); a collision raises rather than silently producing
+    an ambiguous schema.
 
     Output: queries' columns + (cms_est bigint).
     """
     from ncpi_whistler_spark.operators.dedup import h60
 
-    reserved = {"row", "col", "counter", "__probe_id"} & set(queries.columns)
+    reserved = {
+        c for c in queries.columns if c == "cms_est" or c.startswith("__cms_")
+    }
     if reserved:
         raise ValueError(
             f"cms_estimate: queries frame uses reserved column name(s) "
             f"{sorted(reserved)}; rename them before probing"
         )
-    probes = queries.withColumn(
-        "__probe_id", F.monotonically_increasing_id()
-    ).select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        (
-                            h60(
-                                F.concat(
-                                    F.lit(f"{r}|"), F.col(value_col).cast("string")
-                                )
-                            )
-                            % F.lit(width)
-                        ).alias("col"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rc"),
-    ).select("*", F.col("rc.row").alias("row"), F.col("rc.col").alias("col")).drop("rc")
-    joined = probes.join(F.broadcast(sketch), on=["row", "col"], how="left")
-    return (
-        joined.groupBy("__probe_id")
-        .agg(
-            *[F.first(c).alias(c) for c in queries.columns],
-            F.min(F.coalesce("counter", F.lit(0))).alias("cms_est"),
+    out = queries
+    for r in range(depth):
+        probe_col = (
+            h60(F.concat(F.lit(f"{r}|"), F.col(value_col).cast("string")))
+            % F.lit(width)
         )
-        .drop("__probe_id")
-    )
+        sk_r = sketch.where(F.col("row") == r).select(
+            F.col("col").alias(f"__cms_c{r}"),
+            F.col("counter").alias(f"__cms_n{r}"),
+        )
+        out = out.join(
+            F.broadcast(sk_r), on=probe_col == F.col(f"__cms_c{r}"), how="left"
+        )
+    est = F.least(
+        *[F.coalesce(f"__cms_n{r}", F.lit(0)) for r in range(depth)]
+    ).cast("long")
+    return out.select(*queries.columns, est.alias("cms_est"))
 
 
 def histogram_sketch(

@@ -4459,8 +4459,12 @@ def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side AND the source of the vocabulary word table (persisted:
     # the seg build materializes it eagerly via its localCheckpoints,
     # and the join probe reuses the cache — without it the corpus
-    # explode would run once per consumer; doc-vocabulary-sized, within
-    # the repo's persist policy)
+    # explode would run once per consumer). Cache lifetime = the
+    # returned lazy frame (the q35 fp.persist precedent; bench.py
+    # clearCache()s between queries). This frame is doc-vocabulary
+    # grain, i.e. corpus-proportional — at 100 TB the same tradeoff is
+    # made on DISK, not in executor storage: write the (doc_id, w, c)
+    # table to parquet once and read it for both consumers.
     tokc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("w"))
         .groupBy("doc_id", "w")

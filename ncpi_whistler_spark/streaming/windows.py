@@ -183,9 +183,10 @@ def view_purchase_interval_join_stream(
     join row-for-row (the q85 precedent, join-shaped). The multi-batch
     failure mode — late rows arriving after the watermark has advanced —
     is exercised separately: test_streaming's watermark test drives
-    :func:`view_purchase_interval_join` with a 2-file out-of-order
-    stream (maxFilesPerTrigger=1) and pins both the on-time results and
-    the late-row drops.
+    :func:`view_purchase_interval_join` across two explicit
+    micro-batches (files written between two processAllAvailable()
+    drains, out of order) and pins both the on-time results and the
+    late-row drops.
     """
     return view_purchase_interval_join(
         read_events_stream(spark, sf_dir), max_lag, watermark

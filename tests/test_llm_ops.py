@@ -1155,18 +1155,30 @@ def test_production_default_configs_hold_recall_90(spark, emb):
     assert r_pairs >= 0.9, f"embedding_dup_pairs default recall {r_pairs}"
 
     # semantic dedup: candidate (co-listing) recall under the default
-    # soft assignment — recompute the probe lists the operator uses
+    # soft assignment — the probe lists are recomputed with the
+    # SIGNATURE's actual default knobs (read via inspect, NOT hardcoded:
+    # if someone flips the defaults back to the low-recall hard-assign
+    # shape, THIS recomputation degrades with them and the assertion
+    # fails loudly, which is the regression this test exists to catch)
+    import inspect
+
     from ncpi_whistler_spark.operators.similarity import (
         ivf_assign_topn_arrow,
         ivf_train,
     )
 
+    sig = inspect.signature(semantic_dedup).parameters
+    d_nlist, d_nprobe, d_iters = (
+        sig["nlist"].default,
+        sig["nprobe"].default,
+        sig["iters"].default,
+    )
     sd = semantic_dedup(emb, threshold=0.4)  # default nlist/nprobe
     sd.count()
-    cents = ivf_train(emb, 32, 1, "embedding", "vec_id", "blas")
+    cents = ivf_train(emb, d_nlist, d_iters, "embedding", "vec_id", "blas")
     pl = emb.select(
         "vec_id",
-        ivf_assign_topn_arrow(F.col("embedding"), cents, 8).alias("p"),
+        ivf_assign_topn_arrow(F.col("embedding"), cents, d_nprobe).alias("p"),
     )
     probes = {r["vec_id"]: set(r["p"]) for r in pl.collect()}
     co = sum(1 for a, b in pair_truth if probes[a] & probes[b])
@@ -1444,9 +1456,12 @@ def test_cms_sketch_merge_and_bound(spark, docs):
 
 
 def test_cms_estimate_duplicate_queries_and_reserved_names(spark):
-    """Duplicate query rows each get their own output row (per-row probe
-    id, not value-grouping), and a queries frame that already uses the
-    reserved probe column names raises instead of silently shadowing."""
+    """Duplicate query rows each get their own output row (the estimate
+    is a map-side broadcast-join chain, no value-grouping and no
+    generated row ids — deterministic under stage retries); a queries
+    frame already holding the output/plumbing names raises; and names
+    that merely collide with the SKETCH's internal columns (row, col,
+    counter) are fine — they never enter the probe frame."""
     import pytest
 
     from ncpi_whistler_spark.operators.profiling import cms_estimate, cms_sketch
@@ -1459,10 +1474,33 @@ def test_cms_estimate_duplicate_queries_and_reserved_names(spark):
     by_tok = sorted((r["tok"], r["cms_est"]) for r in got)
     assert by_tok == [("a", 7), ("a", 7), ("b", 3)]
 
-    for bad_col in ("row", "col", "__probe_id"):
+    for bad_col in ("cms_est", "__cms_c0", "__cms_n1"):
         bad = dup_queries.withColumn(bad_col, F.lit(1))
         with pytest.raises(ValueError, match="reserved column"):
             cms_estimate(sk, bad, "tok")
+
+    # sketch-internal names are NOT reserved for the caller
+    ok = dup_queries.withColumn("row", F.lit(1)).withColumn("counter", F.lit(2))
+    rows = cms_estimate(sk, ok, "tok").collect()
+    assert sorted((r["tok"], r["cms_est"]) for r in rows) == [
+        ("a", 7), ("a", 7), ("b", 3)
+    ]
+
+    # and the ESTIMATE plan is genuinely shuffle-free (broadcast joins
+    # only) — probed against a materialized sketch, the stored-index
+    # shape a 100 TB consumer actually reads back
+    import re
+
+    sk_stored = spark.createDataFrame(sk.collect(), sk.schema)
+    plan = (
+        cms_estimate(sk_stored, dup_queries, "tok")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(
+        r"(?<!Broadcast)Exchange (?:hashpartitioning|SinglePartition)", plan
+    ), plan
 
 
 def test_dsir_empty_target_degenerates_to_uniform(spark):
