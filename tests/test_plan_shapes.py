@@ -274,3 +274,32 @@ def test_q104_subword_map_joins_broadcast_at_word_grain(spark):
     assert not re.search(r"SortMergeJoin \[w#\d+\]", plan), (
         "subword map regressed to a shuffle join on the word key"
     )
+
+
+def test_cms_sketch_single_shuffle(spark):
+    """The CM sketch build is ONE partial-aggregated shuffle on the
+    (row, col) cells — the mergeable-sketch scale claim in SCALING.md."""
+    from ncpi_whistler_spark.operators.profiling import cms_sketch
+    from ncpi_whistler_spark.queries import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.selectExpr("explode(split(lower(text), '\\\\s+')) AS tok").where(
+        "tok != ''"
+    )
+    assert _shuffles(cms_sketch(tok, "tok")) == 1
+
+
+def test_exact_substring_paired_keys_add_no_shuffle(spark):
+    """Round-6 key widening must be free in plan shape: the paired
+    (wh1, wh2) struct keys of the xxhash64 production mode use exactly
+    the same number of exchanges as the md5 single-chain oracle mode —
+    the second chain is map-side arithmetic, never a new shuffle."""
+    from ncpi_whistler_spark.operators.dedup import exact_substring_coverage
+    from ncpi_whistler_spark.queries import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    md5_shuffles = _shuffles(exact_substring_coverage(docs, window=10, hash_fn="md5"))
+    prod_shuffles = _shuffles(
+        exact_substring_coverage(docs, window=10, hash_fn="xxhash64")
+    )
+    assert prod_shuffles == md5_shuffles
