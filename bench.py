@@ -92,6 +92,14 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Driver / CI re-runs set SPARK_GRAFT_BENCH_OUT so their numbers land
+    # in a round-stamped artifact instead of dirtying the committed
+    # BENCH_DETAIL.json (the tools/parity.py SPARK_GRAFT_PARITY_OUT
+    # pattern). The regression gate still reads the committed detail file
+    # as its baseline either way.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", detail_path)
+    if not os.path.isabs(out_path):
+        out_path = os.path.join(os.path.dirname(detail_path), out_path)
     cur_mode = (
         "cold"
         if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "0"
@@ -168,7 +176,7 @@ def main() -> int:
         "regressions": regressions,
         "regression_gate": ">1.5x and >0.3s vs previous BENCH_DETAIL.json",
     }
-    with open(detail_path, "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     print(

@@ -4514,7 +4514,8 @@ def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     rank-family variants, the rows-only native-HLL twin). These stay
 #     fully verified locally: bench.py times ALL entries and
 #     tools/parity.py runs the full rows+schema+values check against
-#     DuckDB at sf0.001/sf0.01 (artifact: PARITY_r4.json), and
+#     DuckDB at sf0.001/sf0.01 (artifact: the round-stamped
+#     PARITY_rNN.json, via SPARK_GRAFT_PARITY_OUT), and
 #     tests/test_parity.py replays it per-query in CI.
 # -------------------------------------------------------------------------
 DRIVER_QUERIES = [

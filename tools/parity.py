@@ -164,7 +164,10 @@ def main() -> int:
         }
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            os.environ.get("SPARK_GRAFT_PARITY_OUT", "PARITY_r04.json"),
+            # round runs set SPARK_GRAFT_PARITY_OUT=PARITY_rNN.json; the
+            # un-stamped default keeps ad-hoc runs off the committed
+            # round artifacts
+            os.environ.get("SPARK_GRAFT_PARITY_OUT", "PARITY_latest.json"),
         )
         merged: dict = {"runs": {}}
         try:
