@@ -252,9 +252,20 @@ def cms_estimate(
     join plumbing); a collision raises rather than silently producing
     an ambiguous schema.
 
+    The sketch is persisted here before slicing: the ``depth``
+    row-filtered BroadcastExchanges are distinct sub-plans Spark cannot
+    reuse, so WITHOUT the persist a lazy (unpersisted) sketch would
+    re-run its corpus-scale aggregation once per hash row. The cache
+    holds ≤ depth·width tiny counter rows for the lifetime of the
+    returned frame (the histogram_quantile_brackets ``cum.persist``
+    precedent) — never corpus data.
+
     Output: queries' columns + (cms_est bigint).
     """
     from ncpi_whistler_spark.operators.dedup import h60
+
+    if not sketch.is_cached:
+        sketch = sketch.persist()
 
     reserved = {
         c for c in queries.columns if c == "cms_est" or c.startswith("__cms_")

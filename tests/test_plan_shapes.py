@@ -289,6 +289,42 @@ def test_cms_sketch_single_shuffle(spark):
     assert _shuffles(cms_sketch(tok, "tok")) == 1
 
 
+def test_cms_estimate_lazy_sketch_sliced_from_cache(spark):
+    """A LAZY sketch handed straight to cms_estimate (the q98 registry
+    shape) must be persisted inside the estimator before the per-row
+    slicing: the depth row-filtered BroadcastExchanges are distinct
+    sub-plans Spark cannot reuse, so without the internal persist the
+    corpus-scale sketch aggregation would re-run once per hash row.
+    Pinned by the executed plan reading every slice from
+    InMemoryTableScan with zero corpus re-aggregations behind them."""
+    from ncpi_whistler_spark.operators.profiling import cms_estimate, cms_sketch
+    from ncpi_whistler_spark.queries import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.selectExpr("explode(split(lower(text), '\\\\s+')) AS tok").where(
+        "tok != ''"
+    )
+    queries = tok.limit(5)
+    est = cms_estimate(cms_sketch(tok, "tok", depth=4), queries, "tok", depth=4)
+    est.collect()  # materializes the internal cache
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    # every slice's broadcast side scans the SAME cached build: the
+    # printed cached plan repeats under each InMemoryTableScan (with
+    # re-aliased attribute ids, the self-join dedup), but its build
+    # Exchange carries at most TWO distinct plan_ids — the one cached
+    # AQE plan's final + initial text. Four independent re-aggregations
+    # would print four distinct build exchanges. (An unpersisted sketch
+    # shows zero InMemoryTableScans and fails the assert above.)
+    build_ids = set(
+        re.findall(r"Exchange hashpartitioning\(row#.*?plan_id=(\d+)", plan)
+    )
+    assert len(build_ids) <= 2, (
+        f"sketch aggregation appears as {len(build_ids)} distinct "
+        f"exchanges — re-run per hash row"
+    )
+
+
 def test_exact_substring_paired_keys_add_no_shuffle(spark):
     """Round-6 key widening must be free in plan shape: the paired
     (wh1, wh2) struct keys of the xxhash64 production mode use exactly
