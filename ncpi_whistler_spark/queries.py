@@ -3542,41 +3542,42 @@ def q87_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q88_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSTOM STATEFUL STREAMING, driver-verified: the events parquet
-    replayed through readStream → ``applyInPandasWithState`` (per-user
-    running (n_events, total) carried across micro-batches in group
-    state) → update-mode memory drain; the LAST emission per user is the
-    final state and value-hashes against the batch GROUP BY oracle. The
-    accumulator runs in integer-cents mode so the running sum is
-    arrival-order independent and bit-identical to
+    """CUSTOM STATEFUL STREAMING **WITH CHECKPOINT RESTART**,
+    driver-verified: the events stream is drained in TWO runs with a
+    full query stop/restart boundary between them (streaming/recovery.
+    drain_batches_with_restart) — run 2 is a NEW query that must recover
+    committed offsets and the per-user ``applyInPandasWithState``
+    accumulators from the shared checkpointLocation, and the sink is the
+    fault-tolerant batchId-keyed foreachBatch parquet write (idempotent
+    under batch replay), because the memory sink refuses checkpoint
+    recovery. The LAST emission per user is the final state and
+    value-hashes against the batch GROUP BY oracle — which only matches
+    if recovery was exactly-once: lost state under-counts every user
+    whose events span the restart (the event_id parity split puts every
+    multi-event user on both sides), and re-read offsets over-count
+    them. The accumulator runs in integer-cents mode so the running sum
+    is arrival-order independent and bit-identical to
     ``SUM(CAST(value AS DECIMAL(18,2)))``. State is O(|users|) whatever
-    the stream length — the streaming twin of a batch aggregate that
-    never re-reads history. (Eager by necessity, like q85.)"""
-    import uuid
+    the stream length. (Eager by necessity, like q85; the scratch
+    staging dir lives in the OS tmp reaper's domain.)"""
+    import tempfile
 
+    from ncpi_whistler_spark.catalog import load_table as _lt
+    from ncpi_whistler_spark.streaming.recovery import drain_batches_with_restart
     from ncpi_whistler_spark.streaming.stateful import running_user_totals_stream
-    from ncpi_whistler_spark.streaming.windows import read_events_stream
 
-    stream = running_user_totals_stream(
-        read_events_stream(spark, sf_dir), exact_cents=True
+    ev = _lt(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    batches = [
+        ev.where(F.col("event_id") % 2 == i).drop("event_id") for i in (0, 1)
+    ]
+    drained = drain_batches_with_restart(
+        spark,
+        batches,
+        lambda s: running_user_totals_stream(s, exact_cents=True),
+        tempfile.mkdtemp(prefix="q88_restart_"),
     )
-    name = f"q88_mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q88 availableNow drain did not finish within 300 s; refusing "
-            "to hash a partially-filled memory table"
-        )
     # n_events is strictly increasing per user across emissions, so the
     # max-n row IS the final state (robust to multi-batch replays).
-    drained = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         drained.withColumn("_rn", F.row_number().over(w))

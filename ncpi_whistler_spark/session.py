@@ -40,17 +40,42 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+#: Selectable streaming state-store backends
+#: (spark.sql.streaming.stateStore.providerClass). "hdfs" is Spark's
+#: default executor-heap provider; "rocksdb" is the disk-backed provider
+#: (bundled with Spark) for state that outgrows heap — at 100× state the
+#: heap provider is the first thing to fall over, so production
+#: checkpoints should start life on RocksDB. The provider is part of the
+#: checkpoint's on-disk format: pick one per checkpoint lifetime.
+STATE_STORE_PROVIDERS: dict[str, str] = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
 def get_spark(
     app_name: str = "ncpi-whistler-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores when the
     env var is unset); on a real cluster pass ``None`` and let spark-submit
     decide.
+
+    ``state_store`` selects the streaming state-store backend for queries
+    started on this session: a :data:`STATE_STORE_PROVIDERS` key
+    ("hdfs"/"rocksdb") or a full provider class name. Runtime-settable,
+    so it also applies when ``getOrCreate`` returns an existing session.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -82,6 +107,11 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if state_store is not None:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS.get(state_store, state_store),
+        )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 

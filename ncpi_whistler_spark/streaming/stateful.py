@@ -72,7 +72,14 @@ def running_user_totals_stream(
                 )
             else:
                 acc += float(pdf["value"].sum())
-        state.update((n, acc))
+        # The state field is DOUBLE; exact_cents accumulates a Python int,
+        # which must be stored as float — an int in a double state field
+        # survives the in-process fast path but decodes to None when the
+        # state is restored from a checkpoint after a query restart
+        # (found by test_stateful_restart_exactly_once; integer cents stay
+        # exact in a double up to 2^53, i.e. ~$90T). Restore converts back
+        # via int(acc) above.
+        state.update((n, float(acc)))
         total = acc / 100.0 if exact_cents else acc
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}

@@ -274,6 +274,156 @@ def test_dedup_stream_state_bounded(spark, tmp_path):
     assert sorted(ids)[:4] == [1, 1, 2, 3], f"unexpected emissions: {sorted(ids)}"
 
 
+def _events_batches(spark, n_batches=2):
+    """The events fixture split into restart-boundary batches by event id
+    (every user with ≥ n_batches events appears in several batches, so a
+    lost state store could not produce correct totals)."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    return [
+        ev.where(F.col("event_id") % n_batches == i).drop("event_id")
+        for i in range(n_batches)
+    ]
+
+
+def _final_totals(drained):
+    """Last emission per user (n_events is strictly increasing)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+def _batch_totals(spark):
+    return (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def test_stateful_restart_exactly_once_hdfs(spark, tmp_path):
+    _restart_exactly_once(spark, tmp_path, "hdfs", ".delta")
+
+
+def test_stateful_restart_exactly_once_rocksdb(spark, tmp_path):
+    _restart_exactly_once(spark, tmp_path, "rocksdb", ".zip")
+
+
+def _restart_exactly_once(spark, tmp_path, provider, state_file_suffix):
+    """THE fault-tolerance contract, under both state-store backends: a
+    stateful query (the q88 shape) stopped after batch 1 and RESTARTED
+    as a new query from the same checkpointLocation must (a) resume
+    after the committed offsets (no source rows re-read), (b) restore
+    the per-user accumulators (batch-2 emissions continue from batch-1
+    counts — a fresh state store could not produce them), and (c) emit
+    nothing on a third restart with an empty batch. Final totals must
+    equal the batch GROUP BY oracle exactly. Also pins that the chosen
+    provider actually ran, via its on-disk state-file format (.delta =
+    HDFS-backed, .zip = RocksDB snapshot)."""
+    import pathlib
+
+    from ncpi_whistler_spark.streaming.recovery import drain_batches_with_restart
+    from ncpi_whistler_spark.streaming.stateful import running_user_totals_stream
+
+    b1, b2 = _events_batches(spark)
+    empty = b1.limit(0)
+    drained = drain_batches_with_restart(
+        spark,
+        [b1, b2, empty],
+        lambda s: running_user_totals_stream(s, exact_cents=True),
+        str(tmp_path),
+        state_store=provider,
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in _final_totals(drained).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in _batch_totals(spark).collect()
+    }
+    assert got == want
+
+    # (b) explicitly: every batch-2 emission CONTINUES the batch-1 count —
+    # its n_events equals the user's full-fixture count, which is only
+    # possible if batch-1 state survived the stop/start boundary
+    run2 = drained.where("batch = 1")
+    cont = run2.join(
+        _batch_totals(spark).select("user_id", F.col("n_events").alias("want_n")),
+        on="user_id",
+    )
+    bad = cont.where("n_events != want_n").count()
+    assert bad == 0, f"{bad} users lost accumulator state across restart"
+    assert run2.count() > 0
+
+    # (c) empty third restart: offsets committed, nothing re-emitted
+    assert drained.where("batch = 2").count() == 0
+
+    # the selected backend really ran: its state-file format is on disk
+    state_files = [
+        p.name for p in pathlib.Path(tmp_path, "cp", "state").rglob("*") if p.is_file()
+    ]
+    assert any(n.endswith(state_file_suffix) for n in state_files), (
+        f"no {state_file_suffix} state files — provider {provider} not engaged: "
+        f"{state_files[:10]}"
+    )
+
+
+def test_restart_replays_uncommitted_batch_idempotently(spark, tmp_path):
+    """Crash-mid-batch simulation: delete the LAST commit marker (the
+    crash window between the sink write and the commit log append), then
+    restart. Spark must replay that micro-batch — and the batchId-keyed
+    foreachBatch parquet sink must absorb the replay by overwrite, so
+    totals carry no duplicates. This is the exactly-once half the happy
+    path never exercises."""
+    import os
+
+    from ncpi_whistler_spark.streaming.recovery import drain_batches_with_restart
+    from ncpi_whistler_spark.streaming.stateful import running_user_totals_stream
+
+    b1, b2 = _events_batches(spark)
+    plan = lambda s: running_user_totals_stream(s, exact_cents=True)  # noqa: E731
+    drained = drain_batches_with_restart(spark, [b1, b2], plan, str(tmp_path))
+    n_batches_before = drained.select("batch").distinct().count()
+
+    commit_dir = os.path.join(tmp_path, "cp", "commits")
+    last = sorted(n for n in os.listdir(commit_dir) if not n.startswith("."))[-1]
+    os.remove(os.path.join(commit_dir, last))
+    crc = os.path.join(commit_dir, f".{last}.crc")  # local-FS checksum twin
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # restart with NO new data: the uncommitted batch replays into the
+    # same batch=<id> directory
+    replayed = drain_batches_with_restart(
+        spark, [b1.limit(0)], plan, str(tmp_path)
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in _final_totals(replayed).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in _batch_totals(spark).collect()
+    }
+    assert got == want, "replayed batch produced duplicate or lost rows"
+    # replay overwrote in place: no extra batch directory beyond the
+    # empty-batch round's
+    n_after = replayed.select("batch").distinct().count()
+    assert n_after <= n_batches_before + 1
+
+
 def test_session_stream_sane(spark):
     stream = session_counts_stream(read_events_stream(spark, SF_DIR))
     run_stream_to_memory(stream, "session_test")
