@@ -970,10 +970,25 @@ def bpe_fit(
     num_merges: int = 16,
     text_col: str = "text",
     min_pair_count: int = 2,
+    scratch_dir: str | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """bpe_train + the final segmented word table (w, n, syms) in one
-    pass — see bpe_train for the distributed shape."""
-    words = bpe_word_table(df, text_col).localCheckpoint()
+    pass — see bpe_train for the distributed shape.
+
+    ``scratch_dir``: materialize the corpus-scale word-table build to
+    parquet instead of a localCheckpoint (storage.scratch_materialize —
+    the q104 disk tier): the one corpus pass lands on job scratch
+    storage rather than executor block storage, which is the right home
+    for a frame whose size tracks the vocabulary of a 100 TB corpus.
+    Iteration-state checkpoints are unaffected (vocabulary-bounded)."""
+    if scratch_dir is not None:
+        from ncpi_whistler_spark.storage import scratch_materialize
+
+        words = scratch_materialize(
+            bpe_word_table(df, text_col), scratch_dir, "bpe_words"
+        )
+    else:
+        words = bpe_word_table(df, text_col).localCheckpoint()
     vocab_n = words.count()
     words = words.repartition(max(1, vocab_n // 1_000_000 + 1)).localCheckpoint()
     merges: list[tuple[str, str, int]] = []

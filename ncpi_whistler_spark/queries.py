@@ -4434,7 +4434,9 @@ def _q104_oracle() -> str:
 
 
 @query("q104_bpe_apply", _q104_oracle())
-def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q104_bpe_apply(
+    spark: SparkSession, sf_dir: str, scratch_dir: str | None = None
+) -> DataFrame:
     """Apply a FROZEN BPE merge list to the corpus — the deterministic,
     SQL-replayable half of tokenization (q100 covers training). This is
     the tokenize-at-scale shape 100 TB jobs actually run: merges fold
@@ -4457,21 +4459,30 @@ def q104_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus-scale pass: the (doc_id, w, c) frame is both the join
-    # probe side AND the source of the vocabulary word table (persisted:
-    # the seg build materializes it eagerly via its localCheckpoints,
-    # and the join probe reuses the cache — without it the corpus
-    # explode would run once per consumer). Cache lifetime = the
-    # returned lazy frame (the q35 fp.persist precedent; bench.py
-    # clearCache()s between queries). This frame is doc-vocabulary
-    # grain, i.e. corpus-proportional — at 100 TB the same tradeoff is
-    # made on DISK, not in executor storage: write the (doc_id, w, c)
-    # table to parquet once and read it for both consumers.
+    # probe side AND the source of the vocabulary word table. Two
+    # materialization tiers, because the frame is doc-vocabulary grain,
+    # i.e. corpus-proportional:
+    #   * default (fixture scale): persist() — the seg build
+    #     materializes it eagerly via its localCheckpoints and the join
+    #     probe reuses the cache; lifetime = the returned lazy frame
+    #     (the q35 fp.persist precedent; bench.py clearCache()s
+    #     between queries).
+    #   * scratch_dir= (100 TB scale): the same tradeoff on DISK, not in
+    #     executor storage — storage.scratch_materialize writes the
+    #     frame to parquet ONCE and every consumer gets an independent
+    #     pruned scan (test-pinned equal to the persist path, and the
+    #     plan shows zero corpus re-explodes).
     tokc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    if scratch_dir is None:
+        tokc = tokc.persist()
+    else:
+        from ncpi_whistler_spark.storage import scratch_materialize
+
+        tokc = scratch_materialize(tokc, scratch_dir, "q104_tokc")
     chars = F.filter(F.split("w", ""), lambda x: x != "")
     words = tokc.groupBy("w").agg(F.sum("c").alias("n")).select(
         "w", "n", F.concat(chars, F.array(F.lit(BPE_EOW))).alias("syms")

@@ -221,3 +221,24 @@ def write_zordered(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def scratch_materialize(df: DataFrame, scratch_dir: str, name: str) -> DataFrame:
+    """Write ``df`` to ``scratch_dir/name`` ONCE and return a fresh scan
+    of the written parquet — the disk-backed alternative to ``persist()``
+    for multi-consumer intermediate frames that are CORPUS-proportional.
+
+    ``persist(MEMORY_AND_DISK)`` degrades gracefully but still competes
+    for executor storage memory and evicts under pressure (re-running the
+    upstream plan per consumer); an explicit parquet round-trip pays one
+    columnar write and gives every consumer an independent, pruned,
+    spill-free scan — the right trade once the frame is a meaningful
+    fraction of executor memory (the q104 (doc_id, w, c) frame at 100 TB).
+    The caller owns ``scratch_dir`` cleanup (tests pass tmp dirs; cluster
+    jobs point at job-scoped scratch storage).
+    """
+    import os
+
+    path = os.path.join(scratch_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

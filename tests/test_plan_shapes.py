@@ -276,6 +276,45 @@ def test_q104_subword_map_joins_broadcast_at_word_grain(spark):
     )
 
 
+def test_q104_scratch_dir_equals_persist_and_reads_corpus_once(spark, tmp_path):
+    """The 100 TB tier promised by q104's docstring, as code: with
+    scratch_dir= the (doc_id, w, c) frame is written to parquet ONCE and
+    every consumer scans the written file — results identical to the
+    persist tier, and the plan proves the corpus is never re-read (no
+    FileScan in the final plan touches the documents text column; the
+    only documents scan is the doc_id outer-join spine)."""
+    from ncpi_whistler_spark.queries import q104_bpe_apply
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    want = sorted(REGISTRY["q104_bpe_apply"][0](spark, SF_DIR).collect(), key=key)
+    got_df = q104_bpe_apply(spark, SF_DIR, scratch_dir=str(tmp_path))
+    got = sorted(got_df.collect(), key=key)
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # every tokc consumer scans the written scratch parquet (matched by
+    # its (doc_id, w[, c]) read schema — file paths elide in plan text) …
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    tokc_scans = [s for s in schemas if s.startswith("doc_id:bigint,w:string")]
+    assert len(tokc_scans) >= 2, schemas
+    # … and no scan in the plan reads the corpus text column (the
+    # explode would be the corpus re-read)
+    assert schemas and not any("text:" in s for s in schemas), schemas
+
+
+def test_bpe_fit_scratch_dir_equals_checkpoint(spark, tmp_path):
+    """bpe_fit's scratch tier (word table materialized to parquet instead
+    of executor block storage) learns the identical merge list."""
+    from ncpi_whistler_spark.operators.text import bpe_fit
+    from ncpi_whistler_spark.queries import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want, _ = bpe_fit(docs, num_merges=4)
+    got, words = bpe_fit(docs, num_merges=4, scratch_dir=str(tmp_path))
+    assert got == want
+    assert words.count() > 0
+
+
 def test_cms_sketch_single_shuffle(spark):
     """The CM sketch build is ONE partial-aggregated shuffle on the
     (row, col) cells — the mergeable-sketch scale claim in SCALING.md."""
