@@ -47,8 +47,13 @@ class LoadResult:
     error: str | None = None
 
 
-#: transport signature: (method, resource_type, json_body) -> LoadResult
-Transport = Callable[[str, str, str], LoadResult]
+#: transport signature: (method, resource_type, json_body, headers) -> LoadResult
+#: (``headers`` is optional per-call metadata — conditional-create etc.;
+#: transports must accept it but may ignore it)
+Transport = Callable[..., LoadResult]
+
+#: column carrying the FHIR conditional-create search (see load_resources)
+_COND_COL = "__if_none_exist"
 
 
 @dataclass
@@ -56,12 +61,18 @@ class InMemoryTransport:
     """Test/dry-run transport: records everything, optional scripted
     failures (e.g. first N calls return 429 to exercise backoff)."""
 
-    calls: list[tuple[str, str, str]] = field(default_factory=list)
+    calls: list[tuple] = field(default_factory=list)
     fail_first: int = 0
     fail_status: int = 429
 
-    def __call__(self, method: str, resource_type: str, body: str) -> LoadResult:
-        self.calls.append((method, resource_type, body))
+    def __call__(
+        self,
+        method: str,
+        resource_type: str,
+        body: str,
+        headers: dict[str, str] | None = None,
+    ) -> LoadResult:
+        self.calls.append((method, resource_type, body, headers))
         if self.fail_first > 0:
             self.fail_first -= 1
             return LoadResult(status=self.fail_status, resource_type=resource_type)
@@ -105,7 +116,13 @@ class HttpTransport:
     timeout: float = 30.0
     headers: dict[str, str] = field(default_factory=dict)
 
-    def __call__(self, method: str, resource_type: str, body: str) -> LoadResult:
+    def __call__(
+        self,
+        method: str,
+        resource_type: str,
+        body: str,
+        headers: dict[str, str] | None = None,
+    ) -> LoadResult:
         import json as _json
         import urllib.error
         import urllib.request
@@ -122,7 +139,11 @@ class HttpTransport:
             url,
             data=body.encode("utf-8"),
             method=method,
-            headers={"Content-Type": "application/fhir+json", **self.headers},
+            headers={
+                "Content-Type": "application/fhir+json",
+                **self.headers,
+                **(headers or {}),
+            },
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
@@ -147,16 +168,31 @@ def _load_partition(
     sleep_fn: Callable[[float], None],
 ) -> Iterator[tuple[str, int, int]]:
     """Per-partition loader with the reference's backoff policy; yields
-    (resourceType, ok_count, err_count)."""
+    (resourceType, ok_count, err_count).
+
+    Idempotency under Spark TASK RETRY / speculative re-attempts: this
+    whole partition replays when its task does, so a bare POST would
+    double-create every already-loaded resource. Rows carrying the
+    ``__if_none_exist`` column (added by load_resources from the
+    resource's first identifier) POST with the FHIR conditional-create
+    header ``If-None-Exist: identifier=<system>|<value>`` — the server
+    returns the EXISTING resource (200) instead of creating a duplicate
+    (201), which is the reference's identifier-upsert semantics
+    (wstlr/load.py:152-175, 312-453) expressed as one header instead of
+    a pre-flight search."""
     transport = transport_factory()
     counts: dict[str, list[int]] = {}
     for row in rows:
         rt = row["resourceType"]
         body = row["resource_json"]
-        method = row["method"] if "method" in row.__fields__ else "POST"
+        fields = row.__fields__
+        method = row["method"] if "method" in fields else "POST"
+        headers = None
+        if method == "POST" and _COND_COL in fields and row[_COND_COL]:
+            headers = {"If-None-Exist": row[_COND_COL]}
         attempts = 0
         while True:
-            result = transport(method, rt, body)
+            result = transport(method, rt, body, headers)
             if result.status < 400:
                 counts.setdefault(rt, [0, 0])[0] += 1
                 break
@@ -169,12 +205,31 @@ def _load_partition(
         yield (rt, ok, err)
 
 
+def derive_if_none_exist(resources: DataFrame) -> DataFrame:
+    """Add the conditional-create search column: ``identifier=
+    <system>|<value>`` from the resource's FIRST identifier, NULL when
+    the resource has none. Pure Column ops over the JSON string
+    (get_json_object — JVM-side, no Python in the derivation)."""
+    sys_ = F.get_json_object("resource_json", "$.identifier[0].system")
+    val_ = F.get_json_object("resource_json", "$.identifier[0].value")
+    return resources.withColumn(
+        _COND_COL,
+        F.when(
+            val_.isNotNull(),
+            F.concat(
+                F.lit("identifier="), F.coalesce(sys_, F.lit("")), F.lit("|"), val_
+            ),
+        ),
+    )
+
+
 def load_resources(
     resources: DataFrame,
     transport_factory: Callable[[], Transport],
     parallelism: int = 10,
     max_retries: int = 3,
     sleep_fn: Callable[[float], None] = time.sleep,
+    idempotent: bool = True,
 ) -> DataFrame:
     """Load resource rows (resourceType, resource_json[, method]) through
     the transport; returns per-type (ok, err) counts.
@@ -183,8 +238,20 @@ def load_resources(
     reference's ordering constraint); the rest fan out over
     ``parallelism`` partitions — the thread-pool analog with backpressure
     by partition granularity.
+
+    ``idempotent=True`` (default) derives a conditional-create search
+    from each resource's FIRST identifier MAP-SIDE (get_json_object —
+    JVM, no Python in the derivation) and POSTs with ``If-None-Exist:
+    identifier=<system>|<value>``; a Spark task retry or speculative
+    attempt that replays the partition then cannot double-create
+    (test-pinned with a cross-process ledger transport). Identifier-less
+    resources fall back to plain POST — at scale, give every loadable
+    resource an identifier, as the reference requires for its own id
+    cache (wstlr/load.py:152-175).
     """
     spark = resources.sparkSession
+    if idempotent and _COND_COL not in resources.columns:
+        resources = derive_if_none_exist(resources)
     terminology = resources.where(F.col("resourceType").isin(*SYNCHRONOUS_TYPES))
     rest = resources.where(~F.col("resourceType").isin(*SYNCHRONOUS_TYPES))
 
