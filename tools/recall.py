@@ -57,6 +57,163 @@ def exact_pairs(mat: np.ndarray, ids: np.ndarray, threshold: float) -> set[tuple
     }
 
 
+def sampled_topk_truth(
+    mat: np.ndarray, ids: np.ndarray, q_idx: np.ndarray, k: int
+) -> set[tuple]:
+    """Exact top-k (query, neighbor) pairs for the SAMPLED query rows
+    only — recall over a query sample is the standard way to keep exact
+    truth O(nq·n) when the corpus outgrows the full n×n matrix. Same
+    tie rule as exact_topk_sets (sim desc, neighbor id asc)."""
+    norms = np.linalg.norm(mat, axis=1)
+    qmat = mat[q_idx]
+    sims = (qmat @ mat.T) / np.outer(norms[q_idx], norms)
+    for row, qi in enumerate(q_idx):
+        sims[row, qi] = -np.inf  # self
+    out: set[tuple] = set()
+    order_ids = np.argsort(ids, kind="stable")
+    for row, qi in enumerate(q_idx):
+        idx = order_ids[np.argsort(-sims[row][order_ids], kind="stable")][:k]
+        out.update((ids[qi], ids[ni]) for ni in idx)
+    return out
+
+
+def blocked_pairs(mat: np.ndarray, ids: np.ndarray, threshold: float,
+                  block: int = 2000) -> set[tuple]:
+    """exact_pairs for corpora whose full n×n matrix doesn't fit: row
+    blocks against the whole matrix, upper triangle only."""
+    n = len(ids)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / norms[:, None]
+    out: set[tuple] = set()
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        sims = unit[lo:hi] @ unit.T
+        for row in range(hi - lo):
+            i = lo + row
+            hit = np.nonzero(sims[row, i + 1:] >= threshold)[0] + i + 1
+            out.update(
+                (min(ids[i], ids[j]), max(ids[i], ids[j])) for j in hit
+            )
+    return out
+
+
+def growth_sweep(args) -> dict:
+    """VERDICT r6 item 4: the cost sweeps (SCALEBENCH) prove 'grow nlist
+    ∝ corpus' holds cost sublinear; this measures whether it also holds
+    RECALL — the fixture corpus grown 4× and 16× with nlist (IVF,
+    SemDeDup) and bucket bits (LSH families) grown by the stated rules,
+    top-k/pair recall vs exact truth at every size."""
+    import pyspark.sql.functions as F
+
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+    from ncpi_whistler_spark.operators.similarity import (
+        cosine_topk_lsh,
+        ivf_topk,
+        ivf_assign_topn_arrow,
+        ivf_train,
+        semantic_dedup,
+    )
+    from ncpi_whistler_spark.session import get_spark
+    from tools.scalebench import replicate
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    base_k_rep = args.k_rep  # the RECALL fixture (8000 vectors at 4)
+    growth: dict = {}
+    for g in (1, 4, 16):
+        k_rep = base_k_rep * g
+        kdir = os.path.join(args.workdir, f"{k_rep}x")
+        replicate(spark, args.sf_dir, k_rep, kdir, docs=True)
+        emb = spark.read.parquet(
+            os.path.join(kdir, "embeddings.parquet")
+        ).persist()
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        n, dim = mat.shape
+        rng = np.random.default_rng(7)
+        q_idx = np.sort(rng.choice(n, size=min(400, n), replace=False))
+        q_ids = [int(ids[i]) for i in q_idx]
+        queries = emb.where(F.col("vec_id").isin(q_ids))
+        print(f"[growth] corpus {n} (g={g}), {len(q_idx)} sampled queries",
+              flush=True)
+        entry: dict = {"corpus": int(n)}
+
+        truth16 = sampled_topk_truth(mat, ids, q_idx, 16)
+        lg = max(0, round(np.log2(g)))
+        # IVF growth rules under test: (a) constant config — occupancy
+        # grows, probed FRACTION constant, recall should hold; (b) the
+        # naive 'nlist ∝ n, nprobe fixed' — probed fraction shrinks 1/g;
+        # (c) nlist ∝ n with nprobe grown to hold the fraction.
+        ivf_configs = {(32, 24), (32 * g, 24), (32 * g, 24 * g)}
+        for nlist, nprobe in sorted(ivf_configs):
+            t0 = time.time()
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(queries, emb, k=16, nlist=nlist,
+                                  nprobe=nprobe, iters=1).collect()
+            }
+            r = len(got & truth16) / len(truth16)
+            entry[f"ivf nlist={nlist} nprobe={nprobe}"] = round(r, 4)
+            print(f"[growth] g={g} ivf nlist={nlist} nprobe={nprobe}: "
+                  f"{r:.4f} ({time.time()-t0:.1f}s)", flush=True)
+
+        # LSH: bits grown log2(g) holds bucket occupancy; tables grown
+        # alongside to buy the recall the deeper bits give up
+        for bits, tables in sorted(
+            {(4, 4), (4 + lg, 4), (4 + lg, 4 * (1 + lg))}
+        ):
+            t0 = time.time()
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in cosine_topk_lsh(
+                    queries, emb, k=16, bits=bits, dim=dim,
+                    multiprobe=True, tables=tables
+                ).collect()
+            }
+            r = len(got & truth16) / len(truth16)
+            entry[f"lsh bits={bits} tables={tables}"] = round(r, 4)
+            print(f"[growth] g={g} lsh bits={bits} tables={tables}: {r:.4f} "
+                  f"({time.time()-t0:.1f}s)", flush=True)
+
+        # pair ops at the q40/q89 threshold
+        pair_truth = blocked_pairs(mat, ids, 0.4)
+        bits = 4 + lg
+        t0 = time.time()
+        got = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in embedding_dup_pairs(
+                emb, threshold=0.4, bucket_bits=bits, dim=dim, tables=24
+            ).collect()
+        }
+        r = len(got & pair_truth) / max(1, len(pair_truth))
+        entry[f"q40x bits={bits} tables=24 (of {len(pair_truth)} pairs)"] = (
+            round(r, 4)
+        )
+        print(f"[growth] g={g} q40x bits={bits}: {r:.4f} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+
+        # SemDeDup co-listed candidate recall, nlist ∝ n, nprobe default
+        nlist_sd, nprobe_sd = 32 * g, 8
+        sd = semantic_dedup(emb, threshold=0.4, nlist=nlist_sd, iters=1,
+                            nprobe=nprobe_sd)
+        sd.count()
+        cents = ivf_train(emb, nlist_sd, 1, "embedding", "vec_id", "blas")
+        pl = emb.select(
+            "vec_id",
+            ivf_assign_topn_arrow(F.col("embedding"), cents, nprobe_sd).alias("p"),
+        )
+        cid = {r["vec_id"]: tuple(r["p"]) for r in pl.collect()}
+        co = sum(1 for a, b in pair_truth if set(cid[a]) & set(cid[b]))
+        r = co / max(1, len(pair_truth))
+        entry[f"q89x nlist={nlist_sd} nprobe={nprobe_sd} (co-listed)"] = round(r, 4)
+        print(f"[growth] g={g} q89x nlist={nlist_sd}: {r:.4f}", flush=True)
+
+        emb.unpersist()
+        growth[f"{g}x"] = entry
+    return growth
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--k-rep", type=int, default=4,
@@ -66,7 +223,25 @@ def main() -> int:
     )
     ap.add_argument("--workdir", default="/root/repo/.recall")
     ap.add_argument("--out", default="RECALL.json")
+    ap.add_argument("--growth", action="store_true",
+                    help="corpus-growth recall sweep (4x/16x, knobs grown "
+                         "by the SCALING.md rules); merges a 'growth' "
+                         "section into --out")
     args = ap.parse_args()
+
+    if args.growth:
+        growth = growth_sweep(args)
+        report = {}
+        try:
+            with open(args.out) as fh:
+                report = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        report["growth"] = growth
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"[recall] wrote growth section to {args.out}", flush=True)
+        return 0
 
     from pyspark.sql import functions as F
 
