@@ -571,9 +571,15 @@ def ivf_topk(
     0.933 on the fixture; pinned ≥0.9 by a regression test). The
     oracle-replayable registry form (q58) pins nlist=8/nprobe=4
     EXPLICITLY for DuckDB replay — an oracle-only operating point, not
-    a recall recommendation. At scale keep nprobe/nlist ≈ 3/4 when
-    recall matters more than probe cost, and grow nlist ∝ corpus to
-    hold list occupancy constant.
+    a recall recommendation. Corpus-growth rule (RECALL.json "growth",
+    measured at 4×/16×): growing nlist ∝ corpus with nprobe FIXED
+    collapses recall (0.95 → 0.61 → 0.39) because the probed FRACTION
+    shrinks — either keep the config constant (occupancy grows, probe
+    cost ∝ n, recall holds 0.95-0.97) or grow nlist ∝ n AND nprobe with
+    it so nprobe/nlist stays ≈ 3/4 (recall 0.98-0.99). On these 64-dim
+    fixtures the ≥0.9 fraction is high; real embedding corpora with
+    tighter cluster structure probe far less — measure with
+    tools/recall.py --growth before trusting a smaller fraction.
 
     Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
     cosine_topk."""

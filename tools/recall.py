@@ -176,38 +176,102 @@ def growth_sweep(args) -> dict:
             print(f"[growth] g={g} lsh bits={bits} tables={tables}: {r:.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
 
-        # pair ops at the q40/q89 threshold
+        # pair ops at the q40/q89 threshold. The measured loss surface is
+        # CANDIDATE recall — verification inside embedding_dup_pairs is
+        # exact cosine, so end-to-end recall == the fraction of true
+        # pairs co-bucketed in >=1 table. Measured from the operator's
+        # own per-table bucket ids (hyperplane_bucket_arrow, the
+        # operator's seed schedule): O(n·tables) instead of the full
+        # candidate join, whose both-vectors-per-pair shuffle is ~1 KB ×
+        # |candidates| — measured 200 GB of spill at 32k vectors ×
+        # tables=24, a real 100 TB lesson recorded in SCALING.md. At g=1
+        # the full operator runs too and must agree with the co-bucketed
+        # number (validates the shortcut).
+        from ncpi_whistler_spark.operators.similarity import (
+            hyperplane_bucket_arrow,
+        )
+
         pair_truth = blocked_pairs(mat, ids, 0.4)
         bits = 4 + lg
+        # deeper bits shrink per-table collision prob ~p^2 per +2 bits
+        # (p = 1 - θ/π), so the table count must grow alongside — sweep
+        # the default and the grown-amplification candidate
+        # L = 24·(1+log2 g) (predicted ≥0.9 via 1-(1-p^bits)^L at the
+        # 0.4-threshold angle; the sweep measures whether it holds)
+        max_tabs = 24 * (1 + lg)
         t0 = time.time()
-        got = {
-            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
-            for r in embedding_dup_pairs(
-                emb, threshold=0.4, bucket_bits=bits, dim=dim, tables=24
-            ).collect()
+        bk_rows = emb.select(
+            "vec_id",
+            *[
+                hyperplane_bucket_arrow(
+                    F.col("embedding"), dim, bits, 42 + 7919 * t
+                ).alias(f"b{t}")
+                for t in range(max_tabs)
+            ],
+        ).collect()
+        bk = {
+            r["vec_id"]: tuple(r[f"b{t}"] for t in range(max_tabs))
+            for r in bk_rows
         }
-        r = len(got & pair_truth) / max(1, len(pair_truth))
-        entry[f"q40x bits={bits} tables=24 (of {len(pair_truth)} pairs)"] = (
-            round(r, 4)
-        )
-        print(f"[growth] g={g} q40x bits={bits}: {r:.4f} "
-              f"({time.time()-t0:.1f}s)", flush=True)
+        for tabs in sorted({24, 24 * (1 + lg), max_tabs}):
+            co = sum(
+                1
+                for a, b in pair_truth
+                if any(x == y for x, y in zip(bk[a][:tabs], bk[b][:tabs]))
+            )
+            r = co / max(1, len(pair_truth))
+            entry[
+                f"q40x bits={bits} tables={tabs} candidate "
+                f"(of {len(pair_truth)} pairs)"
+            ] = round(r, 4)
+            print(f"[growth] g={g} q40x bits={bits} tables={tabs} "
+                  f"co-bucketed: {r:.4f} ({time.time()-t0:.1f}s)", flush=True)
+        tabs = 24
+        if g == 1:
+            got = {
+                (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+                for r in embedding_dup_pairs(
+                    emb, threshold=0.4, bucket_bits=bits, dim=dim, tables=tabs
+                ).collect()
+            }
+            r_full = len(got & pair_truth) / max(1, len(pair_truth))
+            entry[f"q40x bits={bits} tables={tabs} full-operator"] = round(
+                r_full, 4
+            )
+            assert abs(r_full - r) < 0.005, (
+                f"co-bucketed shortcut diverges from operator: "
+                f"{r:.4f} vs {r_full:.4f}"
+            )
+            print(f"[growth] g=1 q40x full operator: {r_full:.4f} "
+                  f"(shortcut validated)", flush=True)
 
-        # SemDeDup co-listed candidate recall, nlist ∝ n, nprobe default
-        nlist_sd, nprobe_sd = 32 * g, 8
-        sd = semantic_dedup(emb, threshold=0.4, nlist=nlist_sd, iters=1,
-                            nprobe=nprobe_sd)
-        sd.count()
+        # SemDeDup co-listed candidate recall, nlist ∝ n; nprobe at the
+        # default AND grown with log2(g) (more lists ⇒ boundary pairs
+        # split across more neighbors, so soft assignment must widen)
+        nlist_sd = 32 * g
         cents = ivf_train(emb, nlist_sd, 1, "embedding", "vec_id", "blas")
+        max_probe = 8 * (1 + lg)
         pl = emb.select(
             "vec_id",
-            ivf_assign_topn_arrow(F.col("embedding"), cents, nprobe_sd).alias("p"),
+            ivf_assign_topn_arrow(F.col("embedding"), cents, max_probe).alias("p"),
         )
         cid = {r["vec_id"]: tuple(r["p"]) for r in pl.collect()}
-        co = sum(1 for a, b in pair_truth if set(cid[a]) & set(cid[b]))
-        r = co / max(1, len(pair_truth))
-        entry[f"q89x nlist={nlist_sd} nprobe={nprobe_sd} (co-listed)"] = round(r, 4)
-        print(f"[growth] g={g} q89x nlist={nlist_sd}: {r:.4f}", flush=True)
+        for nprobe_sd in sorted({8, max_probe}):
+            co = sum(
+                1
+                for a, b in pair_truth
+                if set(cid[a][:nprobe_sd]) & set(cid[b][:nprobe_sd])
+            )
+            r = co / max(1, len(pair_truth))
+            entry[f"q89x nlist={nlist_sd} nprobe={nprobe_sd} (co-listed)"] = (
+                round(r, 4)
+            )
+            print(f"[growth] g={g} q89x nlist={nlist_sd} nprobe={nprobe_sd}: "
+                  f"{r:.4f}", flush=True)
+        # the operator itself still runs once at the default (materialize)
+        if g == 1:
+            semantic_dedup(emb, threshold=0.4, nlist=nlist_sd, iters=1,
+                           nprobe=8).count()
 
         emb.unpersist()
         growth[f"{g}x"] = entry
