@@ -2304,8 +2304,8 @@ def q62_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS min_id
     FROM (
       SELECT doc_id, lang,
-             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+             CASE WHEN ((doc_id % 100) * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN ((doc_id % 100) * 2654435761) % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
     GROUP BY lang, split
@@ -2316,9 +2316,14 @@ def q63_deterministic_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document id — reproducible train/val/test assignment with plain
     integer arithmetic both engines compute identically (no engine hash
     functions). Pure map-side; at 100 TB the split column is a free
-    partition key for downstream writes."""
+    partition key for downstream writes. The id is reduced mod 100
+    BEFORE the multiply — mathematically identical ((a·K) mod m ≡
+    ((a mod m)·K) mod m) but overflow-safe: raw doc_id·K exceeds 2⁶³
+    for ids ≥ ~3.5e9 (found by the sf1 bench on replica-strided ids;
+    ANSI mode raises ARITHMETIC_OVERFLOW — the selection.py mixer
+    already carried the same guard)."""
     docs = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    h = ((F.col("doc_id") % 100) * F.lit(2654435761)) % 100
     split = (
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     )
@@ -2512,7 +2517,7 @@ def q68_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
                   WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
                   ELSE 25 END AS rate,
-             (doc_id * 2654435761) % 100 AS h
+             ((doc_id % 100) * 2654435761) % 100 AS h
       FROM documents
     )
     SELECT source,
@@ -2536,7 +2541,7 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 50)
         .otherwise(25)
     )
-    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    h = ((F.col("doc_id") % 100) * F.lit(2654435761)) % 100
     d = docs.select("source", "doc_id", rate.alias("rate"), h.alias("h"))
     keep = F.col("h") < F.col("rate")
     return d.groupBy("source").agg(
