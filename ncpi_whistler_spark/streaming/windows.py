@@ -22,15 +22,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch read; nanos ts converted exactly like the batch catalog)."""
     from ncpi_whistler_spark.catalog import ensure_event_time, load_table
 
+    import os
+
     batch = load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file streams need a directory source: stream the fixture dir with a
-    # glob pinned to the events file
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    # File streams need a directory source. Two fixture layouts exist:
+    # the driver's single FILE named events.parquet (stream the parent
+    # dir with a filename glob) and the engine-written DIRECTORY of
+    # part files (stream the directory itself — the only layout that
+    # exists at cluster scale; the glob would match zero part files and
+    # silently stream nothing, found by the sf1 bench). Paths with a
+    # scheme (hdfs://, s3a://) are always directory layouts.
+    if "://" in sf_dir or os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Watermarks require TIMESTAMP; normalize bigint-nanos / TIMESTAMP_NTZ.
     stream = ensure_event_time(stream, "ts")
     _ = batch  # keeps schema derivation honest if fixtures change

@@ -96,8 +96,14 @@ def main() -> int:
     spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single FILES named <t>.parquet; engine- or
+        # scalebench-written fixtures are DIRECTORIES of part files —
+        # DuckDB needs the explicit part glob for the latter
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     from ncpi_whistler_spark.queries import DRIVER_QUERIES
