@@ -321,6 +321,12 @@ def test_cms_sketch_single_shuffle(spark):
     from ncpi_whistler_spark.operators.profiling import cms_sketch
     from ncpi_whistler_spark.queries import load_table
 
+    # plan-shape tests must see the BUILD plan: an earlier q98 replay
+    # leaves its (bounded, by-design) cms_estimate sketch cache behind,
+    # and the CacheManager would substitute it for this canonically-equal
+    # plan, hiding the exchange being counted
+    spark.catalog.clearCache()
+
     docs = load_table(spark, SF_DIR, "documents")
     tok = docs.selectExpr("explode(split(lower(text), '\\\\s+')) AS tok").where(
         "tok != ''"
