@@ -987,10 +987,18 @@ def bpe_fit(
         words = scratch_materialize(
             bpe_word_table(df, text_col), scratch_dir, "bpe_words"
         )
+        vocab_n = words.count()
+        # the scratch parquet IS the materialization — no localCheckpoint
+        # into executor block storage (the point of the scratch tier);
+        # coalesce (not repartition) trims the scan to the argmax-round
+        # grain without a shuffle
+        words = words.coalesce(max(1, vocab_n // 1_000_000 + 1))
     else:
         words = bpe_word_table(df, text_col).localCheckpoint()
-    vocab_n = words.count()
-    words = words.repartition(max(1, vocab_n // 1_000_000 + 1)).localCheckpoint()
+        vocab_n = words.count()
+        words = (
+            words.repartition(max(1, vocab_n // 1_000_000 + 1)).localCheckpoint()
+        )
     merges: list[tuple[str, str, int]] = []
     for i in range(num_merges):
         n = F.size("syms")

@@ -3569,8 +3569,14 @@ def q88_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     them. The accumulator runs in integer-cents mode so the running sum
     is arrival-order independent and bit-identical to
     ``SUM(CAST(value AS DECIMAL(18,2)))``. State is O(|users|) whatever
-    the stream length. (Eager by necessity, like q85; the scratch
-    staging dir lives in the OS tmp reaper's domain.)"""
+    the stream length. (Eager by necessity, like q85. The staging dir is
+    FIXED per (tmp, sf_dir) and wiped at the start of every call, so
+    repeated bench/parity runs reuse one bounded directory instead of
+    leaking a staged events copy per invocation — the returned frame
+    reads the latest run's output lazily, valid until the next call.)"""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ncpi_whistler_spark.catalog import load_table as _lt
@@ -3581,11 +3587,16 @@ def q88_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [
         ev.where(F.col("event_id") % 2 == i).drop("event_id") for i in (0, 1)
     ]
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"q88_restart_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
     drained = drain_batches_with_restart(
         spark,
         batches,
         lambda s: running_user_totals_stream(s, exact_cents=True),
-        tempfile.mkdtemp(prefix="q88_restart_"),
+        workdir,
     )
     # n_events is strictly increasing per user across emissions, so the
     # max-n row IS the final state (robust to multi-batch replays).

@@ -14,6 +14,7 @@ fake; nothing in the engine imports an HTTP client at module scope.
 
 from __future__ import annotations
 
+import re
 import time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
@@ -205,19 +206,45 @@ def _load_partition(
         yield (rt, ok, err)
 
 
+def _fhir_search_escape(col):
+    """FHIR search-parameter escaping (\\ first, then | , $): without it
+    a value like 'A,B' is parsed server-side as an OR of two values and
+    the conditional create silently matches the wrong resource."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    for ch in ("|", ",", "$"):
+        want = "\\" + ch  # the literal replacement text
+        # Java replacement semantics: backslash and $ must themselves be
+        # escaped IN THE REPLACEMENT STRING or $ is a group reference
+        repl = "".join("\\" + c if c in "\\$" else c for c in want)
+        out = F.regexp_replace(out, re.escape(ch), repl)
+    return out
+
+
 def derive_if_none_exist(resources: DataFrame) -> DataFrame:
     """Add the conditional-create search column: ``identifier=
     <system>|<value>`` from the resource's FIRST identifier, NULL when
     the resource has none. Pure Column ops over the JSON string
-    (get_json_object — JVM-side, no Python in the derivation)."""
+    (get_json_object — JVM-side, no Python in the derivation).
+
+    System and value are FHIR-search-escaped (``\\`` ``|`` ``,`` ``$``);
+    identifiers containing control characters (would be HTTP header
+    injection — urllib refuses them with a crash mid-partition) fall
+    back to NULL = plain POST rather than a malformed header."""
     sys_ = F.get_json_object("resource_json", "$.identifier[0].system")
     val_ = F.get_json_object("resource_json", "$.identifier[0].value")
+    has_ctl = (
+        F.coalesce(sys_, F.lit("")).rlike("[\\x00-\\x1f]")
+        | val_.rlike("[\\x00-\\x1f]")
+    )
     return resources.withColumn(
         _COND_COL,
         F.when(
-            val_.isNotNull(),
+            val_.isNotNull() & ~has_ctl,
             F.concat(
-                F.lit("identifier="), F.coalesce(sys_, F.lit("")), F.lit("|"), val_
+                F.lit("identifier="),
+                _fhir_search_escape(F.coalesce(sys_, F.lit(""))),
+                F.lit("|"),
+                _fhir_search_escape(val_),
             ),
         ),
     )

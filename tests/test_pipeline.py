@@ -375,6 +375,26 @@ def test_rest_sink_conditional_create_header_shape(spark):
     vals = [r[0] for r in derive_if_none_exist(df).select(_COND_COL).collect()]
     assert vals == ["identifier=urn:s|A1", None]
 
+    # FHIR search escaping: reserved chars in the identifier must be
+    # escaped or the server parses e.g. 'A,B' as value-A OR value-B and
+    # the conditional create silently matches the wrong resource;
+    # control chars (header injection → urllib crash) fall back to NULL
+    esc = spark.createDataFrame(
+        [
+            ("Patient", json.dumps({"identifier": [{"system": "urn:s", "value": v}]}))
+            for v in ("A,B", "p|q", "c$d", "e\\f", "bad\r\nvalue")
+        ],
+        "resourceType string, resource_json string",
+    )
+    got = [r[0] for r in derive_if_none_exist(esc).select(_COND_COL).collect()]
+    assert got == [
+        "identifier=urn:s|A\\,B",
+        "identifier=urn:s|p\\|q",
+        "identifier=urn:s|c\\$d",
+        "identifier=urn:s|e\\\\f",
+        None,
+    ]
+
     rows = [
         Row(resourceType="Patient", resource_json="{}",
             **{_COND_COL: "identifier=urn:s|A1"}),

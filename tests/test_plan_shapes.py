@@ -6,8 +6,21 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from ncpi_whistler_spark.queries import REGISTRY
 from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    """Plan-shape assertions must see BUILD plans: operators with
+    by-design bounded caches (cms_estimate's sketch, q104's tokc,
+    histogram brackets' cum) leave persisted frames behind, and the
+    CacheManager substitutes them into any later canonically-equal plan
+    — hiding the exchanges these tests count, order-dependently."""
+    spark.catalog.clearCache()
+    yield
 
 
 def _shuffles(df) -> int:
@@ -320,12 +333,6 @@ def test_cms_sketch_single_shuffle(spark):
     (row, col) cells — the mergeable-sketch scale claim in SCALING.md."""
     from ncpi_whistler_spark.operators.profiling import cms_sketch
     from ncpi_whistler_spark.queries import load_table
-
-    # plan-shape tests must see the BUILD plan: an earlier q98 replay
-    # leaves its (bounded, by-design) cms_estimate sketch cache behind,
-    # and the CacheManager would substitute it for this canonically-equal
-    # plan, hiding the exchange being counted
-    spark.catalog.clearCache()
 
     docs = load_table(spark, SF_DIR, "documents")
     tok = docs.selectExpr("explode(split(lower(text), '\\\\s+')) AS tok").where(

@@ -398,7 +398,10 @@ def test_restart_replays_uncommitted_batch_idempotently(spark, tmp_path):
     n_batches_before = drained.select("batch").distinct().count()
 
     commit_dir = os.path.join(tmp_path, "cp", "commits")
-    last = sorted(n for n in os.listdir(commit_dir) if not n.startswith("."))[-1]
+    # commit filenames are batch ids — numeric sort, or '9' > '10'
+    last = sorted(
+        (n for n in os.listdir(commit_dir) if not n.startswith(".")), key=int
+    )[-1]
     os.remove(os.path.join(commit_dir, last))
     crc = os.path.join(commit_dir, f".{last}.crc")  # local-FS checksum twin
     if os.path.exists(crc):
