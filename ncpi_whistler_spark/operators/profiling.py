@@ -258,7 +258,12 @@ def cms_estimate(
     re-run its corpus-scale aggregation once per hash row. The cache
     holds ≤ depth·width tiny counter rows for the lifetime of the
     returned frame (the histogram_quantile_brackets ``cum.persist``
-    precedent) — never corpus data.
+    precedent) — never corpus data. Long-lived sessions calling this
+    many times accumulate one such entry per call (no unpersist handle
+    exists — the returned plan reads the cache lazily); call
+    ``spark.catalog.clearCache()`` periodically if that matters, and
+    note cached sketches substitute into later canonically-equal plans
+    (plan-shape tests must clear the cache first).
 
     Output: queries' columns + (cms_est bigint).
     """

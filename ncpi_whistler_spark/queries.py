@@ -3587,9 +3587,12 @@ def q88_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [
         ev.where(F.col("event_id") % 2 == i).drop("event_id") for i in (0, 1)
     ]
+    # keyed by (sf_dir, pid): same-process re-runs reuse ONE bounded dir
+    # (wiped below), while concurrent processes (bench + parity on the
+    # same fixture) never rmtree each other's live checkpoint
     workdir = os.path.join(
         tempfile.gettempdir(),
-        f"q88_restart_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"q88_restart_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
     shutil.rmtree(workdir, ignore_errors=True)
     drained = drain_batches_with_restart(

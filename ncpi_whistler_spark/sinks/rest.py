@@ -181,7 +181,20 @@ def _load_partition(
     (201), which is the reference's identifier-upsert semantics
     (wstlr/load.py:152-175, 312-453) expressed as one header instead of
     a pre-flight search."""
+    import inspect
+
     transport = transport_factory()
+    # Back-compat with user transports written against the original
+    # 3-arg signature (the module's documented injection point): probe
+    # the signature ONCE; legacy transports get legacy calls (and
+    # therefore plain POSTs — upgrade to 4 args for conditional create).
+    try:
+        params = inspect.signature(transport).parameters.values()
+        takes_headers = len(params) >= 4 or any(
+            p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD) for p in params
+        )
+    except (TypeError, ValueError):  # builtins/partials without signatures
+        takes_headers = True
     counts: dict[str, list[int]] = {}
     for row in rows:
         rt = row["resourceType"]
@@ -193,7 +206,11 @@ def _load_partition(
             headers = {"If-None-Exist": row[_COND_COL]}
         attempts = 0
         while True:
-            result = transport(method, rt, body, headers)
+            result = (
+                transport(method, rt, body, headers)
+                if takes_headers
+                else transport(method, rt, body)
+            )
             if result.status < 400:
                 counts.setdefault(rt, [0, 0])[0] += 1
                 break
@@ -223,28 +240,35 @@ def _fhir_search_escape(col):
 def derive_if_none_exist(resources: DataFrame) -> DataFrame:
     """Add the conditional-create search column: ``identifier=
     <system>|<value>`` from the resource's FIRST identifier, NULL when
-    the resource has none. Pure Column ops over the JSON string
-    (get_json_object — JVM-side, no Python in the derivation).
+    the resource has none (or its value is the empty string — a
+    system-only search would match ANY resource of that system). Pure
+    Column ops over the JSON string (get_json_object — JVM-side, no
+    Python in the derivation).
 
-    System and value are FHIR-search-escaped (``\\`` ``|`` ``,`` ``$``);
-    identifiers containing control characters (would be HTTP header
-    injection — urllib refuses them with a crash mid-partition) fall
-    back to NULL = plain POST rather than a malformed header."""
+    Layering, inside-out exactly as a FHIR server decodes: system and
+    value are FHIR-search-escaped first (``\\`` ``|`` ``,`` ``$``),
+    then the whole ``system|value`` token is form-URL-encoded
+    (``F.url_encode``) — without the second layer a value containing
+    ``&``/``%``/``+`` corrupts the form-encoded search (e.g. 'A&B'
+    matches the existing 'A' and the new resource is silently never
+    created), and non-latin-1 or control characters crash http.client's
+    header encoding mid-partition. The encoded token is pure ASCII, so
+    the header is always transmittable."""
     sys_ = F.get_json_object("resource_json", "$.identifier[0].system")
     val_ = F.get_json_object("resource_json", "$.identifier[0].value")
-    has_ctl = (
-        F.coalesce(sys_, F.lit("")).rlike("[\\x00-\\x1f]")
-        | val_.rlike("[\\x00-\\x1f]")
-    )
     return resources.withColumn(
         _COND_COL,
         F.when(
-            val_.isNotNull() & ~has_ctl,
+            val_.isNotNull() & (val_ != F.lit("")),
             F.concat(
                 F.lit("identifier="),
-                _fhir_search_escape(F.coalesce(sys_, F.lit(""))),
-                F.lit("|"),
-                _fhir_search_escape(val_),
+                F.url_encode(
+                    F.concat(
+                        _fhir_search_escape(F.coalesce(sys_, F.lit(""))),
+                        F.lit("|"),
+                        _fhir_search_escape(val_),
+                    )
+                ),
             ),
         ),
     )

@@ -373,27 +373,59 @@ def test_rest_sink_conditional_create_header_shape(spark):
         "resourceType string, resource_json string",
     )
     vals = [r[0] for r in derive_if_none_exist(df).select(_COND_COL).collect()]
-    assert vals == ["identifier=urn:s|A1", None]
+    assert vals == ["identifier=urn%3As%7CA1", None]
 
-    # FHIR search escaping: reserved chars in the identifier must be
-    # escaped or the server parses e.g. 'A,B' as value-A OR value-B and
-    # the conditional create silently matches the wrong resource;
-    # control chars (header injection → urllib crash) fall back to NULL
+    # Two encoding layers, inside-out as a FHIR server decodes: FHIR
+    # search escaping (else 'A,B' parses as value-A OR value-B and the
+    # create silently matches the wrong resource) then form-URL-encoding
+    # (else '&'/'%' corrupt the search and non-ASCII/control chars crash
+    # http.client's latin-1 header encoding mid-partition). Empty value
+    # → NULL (a system-only search matches ANY resource of the system).
     esc = spark.createDataFrame(
         [
             ("Patient", json.dumps({"identifier": [{"system": "urn:s", "value": v}]}))
-            for v in ("A,B", "p|q", "c$d", "e\\f", "bad\r\nvalue")
+            for v in ("A,B", "p|q", "c$d", "e\\f", "A&B", "患者1", "bad\r\nvalue", "")
         ],
         "resourceType string, resource_json string",
     )
     got = [r[0] for r in derive_if_none_exist(esc).select(_COND_COL).collect()]
     assert got == [
-        "identifier=urn:s|A\\,B",
-        "identifier=urn:s|p\\|q",
-        "identifier=urn:s|c\\$d",
-        "identifier=urn:s|e\\\\f",
+        "identifier=urn%3As%7CA%5C%2CB",
+        "identifier=urn%3As%7Cp%5C%7Cq",
+        "identifier=urn%3As%7Cc%5C%24d",
+        "identifier=urn%3As%7Ce%5C%5Cf",
+        "identifier=urn%3As%7CA%26B",
+        "identifier=urn%3As%7C%E6%82%A3%E8%80%851",
+        "identifier=urn%3As%7Cbad%0D%0Avalue",
         None,
     ]
+    assert all(v is None or v.isascii() for v in got)
+
+
+def test_rest_sink_legacy_three_arg_transport_still_works(spark):
+    """The documented 3-arg transport injection point keeps working:
+    _load_partition probes the signature once and calls legacy
+    transports with legacy args (they get plain POSTs — no conditional
+    create — instead of a TypeError on the first identifier row)."""
+    from pyspark.sql import Row
+
+    from ncpi_whistler_spark.sinks.rest import _COND_COL, _load_partition
+
+    seen = []
+
+    def legacy(method, resource_type, body):
+        from ncpi_whistler_spark.sinks.rest import LoadResult
+
+        seen.append((method, resource_type, body))
+        return LoadResult(status=200, resource_type=resource_type)
+
+    rows = [
+        Row(resourceType="Patient", resource_json="{}",
+            **{_COND_COL: "identifier=urn%3As%7CA1"}),
+    ]
+    out = list(_load_partition(iter(rows), lambda: legacy, 0, lambda s: None))
+    assert seen == [("POST", "Patient", "{}")]
+    assert out == [("Patient", 1, 0)]
 
     rows = [
         Row(resourceType="Patient", resource_json="{}",
