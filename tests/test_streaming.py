@@ -380,6 +380,80 @@ def _restart_exactly_once(spark, tmp_path, provider, state_file_suffix):
     )
 
 
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's seen-keys state is the second
+    stateful operator class (after the q88 accumulator) that must
+    survive a restart: a key re-sent AFTER the stop/start boundary,
+    within the watermark horizon, must still be suppressed — a fresh
+    state store would pass it through as new."""
+    from ncpi_whistler_spark.streaming.recovery import drain_batches_with_restart
+    from ncpi_whistler_spark.streaming.windows import dedup_stream
+
+    b1 = _mk_events(spark, [(1, 1, "c", 1.0, "2024-01-01 00:00:00"),
+                            (2, 1, "c", 1.0, "2024-01-01 00:10:00")])
+    # batch 2 re-sends key 1 (within the 2h horizon) + a fresh key 3
+    b2 = _mk_events(spark, [(1, 1, "c", 1.0, "2024-01-01 00:20:00"),
+                            (3, 1, "c", 1.0, "2024-01-01 00:30:00")])
+    got = drain_batches_with_restart(
+        spark, [b1, b2], lambda s: dedup_stream(s, ["event_id"]),
+        str(tmp_path), output_mode="append",
+    )
+    emitted = sorted((r["batch"], r["event_id"]) for r in got.collect())
+    run1 = [e for b, e in emitted if b <= 1]
+    run2 = [e for b, e in emitted if b > 1]
+    assert sorted(run1) == [1, 2]
+    assert run2 == [3], (
+        f"duplicate key re-emitted after restart (state lost): {emitted}"
+    )
+
+
+def test_window_state_and_watermark_survive_restart(spark, tmp_path):
+    """Watermarked window aggregation across a restart pins THREE
+    recovery properties at once: (a) a window closed+emitted in run 1
+    is NEVER re-emitted by run 2 (append-mode exactly-once), (b) the
+    WATERMARK itself is restored — a late row behind it, arriving after
+    the restart, is dropped and creates no window, and (c) a window
+    still open at the restart boundary closes in run 2 with its run-1
+    contents intact."""
+    from ncpi_whistler_spark.streaming.recovery import drain_batches_with_restart
+    from ncpi_whistler_spark.streaming.windows import hourly_counts_stream
+
+    # run 1: hour-0 row + hour-5 row -> watermark 03:00 after the batch;
+    # the no-data finalization batch closes hour 0, hour 5 stays open
+    b1 = _mk_events(spark, [(10, 1, "c", 1.0, "2024-01-01 00:15:00"),
+                            (11, 1, "c", 1.0, "2024-01-01 05:15:00")])
+    # run 2: a LATE hour-1 row (behind the restored 03:00 watermark,
+    # value 100 so pollution would be visible) + an hour-10 row that
+    # advances the watermark past hour 5's end
+    b2 = _mk_events(spark, [(12, 1, "c", 100.0, "2024-01-01 01:15:00"),
+                            (13, 1, "c", 1.0, "2024-01-01 10:15:00")])
+    got = drain_batches_with_restart(
+        spark, [b1, b2], lambda s: hourly_counts_stream(s),
+        str(tmp_path), output_mode="append",
+    )
+    rows = sorted(
+        (r["batch"], r["hour"].hour, r["n"], r["sum_value"])
+        for r in got.collect()
+    )
+    hours = [(h, n, s) for _, h, n, s in rows]
+    # (a) hour 0 exactly once, from run 1; (c) hour 5 closes in run 2
+    assert hours == [(0, 1, 1.0), (5, 1, 1.0)], rows
+    run1_batches = {b for b, h, _, _ in rows if h == 0}
+    run2_batches = {b for b, h, _, _ in rows if h == 5}
+    assert max(run1_batches) < min(run2_batches)
+    # (b) the late row neither created an hour-1 window nor polluted any
+    # sum (its 100.0 appears nowhere)
+    assert not any(h == 1 for h, _, _ in hours)
+    assert not any(s >= 100.0 for _, _, s in hours)
+
+
 def test_restart_replays_uncommitted_batch_idempotently(spark, tmp_path):
     """Crash-mid-batch simulation: delete the LAST commit marker (the
     crash window between the sink write and the commit log append), then
