@@ -10,6 +10,7 @@ pruning and partition pruning.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,10 +76,16 @@ def event_micros(col) -> "F.Column":
 #: per-query file-listing + schema-inference job (85 registry queries ×
 #: ~1.5 tables would otherwise re-run it every time).
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: Queries share one session across threads (a normal multi-tenant Spark
+#: pattern); the cache's eviction sweep iterates the dict, so without a
+#: lock a concurrent first-load insert raises "dictionary changed size
+#: during iteration". The guarded section is config-scale (dict ops +
+#: at most one schema-inference read), never data-scale.
+_TABLE_CACHE_LOCK = threading.Lock()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table (memoized per session).
+    """Load one fixture table (memoized per session; thread-safe).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a nanos
     long (legacy conf) and we floor-divide to micros — identical to how
@@ -86,20 +93,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _ensure_runtime_conf(spark)
     app_id = spark.sparkContext.applicationId
-    # Evict entries from other (stopped) sessions so dead DataFrames and
-    # their SparkSessions don't pin memory for the process lifetime.
-    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
-    for k in stale:
-        del _TABLE_CACHE[k]
-    key = (app_id, os.path.abspath(sf_dir), name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    _TABLE_CACHE[key] = df
-    return df
+    with _TABLE_CACHE_LOCK:
+        # Evict entries from other (stopped) sessions so dead DataFrames
+        # and their SparkSessions don't pin memory for the process
+        # lifetime.
+        stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+        for k in stale:
+            del _TABLE_CACHE[k]
+        key = (app_id, os.path.abspath(sf_dir), name)
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _TABLE_CACHE[key] = df
+        return df
 
 
 def load_tables(
