@@ -860,7 +860,14 @@ def embedding_dup_pairs(
         )
 
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            probe = df.select(vec_col).first()
+            if probe is None:  # empty corpus: no pairs, schema unchanged
+                return df.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(None).cast("double").alias("cos_sim"),
+                ).limit(0)
+            dim = len(probe[0])
         bucket_fn = (
             hyperplane_bucket if bucket_mode == "fold" else hyperplane_bucket_arrow
         )

@@ -196,6 +196,8 @@ def embedding_pairs_blocked(
         rows = df.select(id_col, vec_col).collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.ascontiguousarray(np.array([r[1] for r in rows], dtype=np.float64))
+        if mat.ndim == 1:  # zero rows parse as a 1-D empty array
+            mat = mat.reshape(0, 0)
         b = df.sparkSession.sparkContext.broadcast((ids, mat, _seq_norms(mat)))
 
         def _corpus():
@@ -213,6 +215,8 @@ def embedding_pairs_blocked(
                 mat = np.ascontiguousarray(
                     np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
                 )
+                if mat.ndim == 1:  # zero rows parse as a 1-D empty array
+                    mat = mat.reshape(0, 0)
                 # every python worker holds this matrix (~dim*8 B/row);
                 # past the guard the exact all-pairs tier is the wrong
                 # operator — fail loudly, pointing at the bucketed path,
@@ -515,6 +519,11 @@ def ivf_train(
     keep their previous centroid."""
     init = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in init]
+    if not cents:
+        # Empty corpus (a filter upstream matched nothing — routine at
+        # scale): no quantizer exists. Callers short-circuit to an empty
+        # result; returning [] keeps this function total.
+        return []
     dim = len(cents[0])
     for _ in range(iters):
         # columnar mean: dim plain decimal sums in whole-stage codegen
@@ -584,6 +593,17 @@ def ivf_topk(
     Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
     cosine_topk."""
     cents = ivf_train(corpus, nlist, iters, corpus_vec, corpus_id, assign_mode)
+    if not cents:
+        # empty corpus → no neighbors for any query; same output schema
+        # as the populated path (rows=0, so the null literals never
+        # materialize)
+        nid_t = dict(corpus.dtypes)[corpus_id]
+        return queries.limit(0).select(
+            F.col(query_id).alias("query_id"),
+            F.lit(None).cast(nid_t).alias("neighbor_id"),
+            F.lit(None).cast("long").alias("rank"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
     assign = _ASSIGN_MODES[assign_mode]
     indexed = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -695,6 +715,13 @@ def semantic_dedup(
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
 
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
+    if not cents:
+        # empty corpus → nothing to dedup; same (id, cid, kept) schema
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("boolean").alias("kept"),
+        )
     assign = _ASSIGN_MODES[assign_mode]
     # persisted: a, b, and the output join all consume this frame — the
     # per-vector assignment + norm would otherwise run 3x per call. The
