@@ -44,12 +44,12 @@ def cosine_topk(
     per-query top-k window on the (already reduced) scored rows.
     """
     # norms computed once per row, not per pair (bit-identical value)
-    q = queries.select(
+    q = _vecs(queries, query_vec).select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
         F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
     )
-    c = corpus.select(
+    c = _vecs(corpus, corpus_vec).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
         F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
@@ -142,6 +142,15 @@ def hyperplane_bucket_arrow(vec: Column, dim: int, bits: int, seed: int = 42) ->
     return bucket(vec)
 
 
+def _vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL-vector policy for the whole similarity family: a NULL
+    embedding has no geometry, so it joins no index and scores no pair —
+    the same rows the SQL oracle's ``list_dot_product(NULL, v) >= t``
+    comparison filters out. Corrupt/unembedded rows are routine at
+    ingest scale; they must degrade to absence, not crash a stage."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def _seq_norms(mat):
     """sqrt of a left-to-right sum of squares per row — bit-identical to
     sqrt(dot_product(v, v))'s fold order."""
@@ -192,6 +201,7 @@ def embedding_pairs_blocked(
     import numpy as np
     import pandas as pd
 
+    df = _vecs(df, vec_col)
     if corpus_path is None:
         rows = df.select(id_col, vec_col).collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -208,9 +218,13 @@ def embedding_pairs_blocked(
         def _corpus(_cache={}):
             # one parquet read per python worker, reused across batches
             if "c" not in _cache:
+                import pyarrow.compute as pc
                 import pyarrow.dataset as ds
 
                 tbl = ds.dataset(corpus_path).to_table(columns=[id_col, vec_col])
+                # same NULL-vector policy as the DataFrame side (_vecs):
+                # the corpus read bypasses Spark, so filter here too
+                tbl = tbl.filter(pc.is_valid(tbl[vec_col]))
                 ids = tbl[id_col].to_numpy().astype(np.int64)
                 mat = np.ascontiguousarray(
                     np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
@@ -304,8 +318,19 @@ def cosine_topk_lsh(
     with the Arrow-batched twin — bit-identical to the ``'fold'``
     expression form (see hyperplane_bucket_arrow), ~100× cheaper to plan.
     """
+    corpus = _vecs(corpus, corpus_vec)
+    queries = _vecs(queries, query_vec)
     if dim is None:
-        dim = len(corpus.select(corpus_vec).first()[0])
+        probe = corpus.select(corpus_vec).first()
+        if probe is None:  # empty/all-null corpus: no neighbors
+            nid_t = dict(corpus.dtypes)[corpus_id]
+            return queries.limit(0).select(
+                F.col(query_id).alias("query_id"),
+                F.lit(None).cast(nid_t).alias("neighbor_id"),
+                F.lit(None).cast("long").alias("rank"),
+                F.lit(None).cast("double").alias("cos_sim"),
+            )
+        dim = len(probe[0])
     bucket_fn = hyperplane_bucket if bucket_mode == "fold" else hyperplane_bucket_arrow
     seeds = [seed + 7919 * t for t in range(max(1, tables))]
     c_entries = F.array(
@@ -517,6 +542,7 @@ def ivf_train(
     nlist×dim aggregate rows ever reach the driver, so training cost is
     iters scans of the corpus regardless of corpus size. Empty clusters
     keep their previous centroid."""
+    corpus = _vecs(corpus, vec_col)
     init = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in init]
     if not cents:
@@ -605,7 +631,7 @@ def ivf_topk(
             F.lit(None).cast("double").alias("cos_sim"),
         )
     assign = _ASSIGN_MODES[assign_mode]
-    indexed = corpus.select(
+    indexed = _vecs(corpus, corpus_vec).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
         F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
@@ -613,7 +639,7 @@ def ivf_topk(
     )
     scored_lists = F.array(*_centroid_score_structs(F.col(query_vec), cents))
     probes = F.slice(F.reverse(F.array_sort(scored_lists)), 1, nprobe)
-    q = queries.select(
+    q = _vecs(queries, query_vec).select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
         F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
@@ -715,19 +741,23 @@ def semantic_dedup(
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
 
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
+    # NULL-vector rows can't be compared to anything: they keep their
+    # output row (one row per input vector) with no cluster and
+    # kept=true — absence from every candidate pair, not a crash.
+    nullrows = corpus.where(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("cid"),
+        F.lit(True).alias("kept"),
+    )
     if not cents:
-        # empty corpus → nothing to dedup; same (id, cid, kept) schema
-        return corpus.select(
-            F.col(id_col),
-            F.lit(None).cast("int").alias("cid"),
-            F.lit(None).cast("boolean").alias("kept"),
-        )
+        # empty (or all-null) corpus → nothing to compare
+        return nullrows
     assign = _ASSIGN_MODES[assign_mode]
     # persisted: a, b, and the output join all consume this frame — the
     # per-vector assignment + norm would otherwise run 3x per call. The
     # cache lives as long as the returned lazy frame; long-lived sessions
     # should clearCache() between corpus passes (bench.py does).
-    v = corpus.select(
+    v = _vecs(corpus, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
@@ -783,4 +813,5 @@ def semantic_dedup(
             "cid",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
+        .unionByName(nullrows)
     )

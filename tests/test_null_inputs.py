@@ -1,0 +1,128 @@
+"""NULL-row robustness: corrupt rows degrade to absence, not crashes.
+
+A 100 TB ingest always carries rows whose text or embedding is NULL
+(failed extraction, unembedded shard, schema drift). Policy, pinned
+here: a NULL embedding has no geometry — it joins no index and scores
+no pair (the rows the SQL oracle's ``list_dot_product(NULL, v) >= t``
+comparison would drop); per-row-contract outputs (semantic_dedup) keep
+the row with ``cid=null, kept=true``. NULL text was already total
+(tokenizers/regexes propagate null → no token rows).
+
+Round-8 sweep findings fixed by similarity._vecs: ivf_train iterated a
+None vector, the blocked all-pairs numpy paths choked on None entries,
+and the dim probes dereferenced ``first()[0]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+#: every registry query reading documents or embeddings
+DOC_EMB_QUERIES = [
+    "q20_doc_stats", "q21_lang_guess", "q22_quality_buckets",
+    "q23_exact_dedup", "q24_ngram_jaccard", "q25_embedding_topk",
+    "q26_embedding_neardup", "q27_minhash_lsh", "q28_simhash_neardup",
+    "q29_lsh_topk", "q39_fuzzy_dedup_pipeline",
+    "q40_embedding_neardup_bucketed", "q45_bpe_token_counts",
+    "q46_bigram_frequencies", "q57_lateral_tokens", "q58_ivf_topk",
+    "q63_deterministic_splits", "q65_token_chunks",
+    "q68_repetition_filter", "q69_stratified_sample",
+    "q79_dedup_components", "q80_fuzzy_dedup_transitive",
+    "q81_decontamination", "q82_pii_audit", "q83_curation_funnel",
+    "q86_line_dedup", "q87_paragraph_dedup", "q89_semantic_dedup",
+    "q90_sequence_packing", "q91_exact_substring_dedup",
+    "q92_gopher_rules", "q93_ingest_dedup", "q94_gopher_repetition",
+    "q95_lm_perplexity", "q96_dsir_weights", "q97_bm25_topk",
+    "q100_bpe_subword_vocab", "q101_corpus_mix", "q102_token_entropy",
+    "q104_bpe_apply",
+]
+
+
+@pytest.fixture(scope="session")
+def null_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 twin with every 7th text, every 11th lang, and every 9th
+    embedding nulled out."""
+    out = tmp_path_factory.mktemp("sfnull")
+    for fname in sorted(os.listdir(SF_DIR)):
+        path = os.path.join(SF_DIR, fname)
+        if not fname.endswith(".parquet") or os.path.isdir(path):
+            continue
+        t = pq.read_table(path)
+        n = t.num_rows
+        if fname == "documents.parquet":
+            for col, step in (("text", 7), ("lang", 11)):
+                mask = pa.array([i % step == 0 for i in range(n)])
+                nulled = pc.if_else(mask, pa.nulls(n, t[col].type), t[col])
+                t = t.set_column(t.schema.get_field_index(col), col, nulled)
+        elif fname == "embeddings.parquet":
+            vcol = next(c for c in t.column_names if c != "vec_id")
+            mask = pa.array([i % 9 == 0 for i in range(n)])
+            nulled = pc.if_else(mask, pa.nulls(n, t[vcol].type), t[vcol])
+            t = t.set_column(t.schema.get_field_index(vcol), vcol, nulled)
+        pq.write_table(t, str(out / fname))
+    return str(out)
+
+
+def test_doc_embedding_queries_total_on_null_rows(spark, null_sf_dir):
+    failures = []
+    for name in DOC_EMB_QUERIES:
+        try:
+            assert REGISTRY[name][0](spark, null_sf_dir).count() >= 0
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:120]}")
+        spark.catalog.clearCache()
+    assert not failures, "\n".join(failures)
+
+
+def test_semantic_dedup_null_vectors_kept_unclustered(spark, null_sf_dir):
+    """One row per input vector survives; null-vector rows come back
+    with no cluster and kept=true (absence from every candidate pair)."""
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, null_sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, nlist=4, iters=1, nprobe=1)
+    assert out.count() == emb.count()
+    nulls = out.join(
+        emb.where(F.col("embedding").isNull()).select("vec_id"), on="vec_id"
+    )
+    got = nulls.select("cid", "kept").distinct().collect()
+    assert [(r["cid"], r["kept"]) for r in got] == [(None, True)]
+
+
+def test_null_vectors_excluded_from_pairs_and_topk(spark, null_sf_dir):
+    """Null-vector ids appear in NO pair output and NO neighbor list —
+    and dropping them matches running on the pre-filtered corpus."""
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+    from ncpi_whistler_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, null_sf_dir, "embeddings")
+    clean = emb.where(F.col("embedding").isNotNull())
+    null_ids = {
+        r["vec_id"]
+        for r in emb.where(F.col("embedding").isNull()).select("vec_id").collect()
+    }
+
+    pairs = embedding_dup_pairs(emb, threshold=0.4).collect()
+    assert not any(r["id_a"] in null_ids or r["id_b"] in null_ids for r in pairs)
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_dup_pairs(clean, threshold=0.4).collect()
+    }
+    assert {(r["id_a"], r["id_b"], r["cos_sim"]) for r in pairs} == want
+
+    topk = cosine_topk(emb.limit(30), emb, k=3).collect()
+    assert not any(
+        r["query_id"] in null_ids or r["neighbor_id"] in null_ids for r in topk
+    )
