@@ -503,9 +503,19 @@ def chunk_tokens(
 
     Output: (id, chunk_id, n_tok, chunk). Pure per-row expressions +
     explode — map-side only, no shuffle; at 100 TB chunking parallelism
-    is scan parallelism. The chunk count per doc is small (~n/stride), so
-    the per-chunk slice() lambda cost is linear in document length."""
-    toks = tokens(text_col)
+    is scan parallelism.
+
+    The tokenization is materialized in a CHILD projection and the
+    chunk lambdas slice the bound attribute: higher-order-function
+    lambda bodies are interpreted and common-subexpression elimination
+    does not reach into them, so an inline ``tokens(text)`` would
+    re-run the regexp split once per chunk — quadratic in document
+    length (a single 600k-token document took >9 minutes; materialized,
+    the same fixture chunks in seconds)."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     # chunk starts: 0, stride, 2·stride, … while start < n, keeping a
     # start only if the PREVIOUS chunk didn't already reach the document
@@ -524,7 +534,7 @@ def chunk_tokens(
             F.slice(toks, s + 1, size).alias("ctoks"),
         ),
     )
-    ex = df.select(F.col(id_col).alias("id"), F.explode(ch).alias("c"))
+    ex = base.select("id", F.explode(ch).alias("c"))
     return ex.select(
         "id",
         F.col("c.chunk_id").alias("chunk_id"),

@@ -1,0 +1,64 @@
+"""Giant-row robustness: one pathological document must not melt a task.
+
+At 100 TB there is always a 4 MB document in the corpus (a concatenated
+log, a book, a scraped binary-as-text). Per-row work must stay linear in
+document length. Round-8 stress (one ~600k-token doc among 500 normal
+ones) found chunk_tokens quadratic: the chunk lambdas referenced the
+INLINE ``tokens(text)`` expression, and interpreted HOF lambda bodies
+re-evaluate it per chunk — ~9,400 regexp splits of the same 4 MB string
+(>9 minutes for one row). Fixed by materializing the token array in a
+child projection; these tests pin the linear behavior and the chunk
+semantics on a large doc.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+from pyspark.sql import functions as F
+
+
+def _giant_doc(spark, n_tokens: int):
+    rnd = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega"]
+    text = " ".join(rnd.choice(words) for _ in range(n_tokens))
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_chunk_tokens_linear_in_doc_length(spark):
+    """300k tokens → ~4,700 chunks. Pre-fix this re-tokenized the 2 MB
+    string once per chunk (minutes); materialized it's a few seconds.
+    The 90 s bound is ~20× the observed post-fix time and ~5% of the
+    pre-fix time — green only on the linear plan."""
+    from ncpi_whistler_spark.operators.text import chunk_tokens
+
+    n_tokens, size, stride = 300_000, 128, 64
+    df = _giant_doc(spark, n_tokens)
+    t0 = time.time()
+    out = chunk_tokens(df, size=size, stride=stride).collect()
+    assert time.time() - t0 < 90
+    # every stride-start chunk present, all full except the tail
+    n_chunks = (n_tokens - (size - stride) + stride - 1) // stride
+    assert len(out) == n_chunks
+    assert sorted(r["chunk_id"] for r in out) == list(range(n_chunks))
+    full = [r for r in out if r["n_tok"] == size]
+    assert len(full) >= n_chunks - 1
+
+
+def test_chunk_tokens_stride_reconstruction(spark):
+    """Concatenating each chunk's first ``stride`` tokens reproduces the
+    document's token stream exactly (overlap carries the rest)."""
+    from ncpi_whistler_spark.operators.text import chunk_tokens, tokens
+
+    df = _giant_doc(spark, 1_000)
+    rows = sorted(
+        chunk_tokens(df, size=128, stride=64).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    rebuilt = []
+    for r in rows[:-1]:
+        rebuilt.extend(r["chunk"].split(" ")[:64])
+    rebuilt.extend(rows[-1]["chunk"].split(" "))  # tail chunk in full
+    want = df.select(tokens("text").alias("t")).first()["t"]
+    assert rebuilt == want
