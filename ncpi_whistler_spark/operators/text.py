@@ -918,24 +918,46 @@ def _merge_pair_sql(syms_sql: str, left: str, right: str) -> str:
 #: end-of-word marker (the classic Sennrich et al. 2016 convention)
 BPE_EOW = "</w>"
 
+#: Longest "word" that participates in merge learning/segmentation.
+#: Real words are <100 chars; anything longer is binary-as-text garbage
+#: — and the merge-rewrite aggregate() fold is O(len²) per word (each
+#: fold step copies the accumulator array), so ONE 2 MB no-whitespace
+#: "word" costs ~4×10¹² operations (measured: a single such doc hung a
+#: merge round for >9 minutes). Over-cap words become one opaque
+#: symbol: they contribute no pairs, fold in O(1), and keep their row
+#: (segmenting to themselves as a single piece).
+BPE_MAX_WORD_CHARS = 1024
 
-def bpe_word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+
+def bpe_syms(w: Column | str, max_word_chars: int = BPE_MAX_WORD_CHARS) -> Column:
+    """Character symbol array + </w> for a word — or one opaque
+    ``<word></w>`` symbol past ``max_word_chars`` (see
+    BPE_MAX_WORD_CHARS; CaseWhen branches evaluate lazily, so the
+    char split never runs on over-cap strings)."""
+    c = F.col(w) if isinstance(w, str) else w
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    return F.when(
+        F.length(c) <= max_word_chars,
+        F.concat(chars, F.array(F.lit(BPE_EOW))),
+    ).otherwise(F.array(F.concat(c, F.lit(BPE_EOW))))
+
+
+def bpe_word_table(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_chars: int = BPE_MAX_WORD_CHARS,
+) -> DataFrame:
     """(w, n, syms) word-frequency table with character-level symbol
     arrays + the </w> marker — BPE's training input. This is the ONLY
     corpus-scale pass in BPE training: one explode + one groupBy; every
     merge iteration afterwards touches just this vocabulary-sized table
     (the property that makes BPE training tractable at 100 TB — the
     corpus is never re-read)."""
-    chars = lambda c: F.filter(F.split(c, ""), lambda x: x != "")  # noqa: E731
     return (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "w",
-            "n",
-            F.concat(chars(F.col("w")), F.array(F.lit(BPE_EOW))).alias("syms"),
-        )
+        .select("w", "n", bpe_syms("w", max_word_chars).alias("syms"))
     )
 
 
@@ -944,6 +966,7 @@ def bpe_train(
     num_merges: int = 16,
     text_col: str = "text",
     min_pair_count: int = 2,
+    max_word_chars: int = BPE_MAX_WORD_CHARS,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus (Sennrich et al.
     2016): repeatedly find the most frequent adjacent symbol pair
@@ -972,7 +995,8 @@ def bpe_train(
     aggregate() folds costs ~2 s of Catalyst ANALYSIS per nesting level,
     the measured failure mode bpe_segment_words' chunking also avoids.)
     """
-    return bpe_fit(df, num_merges, text_col, min_pair_count)[0]
+    return bpe_fit(df, num_merges, text_col, min_pair_count,
+                   max_word_chars=max_word_chars)[0]
 
 
 def bpe_fit(
@@ -981,6 +1005,7 @@ def bpe_fit(
     text_col: str = "text",
     min_pair_count: int = 2,
     scratch_dir: str | None = None,
+    max_word_chars: int = BPE_MAX_WORD_CHARS,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """bpe_train + the final segmented word table (w, n, syms) in one
     pass — see bpe_train for the distributed shape.
@@ -995,7 +1020,7 @@ def bpe_fit(
         from ncpi_whistler_spark.storage import scratch_materialize
 
         words = scratch_materialize(
-            bpe_word_table(df, text_col), scratch_dir, "bpe_words"
+            bpe_word_table(df, text_col, max_word_chars), scratch_dir, "bpe_words"
         )
         vocab_n = words.count()
         # the scratch parquet IS the materialization — no localCheckpoint
@@ -1004,7 +1029,7 @@ def bpe_fit(
         # grain without a shuffle
         words = words.coalesce(max(1, vocab_n // 1_000_000 + 1))
     else:
-        words = bpe_word_table(df, text_col).localCheckpoint()
+        words = bpe_word_table(df, text_col, max_word_chars).localCheckpoint()
         vocab_n = words.count()
         words = (
             words.repartition(max(1, vocab_n // 1_000_000 + 1)).localCheckpoint()

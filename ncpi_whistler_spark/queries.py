@@ -4477,8 +4477,8 @@ def q104_bpe_apply(
     shuffled or joined directly. Output per doc: token count,
     subword-piece count, distinct pieces."""
     from ncpi_whistler_spark.operators.text import (
-        BPE_EOW,
         bpe_segment_words,
+        bpe_syms,
         tokens,
     )
 
@@ -4508,9 +4508,8 @@ def q104_bpe_apply(
         from ncpi_whistler_spark.storage import scratch_materialize
 
         tokc = scratch_materialize(tokc, scratch_dir, "q104_tokc")
-    chars = F.filter(F.split("w", ""), lambda x: x != "")
     words = tokc.groupBy("w").agg(F.sum("c").alias("n")).select(
-        "w", "n", F.concat(chars, F.array(F.lit(BPE_EOW))).alias("syms")
+        "w", "n", bpe_syms("w").alias("syms")
     )
     seg = bpe_segment_words(words, [(l, r, 0) for l, r in _Q104_MERGES])
     j = tokc.join(F.broadcast(seg.select("w", "subwords")), on="w")

@@ -46,6 +46,29 @@ def test_chunk_tokens_linear_in_doc_length(spark):
     assert len(full) >= n_chunks - 1
 
 
+def test_bpe_over_cap_word_is_opaque_and_fast(spark):
+    """A no-whitespace 200k-char 'word' (binary-as-text garbage) must
+    not melt BPE: the merge-rewrite aggregate() fold is O(len²) per word
+    (pre-cap, ONE 2 MB word hung a merge round >9 minutes). Over
+    BPE_MAX_WORD_CHARS the word becomes one opaque symbol: zero pair
+    contributions (learned merges identical to the clean corpus) and a
+    single-piece segmentation, while its row survives."""
+    from ncpi_whistler_spark.operators.text import BPE_EOW, bpe_fit
+
+    clean = [(i, "low lower lowest new newer newest") for i in range(20)]
+    df_clean = spark.createDataFrame(clean, "doc_id long, text string")
+    df_adv = spark.createDataFrame(
+        clean + [(99, "x" * 200_000)], "doc_id long, text string"
+    )
+    t0 = time.time()
+    merges_adv, seg = bpe_fit(df_adv, num_merges=6)
+    rows = {r["w"]: r["syms"] for r in seg.collect()}
+    assert time.time() - t0 < 60
+    merges_clean, _ = bpe_fit(df_clean, num_merges=6)
+    assert merges_adv == merges_clean
+    assert rows["x" * 200_000] == ["x" * 200_000 + BPE_EOW]
+
+
 def test_chunk_tokens_stride_reconstruction(spark):
     """Concatenating each chunk's first ``stride`` tokens reproduces the
     document's token stream exactly (overlap carries the rest)."""
