@@ -909,10 +909,15 @@ def embedding_dup_pairs(
         "id_b",
         (dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
     )
-    # threshold on the UNROUNDED similarity (the oracle's WHERE), round after
-    return sim.where(F.col("sim") >= threshold).select(
-        "id_a", "id_b", F.round("sim", 6).alias("cos_sim")
-    )
+    # threshold on the UNROUNDED similarity (the oracle's WHERE), round
+    # after. ~isnan: Spark compares NaN ABOVE every double, so one
+    # corrupt (NaN/zero-norm) vector would otherwise pair with its whole
+    # bucket — and transitive dedup would then delete the bucket. The
+    # blocked-numpy twin drops NaN by IEEE semantics; the paths must
+    # agree.
+    return sim.where(
+        (F.col("sim") >= threshold) & ~F.isnan(F.col("sim"))
+    ).select("id_a", "id_b", F.round("sim", 6).alias("cos_sim"))
 
 
 # --------------------------------------------------------------------------

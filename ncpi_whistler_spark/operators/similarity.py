@@ -62,6 +62,11 @@ def cosine_topk(
         "neighbor_id",
         (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
+    # NaN sim (corrupt or zero-norm vector) is never a neighbor: Spark
+    # orders NaN ABOVE all doubles, so unfiltered it would outrank every
+    # real match in the desc sort (numpy comparisons drop it — the two
+    # exact paths must agree).
+    scored = scored.where(~F.isnan(F.col("sim")))
     top = top_k_per_group(
         scored,
         ["query_id"],
@@ -392,6 +397,11 @@ def cosine_topk_lsh(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # NaN sim (corrupt or zero-norm vector) is never a neighbor: Spark
+    # orders NaN ABOVE all doubles, so unfiltered it would outrank every
+    # real match in the desc sort (numpy comparisons drop it — the two
+    # exact paths must agree).
+    scored = scored.where(~F.isnan(F.col("sim")))
     top = top_k_per_group(
         scored,
         ["query_id"],
@@ -543,6 +553,14 @@ def ivf_train(
     iters scans of the corpus regardless of corpus size. Empty clusters
     keep their previous centroid."""
     corpus = _vecs(corpus, vec_col)
+    # training hygiene: a vector containing NaN would poison its
+    # cluster's centroid sums (NaN + x = NaN) and freeze that centroid
+    # at the previous value forever — exclude from TRAINING only
+    # (assignment/search stay total; NaN similarities are filtered at
+    # the scoring sites)
+    corpus = corpus.where(
+        ~F.exists(F.col(vec_col), lambda x: F.isnan(x))
+    )
     init = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in init]
     if not cents:
@@ -655,6 +673,11 @@ def ivf_topk(
         "neighbor_id",
         (dot_product_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
+    # NaN sim (corrupt or zero-norm vector) is never a neighbor: Spark
+    # orders NaN ABOVE all doubles, so unfiltered it would outrank every
+    # real match in the desc sort (numpy comparisons drop it — the two
+    # exact paths must agree).
+    scored = scored.where(~F.isnan(F.col("sim")))
     top = top_k_per_group(
         scored,
         ["query_id"],
@@ -797,12 +820,14 @@ def semantic_dedup(
         cand = cand.dropDuplicates(["id_a", "id_b"])
     # pair scoring via the Arrow dot — bit-identical to the fold (and
     # hence the oracle), ~5x cheaper on the 10^5-pair hot path
+    sim = dot_product_arrow(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    # ~isnan guard: Spark's NaN-is-largest comparison would otherwise
+    # mark ONE corrupt vector a duplicate of its whole cluster (and a
+    # downstream transitive dedup would then delete the cluster)
     dup_ids = (
-        cand.where(
-            dot_product_arrow(F.col("va"), F.col("vb"))
-            / (F.col("na") * F.col("nb"))
-            >= threshold
-        )
+        cand.where((sim >= threshold) & ~F.isnan(sim))
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

@@ -126,3 +126,56 @@ def test_null_vectors_excluded_from_pairs_and_topk(spark, null_sf_dir):
     assert not any(
         r["query_id"] in null_ids or r["neighbor_id"] in null_ids for r in topk
     )
+
+
+def test_nan_vectors_never_pair_or_rank(spark):
+    """Spark compares NaN ABOVE every double, so an unguarded
+    ``sim >= t`` marks one corrupt vector a duplicate of its whole
+    bucket, and an unguarded desc sort ranks it everyone's top
+    neighbor — while the numpy twin drops it by IEEE semantics. Pin the
+    guarded behavior: NaN-poisoned rows pair with nothing, rank
+    nowhere, and the expression path equals the blocked-numpy path."""
+    import math
+
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+    from ncpi_whistler_spark.operators.similarity import (
+        cosine_topk,
+        embedding_pairs_blocked,
+        ivf_train,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    one_nan = F.concat(
+        F.array(F.lit(float("nan"))), F.slice("embedding", 2, 10_000)
+    )
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 17 == 3, one_nan).otherwise(
+            F.col("embedding")
+        ),
+    )
+    bad = {
+        r["vec_id"]
+        for r in poisoned.where(F.col("vec_id") % 17 == 3)
+        .select("vec_id")
+        .collect()
+    }
+
+    fold = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_dup_pairs(poisoned, threshold=0.2).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_pairs_blocked(poisoned, threshold=0.2).collect()
+    }
+    assert fold == blocked  # the two exact paths agree under corruption
+    assert not any(a in bad or b in bad for a, b, _ in fold)
+
+    topk = cosine_topk(poisoned.limit(20), poisoned, k=3).collect()
+    assert not any(r["neighbor_id"] in bad for r in topk)
+    assert not any(math.isnan(r["cos_sim"]) for r in topk)
+
+    cents = ivf_train(poisoned, nlist=4, iters=2)
+    assert all(math.isfinite(x) for c in cents for x in c)
