@@ -93,6 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _ensure_runtime_conf(spark)
     app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
     with _TABLE_CACHE_LOCK:
         # Evict entries from other (stopped) sessions so dead DataFrames
         # and their SparkSessions don't pin memory for the process
@@ -100,15 +101,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         stale = [k for k in _TABLE_CACHE if k[0] != app_id]
         for k in stale:
             del _TABLE_CACHE[k]
-        key = (app_id, os.path.abspath(sf_dir), name)
         cached = _TABLE_CACHE.get(key)
-        if cached is not None:
-            return cached
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        _TABLE_CACHE[key] = df
-        return df
+    if cached is not None:
+        return cached
+    # Read OUTSIDE the lock: file listing + schema inference can take
+    # seconds on object storage, and holding the lock would serialize
+    # first loads of unrelated tables (and block every cache hit behind
+    # them). Two threads may race the same first load; setdefault keeps
+    # one plan and the loser's duplicate is discarded — DataFrames are
+    # immutable, so either is correct.
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    with _TABLE_CACHE_LOCK:
+        return _TABLE_CACHE.setdefault(key, df)
 
 
 def load_tables(

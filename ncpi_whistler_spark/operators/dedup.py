@@ -847,10 +847,13 @@ def embedding_dup_pairs(
     oracle-replayable registry form (q40) pins tables=1 EXPLICITLY for
     DuckDB bucket parity — oracle-only.
     """
+    from ncpi_whistler_spark.operators.similarity import _vecs
+
     # norms once per vector (not per pair): same bits, 3× less fold work.
-    # NULL vectors score no pair (similarity._vecs policy — the rows the
-    # oracle's list_dot_product(NULL, v) >= t comparison drops).
-    v = df.where(F.col(vec_col).isNotNull()).select(
+    # _vecs: NULL / all-zeros / NaN vectors score no pair (the rows the
+    # oracle's list_dot_product(NULL, v) >= t comparison drops; zero
+    # norm would raise DIVIDE_BY_ZERO under ANSI mode).
+    v = _vecs(df, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
@@ -862,8 +865,8 @@ def embedding_dup_pairs(
         )
 
         if dim is None:
-            probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-            if probe is None:  # empty/all-null corpus: no pairs, schema unchanged
+            probe = v.select("v").first()  # v is already _vecs-filtered
+            if probe is None:  # no vector with geometry: no pairs, schema unchanged
                 return df.select(
                     F.col(id_col).alias("id_a"),
                     F.col(id_col).alias("id_b"),

@@ -147,13 +147,30 @@ def hyperplane_bucket_arrow(vec: Column, dim: int, bits: int, seed: int = 42) ->
     return bucket(vec)
 
 
+def _geometry(vec: Column) -> Column:
+    """TRUE iff the vector has usable geometry: non-NULL, at least one
+    nonzero element (an all-zeros embedding has norm 0, and under ANSI
+    mode — Spark 4's default — the cosine division raises
+    DIVIDE_BY_ZERO instead of producing NaN), and no NaN element (NaN
+    poisons dot products and Spark compares NaN above every double).
+    NULL-safe: isNotNull() is plain false for NULL, and false AND x is
+    false in SQL three-valued logic."""
+    return (
+        vec.isNotNull()
+        & F.exists(vec, lambda x: x != 0.0)
+        & ~F.exists(vec, lambda x: F.isnan(x))
+    )
+
+
 def _vecs(df: DataFrame, vec_col: str) -> DataFrame:
-    """NULL-vector policy for the whole similarity family: a NULL
-    embedding has no geometry, so it joins no index and scores no pair —
-    the same rows the SQL oracle's ``list_dot_product(NULL, v) >= t``
-    comparison filters out. Corrupt/unembedded rows are routine at
-    ingest scale; they must degrade to absence, not crash a stage."""
-    return df.where(F.col(vec_col).isNotNull())
+    """Geometry policy for the whole similarity family: a NULL,
+    all-zeros, or NaN-containing embedding has no geometry, so it joins
+    no index, trains no centroid, and scores no pair — the same rows
+    the SQL oracle's ``list_dot_product(NULL, v) >= t`` comparison
+    filters out (and the blocked-numpy twin drops as NaN comparisons).
+    Corrupt/failed-embed rows are routine at ingest scale; they must
+    degrade to absence, not crash a stage."""
+    return df.where(_geometry(F.col(vec_col)))
 
 
 def _seq_norms(mat):
@@ -552,15 +569,10 @@ def ivf_train(
     nlist×dim aggregate rows ever reach the driver, so training cost is
     iters scans of the corpus regardless of corpus size. Empty clusters
     keep their previous centroid."""
-    corpus = _vecs(corpus, vec_col)
-    # training hygiene: a vector containing NaN would poison its
+    # _vecs also covers training hygiene: a NaN element would poison its
     # cluster's centroid sums (NaN + x = NaN) and freeze that centroid
-    # at the previous value forever — exclude from TRAINING only
-    # (assignment/search stay total; NaN similarities are filtered at
-    # the scoring sites)
-    corpus = corpus.where(
-        ~F.exists(F.col(vec_col), lambda x: F.isnan(x))
-    )
+    # at the previous value forever.
+    corpus = _vecs(corpus, vec_col)
     init = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in init]
     if not cents:
@@ -764,17 +776,19 @@ def semantic_dedup(
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
 
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
-    # NULL-vector rows can't be compared to anything: they keep their
-    # output row (one row per input vector) with no cluster and
-    # kept=true — absence from every candidate pair, not a crash.
-    nullrows = corpus.where(F.col(vec_col).isNull()).select(
+    # Geometry-less rows (NULL / all-zeros / NaN element — see _geometry)
+    # can't be compared to anything: they keep their output row (one row
+    # per input vector, regardless of how many rows were trainable) with
+    # no cluster and kept=true — absence from every candidate pair, not
+    # a crash and not a silent drop.
+    nogeom = corpus.where(~_geometry(F.col(vec_col))).select(
         F.col(id_col),
         F.lit(None).cast("int").alias("cid"),
         F.lit(True).alias("kept"),
     )
     if not cents:
-        # empty (or all-null) corpus → nothing to compare
-        return nullrows
+        # no trainable vector anywhere → nothing to compare
+        return nogeom
     assign = _ASSIGN_MODES[assign_mode]
     # persisted: a, b, and the output join all consume this frame — the
     # per-vector assignment + norm would otherwise run 3x per call. The
@@ -838,5 +852,5 @@ def semantic_dedup(
             "cid",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
-        .unionByName(nullrows)
+        .unionByName(nogeom)
     )

@@ -179,3 +179,62 @@ def test_nan_vectors_never_pair_or_rank(spark):
 
     cents = ivf_train(poisoned, nlist=4, iters=2)
     assert all(math.isfinite(x) for c in cents for x in c)
+
+
+def test_zero_norm_vectors_total_and_absent(spark):
+    """An all-zeros embedding (failed embed) has norm 0 — under ANSI
+    mode (Spark 4's default) the cosine division raises DIVIDE_BY_ZERO
+    unless the row is excluded up front (_geometry). Pin: no crash, no
+    pair, no neighbor rank, and semantic_dedup keeps the row
+    (cid=null, kept=true)."""
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.operators.dedup import embedding_dup_pairs
+    from ncpi_whistler_spark.operators.similarity import (
+        cosine_topk,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(40)
+    zero_vec = F.transform(F.col("embedding"), lambda x: F.lit(0.0))
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 13 == 2, zero_vec).otherwise(
+            F.col("embedding")
+        ),
+    )
+    bad = {
+        r["vec_id"]
+        for r in poisoned.where(F.col("vec_id") % 13 == 2)
+        .select("vec_id")
+        .collect()
+    }
+    pairs = embedding_dup_pairs(poisoned, threshold=0.2).collect()
+    assert not any(r["id_a"] in bad or r["id_b"] in bad for r in pairs)
+    topk = cosine_topk(poisoned.limit(15), poisoned, k=3).collect()
+    assert not any(r["neighbor_id"] in bad for r in topk)
+    sem = semantic_dedup(poisoned, threshold=0.4, nlist=4, iters=1, nprobe=1)
+    assert sem.count() == poisoned.count()
+    got = {
+        (r["cid"], r["kept"])
+        for r in sem.join(
+            poisoned.where(F.col("vec_id") % 13 == 2).select("vec_id"),
+            on="vec_id",
+        ).collect()
+    }
+    assert got == {(None, True)}
+
+
+def test_semantic_dedup_contract_on_fully_untrainable_corpus(spark):
+    """A corpus of ONLY geometry-less vectors (NULL / NaN / zero) still
+    returns one row per input — output cardinality must not depend
+    discontinuously on whether a single trainable vector exists."""
+    from ncpi_whistler_spark.operators.similarity import semantic_dedup
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, [nan, 1.0]), (2, [nan, 2.0]), (3, None), (4, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, threshold=0.4, nlist=2, iters=1, nprobe=1)
+    rows = {(r["vec_id"], r["cid"], r["kept"]) for r in out.collect()}
+    assert rows == {(1, None, True), (2, None, True), (3, None, True), (4, None, True)}
