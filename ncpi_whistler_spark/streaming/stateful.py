@@ -48,6 +48,12 @@ def running_user_totals_stream(
             n, acc = 0, 0 if exact_cents else 0.0
         for pdf in pdfs:
             n += len(pdf)
+            # NULL values reach pandas as NaN: SUM ignores NULLs in SQL
+            # (the batch twin this operator is oracle-checked against),
+            # so drop them from the accumulator while n still counts the
+            # row — COUNT(*) semantics. Unguarded, one null-value event
+            # kills the query: Decimal cents raises on NaN.
+            vals = pdf["value"].dropna()
             if exact_cents:
                 # Cents via HALF_UP on the SHORTEST DECIMAL REPR of each
                 # double — bit-for-bit what both DuckDB's and Spark's
@@ -67,11 +73,11 @@ def running_user_totals_stream(
                             .quantize(_CENT, rounding=ROUND_HALF_UP)
                             .scaleb(2)
                         )
-                        for v in pdf["value"]
+                        for v in vals
                     )
                 )
             else:
-                acc += float(pdf["value"].sum())
+                acc += float(vals.sum())
         # The state field is DOUBLE; exact_cents accumulates a Python int,
         # which must be stored as float — an int in a double state field
         # survives the in-process fast path but decodes to None when the

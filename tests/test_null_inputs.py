@@ -224,6 +224,63 @@ def test_zero_norm_vectors_total_and_absent(spark):
     assert got == {(None, True)}
 
 
+def test_stateful_stream_total_on_null_events(spark, duck, tmp_path):
+    """NULL user_id / NULL value events through the stateful per-user
+    accumulator: one null-value event used to kill the query (Decimal
+    cents can't convert the NaN pandas hands it). Pin SQL twin
+    semantics: COUNT(*) counts the row, SUM ignores the NULL, and the
+    NULL user_id rows form their own group — exactly the batch oracle
+    on the same poisoned frame."""
+    import shutil
+
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.queries import REGISTRY
+
+    ev = load_table(spark, SF_DIR, "events")
+    poisoned = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    ).withColumn(
+        "value",
+        F.when(
+            F.col("user_id").isNull() | (F.col("user_id") % 7 == 0),
+            F.lit(None),
+        ).otherwise(F.col("value")),
+    )
+    d = str(tmp_path / "sfpois")
+    os.makedirs(d, exist_ok=True)
+    poisoned.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"))
+
+    out = REGISTRY["q88_user_totals_stateful"][0](spark, d)
+    got = {
+        (r["user_id"], r["n_events"], float(r["total_value"]))
+        for r in out.collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW pois_events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1], float(r[2]) if r[2] is not None else 0.0)
+        for r in con.execute(
+            "SELECT user_id, COUNT(*), "
+            "COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) "
+            "FROM pois_events GROUP BY user_id"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
 def test_semantic_dedup_contract_on_fully_untrainable_corpus(spark):
     """A corpus of ONLY geometry-less vectors (NULL / NaN / zero) still
     returns one row per input — output cardinality must not depend
