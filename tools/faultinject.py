@@ -96,7 +96,6 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
     inject_first_attempt_failure."""
     from ncpi_whistler_spark.catalog import load_table
     from ncpi_whistler_spark.operators.dedup import (
-        cosine,  # noqa: F401  (import check only)
         drop_exact_dups,
         minhash_lsh_pairs,
     )
