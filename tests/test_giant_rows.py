@@ -69,6 +69,24 @@ def test_bpe_over_cap_word_is_opaque_and_fast(spark):
     assert rows["x" * 200_000] == ["x" * 200_000 + BPE_EOW]
 
 
+def test_bpe_syms_cap_boundary(spark):
+    """Exactly at the cap → character symbols; one char over → one
+    opaque symbol."""
+    from ncpi_whistler_spark.operators.text import (
+        BPE_EOW,
+        BPE_MAX_WORD_CHARS,
+        bpe_syms,
+    )
+    from pyspark.sql import functions as F
+
+    at = "a" * BPE_MAX_WORD_CHARS
+    over = "a" * (BPE_MAX_WORD_CHARS + 1)
+    df = spark.createDataFrame([(at,), (over,)], "w string")
+    rows = {len(r["w"]): r["s"] for r in df.select("w", bpe_syms("w").alias("s")).collect()}
+    assert rows[BPE_MAX_WORD_CHARS] == ["a"] * BPE_MAX_WORD_CHARS + [BPE_EOW]
+    assert rows[BPE_MAX_WORD_CHARS + 1] == [over + BPE_EOW]
+
+
 def test_chunk_tokens_stride_reconstruction(spark):
     """Concatenating each chunk's first ``stride`` tokens reproduces the
     document's token stream exactly (overlap carries the rest)."""
