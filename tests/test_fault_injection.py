@@ -51,6 +51,7 @@ def test_task_retry_suite_deterministic():
         "cms",
         "agg_reduce",
         "parquet_sink",
+        "stream_microbatch",
     }
     for name, s in scenarios.items():
         assert s["fired"], f"{name}: injection never fired — test is vacuous"

@@ -203,6 +203,28 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
 
     yield ("parquet_sink", lambda: _sink(False), lambda: _sink(True))
 
+    # 8. Task retry INSIDE a streaming micro-batch: distinct from the
+    #    checkpoint-restart evidence (test_streaming) — here the QUERY
+    #    keeps running while the scheduler retries one failed task of a
+    #    micro-batch; the drained result must equal the clean replay.
+    def _stream(injected: bool) -> list[str]:
+        from ncpi_whistler_spark.streaming.windows import (
+            hourly_counts_stream,
+            read_events_stream,
+            run_stream_to_memory,
+        )
+
+        stream = read_events_stream(spark, sf_dir)
+        if injected:
+            stream = inject_first_attempt_failure(
+                stream, marker_dir, "stream_microbatch"
+            )
+        name = f"fi_stream_{'inj' if injected else 'clean'}"
+        run_stream_to_memory(hourly_counts_stream(stream), name)
+        return _canon(spark.table(name))
+
+    yield ("stream_microbatch", lambda: _stream(False), lambda: _stream(True))
+
 
 def run_suite(sf_dir: str, out_path: str | None) -> int:
     from ncpi_whistler_spark import get_spark
