@@ -734,3 +734,57 @@ def test_stream_interval_join_matches_batch(spark):
     )
     want = {(r["view_id"], r["purchase_id"], r["lag_us"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream interval join across a FULL stop/restart boundary —
+    the last stateful operator class without restart coverage. The
+    view side of a pair arrives in batch 1, the query stops, and the
+    matching purchase arrives in batch 2 after recovery from the same
+    checkpoint: the join can only emit the pair if the view-side state
+    store was restored. Pins exactly-once too — the in-batch-1 pair
+    must not re-emit after the restart."""
+    import pyspark.sql.functions as FF
+
+    from ncpi_whistler_spark.streaming.recovery import (
+        drain_batches_with_restart,
+    )
+    from ncpi_whistler_spark.streaming.windows import (
+        view_purchase_interval_join,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, value double, ts string",
+        ).withColumn("ts", FF.to_timestamp("ts"))
+
+    batch1 = ev(
+        [
+            (1, 1, "view", 1.0, "2024-01-01 00:00:00"),
+            (2, 1, "purchase", 1.0, "2024-01-01 00:10:00"),
+            (4, 2, "view", 1.0, "2024-01-01 00:20:00"),
+        ]
+    )
+    batch2 = ev(
+        [
+            (3, 1, "purchase", 1.0, "2024-01-01 00:30:00"),
+            (5, 2, "purchase", 1.0, "2024-01-01 00:40:00"),
+        ]
+    )
+    drained = drain_batches_with_restart(
+        spark,
+        [batch1, batch2],
+        view_purchase_interval_join,
+        str(tmp_path / "ij_restart"),
+        output_mode="append",
+    )
+    got = sorted(
+        (r["view_id"], r["purchase_id"], r["lag_us"]) for r in drained.collect()
+    )
+    # exactly once each: (1,2) in-batch, (1,3) and (4,5) SPAN the restart
+    assert got == [
+        (1, 2, 600_000_000),
+        (1, 3, 1_800_000_000),
+        (4, 5, 1_200_000_000),
+    ]
