@@ -847,17 +847,18 @@ def embedding_dup_pairs(
     oracle-replayable registry form (q40) pins tables=1 EXPLICITLY for
     DuckDB bucket parity — oracle-only.
     """
-    from ncpi_whistler_spark.operators.similarity import _vecs
+    from ncpi_whistler_spark.operators.similarity import _usable_norm, _vecs
 
     # norms once per vector (not per pair): same bits, 3× less fold work.
-    # _vecs: NULL / all-zeros / NaN vectors score no pair (the rows the
-    # oracle's list_dot_product(NULL, v) >= t comparison drops; zero
-    # norm would raise DIVIDE_BY_ZERO under ANSI mode).
+    # _vecs + _usable_norm: NULL / all-zeros / NaN vectors score no pair
+    # (the rows the oracle's list_dot_product(NULL, v) >= t comparison
+    # drops; zero norm would raise DIVIDE_BY_ZERO under ANSI mode). The
+    # norm gate is one comparison on the column computed here anyway.
     v = _vecs(df, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
-    )
+    ).where(_usable_norm(F.col("nrm")))
     if bucket_bits > 0:
         from ncpi_whistler_spark.operators.similarity import (
             hyperplane_bucket,

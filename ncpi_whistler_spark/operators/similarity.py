@@ -48,12 +48,12 @@ def cosine_topk(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
         F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
-    )
+    ).where(_usable_norm(F.col("qn")))
     c = _vecs(corpus, corpus_vec).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
         F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
-    )
+    ).where(_usable_norm(F.col("cn")))
     scored = F.broadcast(q).crossJoin(c)
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
@@ -147,30 +147,30 @@ def hyperplane_bucket_arrow(vec: Column, dim: int, bits: int, seed: int = 42) ->
     return bucket(vec)
 
 
-def _geometry(vec: Column) -> Column:
-    """TRUE iff the vector has usable geometry: non-NULL, at least one
-    nonzero element (an all-zeros embedding has norm 0, and under ANSI
-    mode — Spark 4's default — the cosine division raises
-    DIVIDE_BY_ZERO instead of producing NaN), and no NaN element (NaN
-    poisons dot products and Spark compares NaN above every double).
-    NULL-safe: isNotNull() is plain false for NULL, and false AND x is
-    false in SQL three-valued logic."""
-    return (
-        vec.isNotNull()
-        & F.exists(vec, lambda x: x != 0.0)
-        & ~F.exists(vec, lambda x: F.isnan(x))
-    )
-
-
 def _vecs(df: DataFrame, vec_col: str) -> DataFrame:
-    """Geometry policy for the whole similarity family: a NULL,
-    all-zeros, or NaN-containing embedding has no geometry, so it joins
-    no index, trains no centroid, and scores no pair — the same rows
-    the SQL oracle's ``list_dot_product(NULL, v) >= t`` comparison
-    filters out (and the blocked-numpy twin drops as NaN comparisons).
-    Corrupt/failed-embed rows are routine at ingest scale; they must
-    degrade to absence, not crash a stage."""
-    return df.where(_geometry(F.col(vec_col)))
+    """NULL-vector gate for the whole similarity family: a NULL
+    embedding has no geometry, so it joins no index, trains no
+    centroid, and scores no pair — the same rows the SQL oracle's
+    ``list_dot_product(NULL, v) >= t`` comparison filters out. The
+    other two no-geometry classes (all-zeros, NaN element) are gated by
+    :func:`_usable_norm` on the L2 norm each operator computes anyway —
+    an O(1) comparison; an ``exists()`` element scan here measurably
+    regressed the scoring paths (interpreted HOF per row, found by the
+    round-8 bench gate: q40 1.8×)."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
+def _usable_norm(nrm: Column) -> Column:
+    """TRUE iff an already-computed L2 norm certifies usable geometry:
+    ``> 0`` (a zero norm would make the cosine division raise
+    DIVIDE_BY_ZERO under ANSI mode, Spark 4's default — the
+    blocked-numpy twin computes 0/0 = NaN and drops the row instead,
+    and the two exact paths must agree) and not NaN (any NaN element
+    propagates through the norm fold; Spark compares NaN above every
+    double, so an unfiltered NaN similarity would pair with and
+    outrank everything). Corrupt/failed-embed rows are routine at
+    ingest scale; they must degrade to absence, not a crashed stage."""
+    return (nrm > 0) & ~F.isnan(nrm)
 
 
 def _seq_norms(mat):
@@ -372,7 +372,7 @@ def cosine_topk_lsh(
     ).select(
         "neighbor_id", "cv", "cn",
         F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"),
-    )
+    ).where(_usable_norm(F.col("cn")))
     q_entries = F.array(
         *[
             F.struct(
@@ -390,7 +390,7 @@ def cosine_topk_lsh(
     ).select(
         "query_id", "qv", "qn",
         F.col("e.tbl").alias("tbl"), F.col("e.qbkt").alias("qbkt"),
-    )
+    ).where(_usable_norm(F.col("qn")))
     if multiprobe:
         probes = F.array(
             F.col("qbkt"),
@@ -569,10 +569,14 @@ def ivf_train(
     nlist×dim aggregate rows ever reach the driver, so training cost is
     iters scans of the corpus regardless of corpus size. Empty clusters
     keep their previous centroid."""
-    # _vecs also covers training hygiene: a NaN element would poison its
-    # cluster's centroid sums (NaN + x = NaN) and freeze that centroid
-    # at the previous value forever.
-    corpus = _vecs(corpus, vec_col)
+    # training hygiene: a NaN element would poison its cluster's
+    # centroid sums (NaN + x = NaN) and freeze that centroid at the
+    # previous value forever, and an all-zeros vector is a failed embed,
+    # not a point. One norm fold per row per training scan — bounded by
+    # iters, unlike the scoring paths where the norm is reused.
+    corpus = _vecs(corpus, vec_col).where(
+        _usable_norm(F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))))
+    )
     init = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in init]
     if not cents:
@@ -666,7 +670,7 @@ def ivf_topk(
         F.col(corpus_vec).alias("cv"),
         F.sqrt(dot_product(F.col(corpus_vec), F.col(corpus_vec))).alias("cn"),
         assign(F.col(corpus_vec), cents).alias("cid"),
-    )
+    ).where(_usable_norm(F.col("cn")))
     scored_lists = F.array(*_centroid_score_structs(F.col(query_vec), cents))
     probes = F.slice(F.reverse(F.array_sort(scored_lists)), 1, nprobe)
     q = _vecs(queries, query_vec).select(
@@ -674,7 +678,7 @@ def ivf_topk(
         F.col(query_vec).alias("qv"),
         F.sqrt(dot_product(F.col(query_vec), F.col(query_vec))).alias("qn"),
         F.explode(F.transform(probes, lambda s: s["cid"])).alias("cid"),
-    )
+    ).where(_usable_norm(F.col("qn")))
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
 
     scored = F.broadcast(q).join(indexed, on="cid")
@@ -776,12 +780,15 @@ def semantic_dedup(
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
 
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
-    # Geometry-less rows (NULL / all-zeros / NaN element — see _geometry)
-    # can't be compared to anything: they keep their output row (one row
-    # per input vector, regardless of how many rows were trainable) with
-    # no cluster and kept=true — absence from every candidate pair, not
-    # a crash and not a silent drop.
-    nogeom = corpus.where(~_geometry(F.col(vec_col))).select(
+    # Geometry-less rows (NULL / all-zeros / NaN element — the rows
+    # _usable_norm rejects) can't be compared to anything: they keep
+    # their output row (one row per input vector, regardless of how many
+    # rows were trainable) with no cluster and kept=true — absence from
+    # every candidate pair, not a crash and not a silent drop.
+    geom = F.col(vec_col).isNotNull() & _usable_norm(
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+    )
+    nogeom = corpus.where(~geom).select(
         F.col(id_col),
         F.lit(None).cast("int").alias("cid"),
         F.lit(True).alias("kept"),
@@ -804,7 +811,7 @@ def semantic_dedup(
             if nprobe > 1
             else []
         ),
-    )
+    ).where(_usable_norm(F.col("nrm")))
     if nprobe > 1:
         # the primary cluster must ALWAYS be probed: the top-n list comes
         # from the BLAS scorer (ties → highest cid) while `cid` may come

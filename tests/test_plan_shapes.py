@@ -391,3 +391,21 @@ def test_exact_substring_paired_keys_add_no_shuffle(spark):
         exact_substring_coverage(docs, window=10, hash_fn="xxhash64")
     )
     assert prod_shuffles == md5_shuffles
+
+
+def test_embedding_family_no_hof_element_scans(spark):
+    """The no-geometry gates must stay O(1) norm comparisons: an
+    exists()/forall() element scan in these hot paths is an interpreted
+    HOF per ROW and measurably regressed q40/q25 when it briefly
+    shipped in round 8 (bench gate). ivf_train's training-scan fold is
+    the one sanctioned exception (iters-bounded) and runs inside the
+    driver-side train call, not these query plans' scoring stages."""
+    for name in (
+        "q25_embedding_topk",
+        "q26_embedding_neardup",
+        "q29_lsh_topk",
+        "q40_embedding_neardup_bucketed",
+    ):
+        df = REGISTRY[name][0](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "exists(" not in plan and "ArrayExists" not in plan, name
