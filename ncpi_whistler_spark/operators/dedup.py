@@ -914,13 +914,18 @@ def embedding_dup_pairs(
         (dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
     )
     # threshold on the UNROUNDED similarity (the oracle's WHERE), round
-    # after. ~isnan: Spark compares NaN ABOVE every double, so one
-    # corrupt (NaN/zero-norm) vector would otherwise pair with its whole
-    # bucket — and transitive dedup would then delete the bucket. The
-    # blocked-numpy twin drops NaN by IEEE semantics; the paths must
-    # agree.
+    # after. nanvl: Spark compares NaN ABOVE every double, so one
+    # corrupt vector would otherwise pair with its whole bucket — and
+    # transitive dedup would then delete the bucket; the blocked-numpy
+    # twin drops NaN by IEEE semantics and the paths must agree. The
+    # NaN guard is folded INTO the one threshold comparison (NaN →
+    # -inf → fails) because a second `~isnan(sim)` predicate would be
+    # substitution-inlined by pushdown and re-evaluate the
+    # expression-fold dot per candidate pair (the round-8 q40 bench
+    # regression); non-NaN values pass through nanvl bit-unchanged, so
+    # the oracle comparison is unaffected.
     return sim.where(
-        (F.col("sim") >= threshold) & ~F.isnan(F.col("sim"))
+        F.nanvl(F.col("sim"), F.lit(float("-inf"))) >= threshold
     ).select("id_a", "id_b", F.round("sim", 6).alias("cos_sim"))
 
 

@@ -62,19 +62,22 @@ def cosine_topk(
         "neighbor_id",
         (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
-    # NaN sim (corrupt or zero-norm vector) is never a neighbor: Spark
-    # orders NaN ABOVE all doubles, so unfiltered it would outrank every
-    # real match in the desc sort (numpy comparisons drop it — the two
-    # exact paths must agree).
-    scored = scored.where(~F.isnan(F.col("sim")))
+    # NaN sim is never a neighbor: Spark orders NaN ABOVE all doubles in
+    # a desc sort. The norm gates make NaN here near-impossible, but the
+    # belt must be FREE: a pre-window ~isnan(sim) filter would be
+    # substitution-inlined by predicate pushdown and re-evaluate the
+    # expression-fold dot per candidate (the round-8 q25/q40 bench
+    # regression). Instead: nanvl ranks NaN last (O(1) on the
+    # materialized sort column) and the post-window filter — which
+    # pushdown cannot move through the Window — drops it.
     top = top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        [F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
     )
-    return top.select(
+    return top.where(~F.isnan(F.col("sim"))).select(
         "query_id",
         "neighbor_id",
         F.col("rank").cast("long").alias("rank"),
