@@ -369,7 +369,7 @@ def test_multimodal_decode_real_codecs(spark):
     trunc = b"P6\n4 4\n255\nshort"
     df = spark.createDataFrame(
         [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(trunc)),
-         (4, bytearray(b"not an image"))],
+         (4, bytearray(b"not an image")), (5, None)],
         "media_id long, payload binary",
     )
     meta = attach_media_meta(df, "payload", "image/x-test")
@@ -383,9 +383,11 @@ def test_multimodal_decode_real_codecs(spark):
     assert (decoded[2]["width"], decoded[2]["height"]) == (2, 2)
     assert decoded[2]["ok"] and decoded[2]["pix_sum"] == sum(range(1, 13))
     assert not decoded[3]["ok"] and not decoded[4]["ok"]
+    # NULL payload (missing blob at ingest): ok=False row, never a crash
+    assert not decoded[5]["ok"] and decoded[5]["pix_sum"] == 0
 
     frames = frame_sample_plan(df, every_n=2)
-    assert frames.groupBy("media_id").count().count() == 4
+    assert frames.groupBy("media_id").count().count() == 5
 
 
 def test_multimodal_resize_nearest(spark):
