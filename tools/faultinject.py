@@ -107,7 +107,12 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
     lineitem = load_table(spark, sf_dir, "lineitem")
 
     def inj(df: DataFrame, tag: str) -> DataFrame:
-        return inject_first_attempt_failure(df, marker_dir, tag)
+        # spread the input over 4 partitions first: 3 tasks succeed while
+        # task 0 fails and retries, so the scenario also proves the
+        # surviving tasks' partial progress combines correctly with the
+        # retried task's output (the fixture would otherwise scan as a
+        # single partition and the retry would be the only task).
+        return inject_first_attempt_failure(df.repartition(4), marker_dir, tag)
 
     # 1. Exact dedup: keeper must be the min-ordered row, not whichever
     #    attempt's row arrived first.
