@@ -51,7 +51,8 @@ def test_task_retry_suite_deterministic():
         "cms",
         "agg_reduce",
         "parquet_sink",
-        "stream_microbatch",
+        "stream_microbatch_hdfs",
+        "stream_microbatch_rocksdb",
     }
     for name, s in scenarios.items():
         assert s["fired"], f"{name}: injection never fired — test is vacuous"

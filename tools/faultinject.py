@@ -208,27 +208,45 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
 
     yield ("parquet_sink", lambda: _sink(False), lambda: _sink(True))
 
-    # 8. Task retry INSIDE a streaming micro-batch: distinct from the
+    # 8/9. Task retry INSIDE a streaming micro-batch: distinct from the
     #    checkpoint-restart evidence (test_streaming) — here the QUERY
     #    keeps running while the scheduler retries one failed task of a
     #    micro-batch; the drained result must equal the clean replay.
-    def _stream(injected: bool) -> list[str]:
+    #    Run under BOTH state-store backends: a task retry re-opens the
+    #    failed task's state-store instance, which is provider-specific
+    #    code (heap snapshot vs RocksDB working dir).
+    def _stream(injected: bool, provider: str) -> list[str]:
+        from ncpi_whistler_spark.session import STATE_STORE_PROVIDERS
         from ncpi_whistler_spark.streaming.windows import (
             hourly_counts_stream,
             read_events_stream,
             run_stream_to_memory,
         )
 
-        stream = read_events_stream(spark, sf_dir)
-        if injected:
-            stream = inject_first_attempt_failure(
-                stream, marker_dir, "stream_microbatch"
-            )
-        name = f"fi_stream_{'inj' if injected else 'clean'}"
-        run_stream_to_memory(hourly_counts_stream(stream), name)
-        return _canon(spark.table(name))
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, STATE_STORE_PROVIDERS[provider])
+        try:
+            stream = read_events_stream(spark, sf_dir)
+            if injected:
+                stream = inject_first_attempt_failure(
+                    stream, marker_dir, f"stream_microbatch_{provider}"
+                )
+            name = f"fi_stream_{provider}_{'inj' if injected else 'clean'}"
+            run_stream_to_memory(hourly_counts_stream(stream), name)
+            return _canon(spark.table(name))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
-    yield ("stream_microbatch", lambda: _stream(False), lambda: _stream(True))
+    for prov in ("hdfs", "rocksdb"):
+        yield (
+            f"stream_microbatch_{prov}",
+            lambda p=prov: _stream(False, p),
+            lambda p=prov: _stream(True, p),
+        )
 
 
 def run_suite(sf_dir: str, out_path: str | None) -> int:
