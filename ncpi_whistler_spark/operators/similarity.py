@@ -788,8 +788,14 @@ def semantic_dedup(
     # their output row (one row per input vector, regardless of how many
     # rows were trainable) with no cluster and kept=true — absence from
     # every candidate pair, not a crash and not a silent drop.
-    geom = F.col(vec_col).isNotNull() & _usable_norm(
-        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+    # coalesce: a vector with a NULL ELEMENT folds to a NULL norm, so
+    # `geom` is SQL NULL — both where(geom) and where(~geom) would drop
+    # the row and break the cardinality contract (three-valued logic;
+    # caught by review). NULL-geom rows belong in the no-geometry leg.
+    geom = F.coalesce(
+        F.col(vec_col).isNotNull()
+        & _usable_norm(F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))),
+        F.lit(False),
     )
     nogeom = corpus.where(~geom).select(
         F.col(id_col),

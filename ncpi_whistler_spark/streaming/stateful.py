@@ -41,19 +41,25 @@ def running_user_totals_stream(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, acc = state.get
+            n, acc, nv = state.get
+            nv = int(nv)
             if exact_cents:
                 acc = int(acc)
         else:
-            n, acc = 0, 0 if exact_cents else 0.0
+            n, acc, nv = 0, 0 if exact_cents else 0.0, 0
         for pdf in pdfs:
             n += len(pdf)
             # NULL values reach pandas as NaN: SUM ignores NULLs in SQL
             # (the batch twin this operator is oracle-checked against),
             # so drop them from the accumulator while n still counts the
             # row — COUNT(*) semantics. Unguarded, one null-value event
-            # kills the query: Decimal cents raises on NaN.
+            # kills the query: Decimal cents raises on NaN. (Deliberate
+            # twin deviation: a REAL NaN double — not NULL — is also
+            # treated as missing here; the SQL twin would poison the sum
+            # or refuse the decimal cast, and a streaming accumulator
+            # must not die or go permanently NaN over one corrupt event.)
             vals = pdf["value"].dropna()
+            nv += len(vals)
             if exact_cents:
                 # Cents via HALF_UP on the SHORTEST DECIMAL REPR of each
                 # double — bit-for-bit what both DuckDB's and Spark's
@@ -85,8 +91,15 @@ def running_user_totals_stream(
         # (found by test_stateful_restart_exactly_once; integer cents stay
         # exact in a double up to 2^53, i.e. ~$90T). Restore converts back
         # via int(acc) above.
-        state.update((n, float(acc)))
-        total = acc / 100.0 if exact_cents else acc
+        state.update((n, float(acc), nv))
+        # SQL-twin semantics for a group whose every value was NULL:
+        # SUM returns NULL, not 0 — emit None so the streamed total
+        # hashes equal to the batch oracle's NULL (nv tracks non-null
+        # contributions across restarts, stored as long in state).
+        if nv == 0:
+            total = None
+        else:
+            total = acc / 100.0 if exact_cents else acc
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -94,7 +107,7 @@ def running_user_totals_stream(
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, total double, nv long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

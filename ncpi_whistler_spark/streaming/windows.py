@@ -157,7 +157,13 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # awaitTermination returns False on timeout WITHOUT raising — a
+    # silent partial drain would hand callers a half-filled memory table
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream drain '{query_name}' did not finish in {timeout_sec}s"
+        )
 
 
 def enriched_stream(

@@ -28,9 +28,17 @@ from ncpi_whistler_spark.operators.similarity import embedding_pairs_blocked
 def _gen_corpus(rnd: random.Random, n: int, dim: int):
     rows = []
     for i in range(n):
-        kind = rnd.choice(["clean", "clean", "clean", "null", "zero", "nan"])
+        kind = rnd.choice(
+            ["clean", "clean", "clean", "null", "zero", "nan", "nullelem"]
+        )
         if kind == "null":
             rows.append((i, None))
+        elif kind == "nullelem":
+            # a NULL ELEMENT folds to a NULL norm — three-valued logic
+            # territory (the review-caught semantic_dedup drop class)
+            v = [rnd.uniform(-1, 1) for _ in range(dim)]
+            v[rnd.randrange(dim)] = None
+            rows.append((i, v))
         elif kind == "zero":
             rows.append((i, [0.0] * dim))
         elif kind == "nan":
@@ -55,7 +63,7 @@ def _py_reference(rows, threshold):
 
     usable = {}
     for i, v in rows:
-        if v is None:
+        if v is None or any(x is None for x in v):
             continue
         nrm = math.sqrt(fold_dot(v, v))
         if nrm > 0 and not math.isnan(nrm):

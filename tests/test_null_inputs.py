@@ -259,7 +259,11 @@ def test_stateful_stream_total_on_null_events(spark, duck, tmp_path):
 
     out = REGISTRY["q88_user_totals_stateful"][0](spark, d)
     got = {
-        (r["user_id"], r["n_events"], float(r["total_value"]))
+        (
+            r["user_id"],
+            r["n_events"],
+            float(r["total_value"]) if r["total_value"] is not None else None,
+        )
         for r in out.collect()
     }
     import duckdb
@@ -269,15 +273,18 @@ def test_stateful_stream_total_on_null_events(spark, duck, tmp_path):
         "CREATE VIEW pois_events AS SELECT * FROM "
         f"read_parquet('{d}/events.parquet/*.parquet')"
     )
+    # the REGISTRY oracle's shape, no COALESCE: an all-NULL group SUMs
+    # to NULL and the stream must emit NULL for it too
     want = {
-        (r[0], r[1], float(r[2]) if r[2] is not None else 0.0)
+        (r[0], r[1], float(r[2]) if r[2] is not None else None)
         for r in con.execute(
             "SELECT user_id, COUNT(*), "
-            "COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) "
             "FROM pois_events GROUP BY user_id"
         ).fetchall()
     }
     con.close()
+    assert any(t is None for (_, _, t) in want), "fixture must exercise an all-NULL group"
     assert got == want
 
 
@@ -295,3 +302,21 @@ def test_semantic_dedup_contract_on_fully_untrainable_corpus(spark):
     out = semantic_dedup(df, threshold=0.4, nlist=2, iters=1, nprobe=1)
     rows = {(r["vec_id"], r["cid"], r["kept"]) for r in out.collect()}
     assert rows == {(1, None, True), (2, None, True), (3, None, True), (4, None, True)}
+
+
+def test_semantic_dedup_null_element_vector_keeps_row(spark):
+    """A vector with a NULL ELEMENT folds to a NULL norm, so the
+    geometry predicate is SQL NULL — three-valued logic would drop the
+    row from BOTH legs (where(geom) and where(~geom) are each false).
+    The coalesce fix routes it to the no-geometry leg: one row per
+    input vector, always."""
+    from ncpi_whistler_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [1.0, None]), (3, [0.9, 0.4])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, threshold=0.1, nlist=2, iters=1, nprobe=1)
+    rows = {r["vec_id"]: (r["cid"], r["kept"]) for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == (None, True)

@@ -190,7 +190,11 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
             )
         )
         if injected:
-            agg = inj(agg, "agg_reduce")
+            # raw injector, NO repartition: an extra round-robin exchange
+            # would move the failure past the final-aggregation stage and
+            # the retry would re-read already-finalized aggregates instead
+            # of re-fetching partial-agg map output (the claim under test)
+            agg = inject_first_attempt_failure(agg, marker_dir, "agg_reduce")
         return _canon(agg)
 
     yield ("agg_reduce", lambda: _agg(False), lambda: _agg(True))
