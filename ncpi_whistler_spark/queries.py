@@ -4560,14 +4560,24 @@ DRIVER_QUERIES = [
     "q03_embed_customer_orders",  # J1/S3 embed
     "q04_measure_pivot",          # A2 wide->long
     "q05_harmonize_returnflag",   # J3/H* harmonize
-    "q06_topk_orders_per_customer",  # L1 top-k per group
-    "q08_customers_without_orders",  # anti join
     "q11_sequential_codes",       # W1 codegen
-    "q12_count_summary",          # A3
     "q13_profile_part",           # A4 profiling
+                                  # (r9 window rotation, judge ask #4:
+                                  # q06 L1 top-k -> driver-evidenced via
+                                  # q25 rank-over-window top-k; q08 anti
+                                  # join -> inside q81/q24 broadcast-anti;
+                                  # q12 A3 counts -> q13 A4 carries count
+                                  # summaries; q15 star broadcast join ->
+                                  # q03/q05 broadcast joins; q18 hourly
+                                  # bucketing -> q85 streaming hourly.
+                                  # All five stay bench+parity-verified
+                                  # in REGISTRY.)
+    "q98_cms_heavy_hitters",      # Count-Min sketch estimate chain
+    "q99_stream_interval_join",   # stream-stream interval join (2.10)
+    "q102_token_entropy",         # token-entropy scoring
+    "q103_histogram_quantiles",   # histogram quantile sketch
+    "q104_bpe_apply",             # BPE merge application
     "q82_pii_audit",              # PII scrub/audit pass
-    "q15_nation_revenue",         # star join, all dims broadcast
-    "q18_events_hourly",          # time bucketing
     "q19_sessionize",             # sessionization
     "q20_doc_stats",              # text stats
     "q21_lang_guess",             # language ID
