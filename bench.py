@@ -92,12 +92,17 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    # Driver / CI re-runs set SPARK_GRAFT_BENCH_OUT so their numbers land
-    # in a round-stamped artifact instead of dirtying the committed
-    # BENCH_DETAIL.json (the tools/parity.py SPARK_GRAFT_PARITY_OUT
-    # pattern). The regression gate still reads the committed detail file
-    # as its baseline either way.
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", detail_path)
+    # A bare `python bench.py` must leave the git tree CLEAN (rounds 6-8
+    # all ended with a dirty BENCH_DETAIL.json from the driver's
+    # post-commit re-run): the DEFAULT detail artifact goes to an
+    # untracked scratch path. Updating the committed baseline is an
+    # explicit opt-in: SPARK_GRAFT_BENCH_OUT=BENCH_DETAIL.json. The
+    # regression gate still reads the committed detail file as its
+    # baseline either way.
+    scratch_default = os.path.join(
+        os.path.dirname(detail_path), ".scratch", "BENCH_DETAIL_latest.json"
+    )
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", scratch_default)
     if not os.path.isabs(out_path):
         out_path = os.path.join(os.path.dirname(detail_path), out_path)
     cur_mode = (
@@ -176,6 +181,7 @@ def main() -> int:
         "regressions": regressions,
         "regression_gate": ">1.5x and >0.3s vs previous BENCH_DETAIL.json",
     }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}

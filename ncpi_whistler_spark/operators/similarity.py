@@ -420,16 +420,20 @@ def cosine_topk_lsh(
     # NaN sim (corrupt or zero-norm vector) is never a neighbor: Spark
     # orders NaN ABOVE all doubles, so unfiltered it would outrank every
     # real match in the desc sort (numpy comparisons drop it — the two
-    # exact paths must agree).
-    scored = scored.where(~F.isnan(F.col("sim")))
+    # exact paths must agree). Same explicitly-safe shape as cosine_topk:
+    # nanvl ranks NaN last and the post-window filter — which pushdown
+    # cannot move through the Window — drops it. (A standalone pre-window
+    # ~isnan(sim) was benign here only because sim comes from an Arrow
+    # UDF, an implicit substitution barrier; the nanvl fold does not rely
+    # on that.)
     top = top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        [F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
     )
-    return top.select(
+    return top.where(~F.isnan(F.col("sim"))).select(
         "query_id",
         "neighbor_id",
         F.col("rank").cast("long").alias("rank"),
@@ -695,16 +699,20 @@ def ivf_topk(
     # NaN sim (corrupt or zero-norm vector) is never a neighbor: Spark
     # orders NaN ABOVE all doubles, so unfiltered it would outrank every
     # real match in the desc sort (numpy comparisons drop it — the two
-    # exact paths must agree).
-    scored = scored.where(~F.isnan(F.col("sim")))
+    # exact paths must agree). Same explicitly-safe shape as cosine_topk:
+    # nanvl ranks NaN last and the post-window filter — which pushdown
+    # cannot move through the Window — drops it. (A standalone pre-window
+    # ~isnan(sim) was benign here only because sim comes from an Arrow
+    # UDF, an implicit substitution barrier; the nanvl fold does not rely
+    # on that.)
     top = top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        [F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
     )
-    return top.select(
+    return top.where(~F.isnan(F.col("sim"))).select(
         "query_id",
         "neighbor_id",
         F.col("rank").cast("long").alias("rank"),

@@ -4429,7 +4429,14 @@ def _q104_oracle() -> str:
     of each outer boundary, so adjacent matches never share consumed
     text and replace()'s continue-after-replacement scan IS the BPE
     greedy rule (verified bit-equal to the Spark fold on the
-    'aaaa'/'aaaaa' overlap edge cases in test_llm_ops)."""
+    'aaaa'/'aaaaa' overlap edge cases in test_llm_ops).
+
+    Mirrors BPE_MAX_WORD_CHARS: an over-cap word is ONE opaque
+    ``word</w>`` piece on BOTH sides (the engine's O(len²)-fold guard is
+    a documented policy, not a fixture accident) — so an oracle replay
+    over a corpus with a >cap word agrees instead of silently diverging."""
+    from ncpi_whistler_spark.operators.text import BPE_MAX_WORD_CHARS
+
     d = "\x1f"
     dd = d + d
     s = f"'{dd}' || regexp_replace(w, '(.)', '\\1{dd}', 'g') || '</w>{dd}'"
@@ -4439,7 +4446,9 @@ def _q104_oracle() -> str:
     flat AS (SELECT doc_id, unnest(toks) AS w FROM t),
     vocab AS (SELECT DISTINCT w FROM flat),
     seg AS (
-      SELECT w, list_filter(string_split({s}, '{dd}'), x -> x != '') AS pieces
+      SELECT w, CASE WHEN length(w) <= {BPE_MAX_WORD_CHARS}
+                THEN list_filter(string_split({s}, '{dd}'), x -> x != '')
+                ELSE [w || '</w>'] END AS pieces
       FROM vocab
     ),
     j AS (SELECT doc_id, flat.w, pieces FROM flat JOIN seg USING (w)),

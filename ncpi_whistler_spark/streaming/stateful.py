@@ -19,6 +19,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _decode_state(st: tuple, exact_cents: bool) -> tuple[int, int | float, int]:
+    """Decode a restored state tuple, tolerating the pre-nv 2-field layout.
+
+    The state schema widened from ``n long, total double`` to include the
+    non-null counter ``nv long`` (all-NULL-group SQL-twin semantics). A
+    checkpoint written by the 2-field layout decodes here with ``nv``
+    defaulted to ``n`` — correct whenever the historic stream carried no
+    NULL values (NULLs only became survivable in the same change that
+    added ``nv``, so a 2-field checkpoint cannot have counted any).
+    Caveat: Spark's own state-schema compatibility check
+    (``spark.sql.streaming.stateSchemaCheck``, default on) rejects a
+    widened stateStructType before this code runs — to migrate a live
+    pre-upgrade checkpoint you must disable that check for the first
+    restart; this decoder then makes the restore semantically correct
+    rather than a crash at unpack.
+    """
+    if len(st) == 3:
+        n, acc, nv = st
+    else:
+        n, acc = st
+        nv = n
+    return int(n), int(acc) if exact_cents else acc, int(nv)
+
+
 def running_user_totals_stream(
     events: DataFrame, exact_cents: bool = False
 ) -> DataFrame:
@@ -41,10 +65,7 @@ def running_user_totals_stream(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, acc, nv = state.get
-            nv = int(nv)
-            if exact_cents:
-                acc = int(acc)
+            n, acc, nv = _decode_state(state.get, exact_cents)
         else:
             n, acc, nv = 0, 0 if exact_cents else 0.0, 0
         for pdf in pdfs:

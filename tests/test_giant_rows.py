@@ -103,3 +103,37 @@ def test_chunk_tokens_stride_reconstruction(spark):
     rebuilt.extend(rows[-1]["chunk"].split(" "))  # tail chunk in full
     want = df.select(tokens("text").alias("t")).first()["t"]
     assert rebuilt == want
+
+
+def test_q104_oracle_mirrors_bpe_cap(spark, tmp_path):
+    """ADVICE r8: BPE_MAX_WORD_CHARS is a deliberate engine policy, so the
+    q104 oracle must MIRROR it — a corpus containing a >cap word has to
+    replay green (one opaque word</w> piece on both sides), not diverge
+    silently the day a giant-word fixture appears."""
+    import duckdb
+
+    from ncpi_whistler_spark.operators.text import BPE_MAX_WORD_CHARS
+    from ncpi_whistler_spark.queries import REGISTRY
+
+    over = "x" * (BPE_MAX_WORD_CHARS + 5)
+    rows = [
+        (1, "en", f"the {over} and then in the end"),
+        (2, "en", f"there and {over} {over} on"),
+        (3, "en", "in an era of thin theory"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    path = str(tmp_path / "documents.parquet")
+    sdf.coalesce(1).write.parquet(path)
+
+    fn, oracle = REGISTRY["q104_bpe_apply"]
+    got = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    con.close()
+    assert got == want
+    # and the over-cap word really was opaque: exactly 1 piece, so doc 1's
+    # piece count is its token count + extra pieces only from real words
+    assert len(got) == 3

@@ -788,3 +788,18 @@ def test_interval_join_state_survives_restart(spark, tmp_path):
         (1, 3, 1_800_000_000),
         (4, 5, 1_200_000_000),
     ]
+
+
+def test_decode_state_tolerates_pre_nv_checkpoint_layout():
+    """A checkpoint written before the nv (non-null counter) field was
+    added decodes with nv defaulted to n — all historic events counted as
+    non-null contributions (NULL events only became survivable in the
+    same change that added nv, so a 2-field checkpoint never saw one)."""
+    from ncpi_whistler_spark.streaming.stateful import _decode_state
+
+    # pre-upgrade layout: (n, total)
+    assert _decode_state((7, 12345.0), True) == (7, 12345, 7)
+    assert _decode_state((7, 12.5), False) == (7, 12.5, 7)
+    # current layout passes through, with the exact-cents int restore
+    assert _decode_state((7, 12345.0, 5), True) == (7, 12345, 5)
+    assert _decode_state((7, 12.5, 0), False) == (7, 12.5, 0)
