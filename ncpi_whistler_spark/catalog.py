@@ -31,6 +31,99 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+class CorruptTableError(RuntimeError):
+    """A table directory contains files whose parquet footer cannot be
+    read (truncated/garbled) — raised by :func:`verify_table_files` with
+    every bad file named."""
+
+
+class SchemaDriftError(RuntimeError):
+    """A table directory mixes files with differing schemas — raised by
+    :func:`verify_table_files` naming the drifted file(s) and fields.
+    Deliberately NOT maskable by ``ignore_corrupt_files``: a drifted file
+    is valid parquet, and silently reading it with the majority schema
+    would null-fill or mistype columns instead of failing."""
+
+
+def _table_part_files(sf_dir: str, name: str) -> list[str]:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            # Spark directory layout: data is *.parquet; _SUCCESS /
+            # .crc / _metadata sidecars are not data files
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def verify_table_files(sf_dir: str, name: str) -> dict:
+    """Pre-flight footer scan of every data file in a table — the engine's
+    CORRUPT-FILE POLICY, made explicit:
+
+    * default engine stance is FAIL LOUD: a truncated/garbled file
+      raises :class:`CorruptTableError` naming every bad file (Spark's
+      own scan-time error also fails the job, but surfaces one file at a
+      time from deep inside an executor stack);
+    * a file whose (name, type) column signature differs from the rest
+      raises :class:`SchemaDriftError` naming the file and the differing
+      fields — this class of corruption is NEVER skippable, because the
+      file parses fine and would silently null-fill under a merged or
+      majority schema;
+    * a clean table returns ``{"files": N, "rows": total}``.
+
+    Cost is one footer read per file (no data pages), so it is a cheap
+    pre-flight at fixture scale; at 100 TB / millions of files run it
+    selectively (new partitions since the last verified watermark) — which
+    is why it is an explicit call rather than buried inside every
+    ``load_table``.
+    """
+    import pyarrow.parquet as pq
+
+    files = _table_part_files(sf_dir, name)
+    corrupt: list[tuple[str, str]] = []
+    sigs: dict[tuple, list[str]] = {}
+    rows = 0
+    for f in files:
+        try:
+            meta = pq.read_metadata(f)
+            sig = tuple(
+                (fld.name, str(fld.type)) for fld in pq.read_schema(f)
+            )
+        except Exception as exc:  # pyarrow raises ArrowInvalid/OSError
+            corrupt.append((f, str(exc).splitlines()[0]))
+            continue
+        rows += meta.num_rows
+        sigs.setdefault(sig, []).append(f)
+    if corrupt:
+        named = "; ".join(f"{f!r}: {err}" for f, err in corrupt)
+        raise CorruptTableError(
+            f"table {name!r} under {sf_dir!r} has {len(corrupt)} corrupt "
+            f"parquet file(s): {named}. Engine policy is fail-loud; pass "
+            f"ignore_corrupt_files=True to load_table to skip them "
+            f"(documented degraded mode)."
+        )
+    if len(sigs) > 1:
+        # majority schema = the signature backing the most files
+        major = max(sigs.items(), key=lambda kv: len(kv[1]))[0]
+        drifted = {
+            fs[0]: sorted(set(sig) ^ set(major))
+            for sig, fs in sigs.items()
+            if sig != major
+        }
+        named = "; ".join(
+            f"{f!r} differs on {diff}" for f, diff in drifted.items()
+        )
+        raise SchemaDriftError(
+            f"table {name!r} under {sf_dir!r} mixes {len(sigs)} schemas: "
+            f"{named}. Schema drift is never skippable — fix or quarantine "
+            f"the drifted file(s)."
+        )
+    return {"files": len(files), "rows": rows}
+
+
 def _ensure_runtime_conf(spark: SparkSession) -> None:
     # Runtime-settable; required even when the session was built elsewhere
     # (the verification driver passes its own session).
@@ -75,7 +168,7 @@ def event_micros(col) -> "F.Column":
 #: applicationId means a new session never sees a stale plan. Avoids the
 #: per-query file-listing + schema-inference job (85 registry queries ×
 #: ~1.5 tables would otherwise re-run it every time).
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 #: Queries share one session across threads (a normal multi-tenant Spark
 #: pattern); the cache's eviction sweep iterates the dict, so without a
 #: lock a concurrent first-load insert raises "dictionary changed size
@@ -84,16 +177,31 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _TABLE_CACHE_LOCK = threading.Lock()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ignore_corrupt_files: bool = False,
+) -> DataFrame:
     """Load one fixture table (memoized per session; thread-safe).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a nanos
     long (legacy conf) and we floor-divide to micros — identical to how
     micro-resolution engines (DuckDB included) truncate nanos.
+
+    Corrupt-file policy: by default a truncated/garbled data file FAILS
+    the job loudly (Spark's scan error names the file; run
+    :func:`verify_table_files` for a pre-flight that names them all).
+    ``ignore_corrupt_files=True`` is the documented degraded mode — the
+    per-source ``ignoreCorruptFiles`` reader option skips unreadable
+    files and returns the healthy remainder (use for salvage reads, never
+    in the correctness-checked pipelines; schema DRIFT is a different
+    corruption class and is never skippable — see
+    :class:`SchemaDriftError`).
     """
     _ensure_runtime_conf(spark)
     app_id = spark.sparkContext.applicationId
-    key = (app_id, os.path.abspath(sf_dir), name)
+    key = (app_id, os.path.abspath(sf_dir), name, ignore_corrupt_files)
     with _TABLE_CACHE_LOCK:
         # Evict entries from other (stopped) sessions so dead DataFrames
         # and their SparkSessions don't pin memory for the process
@@ -110,7 +218,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # them). Two threads may race the same first load; setdefault keeps
     # one plan and the loser's duplicate is discarded — DataFrames are
     # immutable, so either is correct.
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    reader = spark.read
+    if ignore_corrupt_files:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    df = reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     with _TABLE_CACHE_LOCK:

@@ -24,13 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _run(*extra: str) -> dict:
+def _run(*extra: str, timeout: int = 600) -> dict:
     proc = subprocess.run(
         [sys.executable, "-m", "tools.faultinject", "--sf-dir", SF_DIR, *extra],
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=timeout,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     # last stdout line is the JSON report
@@ -53,6 +53,7 @@ def test_task_retry_suite_deterministic():
         "parquet_sink",
         "stream_microbatch_hdfs",
         "stream_microbatch_rocksdb",
+        "worker_hard_kill",
     }
     for name, s in scenarios.items():
         assert s["fired"], f"{name}: injection never fired — test is vacuous"
@@ -66,3 +67,40 @@ def test_negative_control_injection_is_real():
     report = _run("--negative-control")
     assert report["negative_control"] == "failed_as_expected"
     assert report["fired"] is True
+
+
+def test_local_cluster_multi_jvm_and_executor_loss():
+    """Round-9 multi-process ring: the determinism suite crosses REAL
+    executor-JVM serialization boundaries, and a SIGKILLed executor
+    (lost shuffle files -> FetchFailed -> stage re-execution) recovers
+    bit-identical results."""
+    report = _run("--mode", "cluster", timeout=900)
+    assert report["ok"] is True
+    lc = report["local_cluster"]
+    assert lc["master"].startswith("local-cluster[2,2")
+    # driver + 2 executors registered before any injection
+    assert lc["executors_with_driver_before"] >= 3
+    # the full single-JVM determinism suite, replayed across JVMs
+    for name, s in lc["scenarios"].items():
+        assert s["fired"] and s["match"], f"{name}: {s}"
+    assert len(lc["scenarios"]) >= 10
+    # executor-loss scenarios: kill really happened, stage re-execution
+    # really happened (injected per-partition exec count exceeds the
+    # clean plan's natural count), results identical
+    for name, s in lc["exec_kill"].items():
+        assert s["ok"], f"{name}: {s}"
+        assert s["killed_jvm_dead"], name
+        assert s["reexecuted_map_partitions"], name
+
+
+def test_speculation_race_is_deterministic():
+    """spark.speculation launches a CONCURRENT second attempt of the
+    stalled task (standalone cluster, two distinct-host workers — the
+    scheduler never speculates onto a host that already has an attempt);
+    whichever attempt commits, the bytes match a clean run."""
+    report = _run("--mode", "speculation", timeout=900)
+    assert report["ok"] is True
+    for name, s in report["speculation"]["scenarios"].items():
+        assert s["speculated"], f"{name}: no speculative attempt launched"
+        assert s["match"], f"{name}: speculation changed the result"
+        assert 1 in s["slow_partition_attempts"], name

@@ -33,8 +33,47 @@ determinism risk classes:
 (maxFailures=1) and asserts the job FAILS — proof the injection is real
 and the main run's green is earned, not vacuous.
 
+Round 9 adds the MULTI-PROCESS ring of evidence — the fault classes a
+single-JVM ``local[N,F]`` master cannot produce:
+
+- ``--mode cluster``: the full determinism-scenario suite re-run on
+  ``local-cluster[2,2,1024]`` — two REAL executor JVMs, so every
+  operator's closures, Arrow UDFs, and broadcasts cross a genuine
+  serialization boundary (a lambda capturing an unserializable handle,
+  or a module only importable in the driver process, fails HERE and
+  nowhere in local mode). Plus:
+
+  * ``exec_kill_*``: a reduce-side task SIGKILLs its OWN executor JVM
+    mid-job, after upstream map output exists on that executor. The
+    next fetch of that output hits FetchFailed, the DAGScheduler
+    re-executes the lost map partitions, the standalone Worker
+    relaunches a replacement executor, and the job completes. Evidence:
+    the kill marker records the killed JVM pid (asserted dead), and a
+    pre-shuffle task recorder proves >=1 map partition executed MORE
+    THAN ONCE in the injected run and exactly once in the clean run —
+    stage re-execution, not mere task retry. Results bit-match.
+  * ``worker_hard_kill``: the Arrow worker dies via ``os._exit(1)``
+    (no Python exception, no socket shutdown) on attempt 0 — exercises
+    executor-side worker-crash detection + worker reuse. (Also in the
+    local suite.)
+
+- ``--mode speculation``: ``spark.speculation=true`` with an injected
+  slow attempt 0 (stall, then stream) — the scheduler races a
+  SPECULATIVE copy of the same task; whichever commits must yield the
+  same bytes. Evidence: attempt markers show the slow partition ran
+  attempts {0,1}, and the result bit-matches a clean run. A subtly
+  different duplicate risk than retry: two attempts of ONE task run
+  CONCURRENTLY. Runs on a REAL standalone master + two worker JVMs
+  registering as DIFFERENT host strings (127.0.0.1 / localhost, both
+  loopback), because the scheduler never places a speculative copy on
+  a host that already has an attempt of that task — on
+  ``local-cluster`` (one host string) speculation can never launch,
+  which this tool verified empirically before growing the standalone
+  harness.
+
 Usage:
   python -m tools.faultinject [--sf-dir DIR] [--out FAULTS.json]
+                              [--mode local|cluster|speculation|all]
   python -m tools.faultinject --negative-control
 
 Prints one JSON line; exit 0 iff every scenario matched and fired.
@@ -88,6 +127,142 @@ def _canon(df: DataFrame) -> list[str]:
     """Order-insensitive exact rendering of a result (repr keeps float
     bits, so equality here is bit-equality)."""
     return sorted(repr(tuple(r)) for r in df.collect())
+
+
+def record_task_markers(df: DataFrame, marker_dir: str, tag: str) -> DataFrame:
+    """Pass-through mapInPandas that drops one empty marker file per TASK
+    ATTEMPT: ``<tag>.map.p<partition>.t<taskAttemptId>``. taskAttemptId
+    is globally unique, so a partition with >1 marker was executed more
+    than once — in the exec-kill scenarios that is the machine-checked
+    proof of STAGE RE-EXECUTION (the map stage had already completed;
+    only a FetchFailed after executor loss re-runs its tasks)."""
+    schema = df.schema
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        os.makedirs(marker_dir, exist_ok=True)
+        name = f"{tag}.map.p{tc.partitionId()}.t{tc.taskAttemptId()}"
+        open(os.path.join(marker_dir, name), "w").close()
+        for pdf in batches:
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def kill_own_executor_jvm(df: DataFrame, marker_dir: str, tag: str) -> DataFrame:
+    """Pass-through mapInPandas whose partition-0 task SIGKILLs its own
+    executor JVM — real executor loss, shuffle files and all.
+
+    The task walks ``/proc`` ancestors (worker ← pyspark.daemon ← executor
+    JVM) and only fires when the ancestor's cmdline names
+    CoarseGrainedExecutorBackend, so it is inert on a local[N] master
+    (where the first java ancestor is the DRIVER). Fires once per run,
+    gated on the marker file (stage re-execution resets attemptNumber to
+    0, so an attempt-number gate would re-kill forever)."""
+    schema = df.schema
+
+    def gen(batches):
+        import signal
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        flag = os.path.join(marker_dir, f"{tag}.fired")
+        if tc.partitionId() == 0 and not os.path.exists(flag):
+            pid = os.getppid()
+            jvm = None
+            for _ in range(10):
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                        cmd = fh.read().decode(errors="replace")
+                    with open(f"/proc/{pid}/stat") as fh:
+                        stat = fh.read()
+                except OSError:
+                    break
+                if "CoarseGrainedExecutorBackend" in cmd:
+                    jvm = pid
+                    break
+                # ppid is field 2 after the last ')' (comm may hold spaces)
+                pid = int(stat.rsplit(")", 1)[1].split()[1])
+            if jvm is not None:
+                os.makedirs(marker_dir, exist_ok=True)
+                with open(flag, "w") as fh:
+                    fh.write(str(jvm))
+                os.kill(jvm, signal.SIGKILL)
+                # we die with the JVM; never stream a partial batch out
+                import time as _t
+
+                _t.sleep(60)
+                os._exit(1)
+        for pdf in batches:
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def hard_kill_worker_first_attempt(
+    df: DataFrame, marker_dir: str, tag: str
+) -> DataFrame:
+    """Pass-through mapInPandas whose partition-0 attempt-0 task kills the
+    PYTHON WORKER with os._exit(1) — no exception raised, no clean socket
+    shutdown. Exercises the executor's worker-crash detection and worker
+    re-use paths, a different failure surface than a raised error (which
+    travels the normal serialized-exception channel)."""
+    schema = df.schema
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            os.makedirs(marker_dir, exist_ok=True)
+            with open(os.path.join(marker_dir, f"{tag}.fired"), "w") as fh:
+                fh.write(f"task={tc.taskAttemptId()}")
+            os._exit(1)
+        for pdf in batches:
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def slow_first_attempt(
+    df: DataFrame, marker_dir: str, tag: str, sleep_s: float = 8.0
+) -> DataFrame:
+    """Pass-through mapInPandas that records every (partition, attempt)
+    and STALLS partition 0's attempt 0 before streaming — long enough for
+    the speculation scheduler to launch a racing copy (attempt 1) on the
+    other executor. Both attempts produce the same bytes; whichever
+    commits first wins, and the scenario asserts the RESULT cannot tell."""
+    schema = df.schema
+
+    def gen(batches):
+        import time as _t
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        os.makedirs(marker_dir, exist_ok=True)
+        name = f"{tag}.attempt.p{tc.partitionId()}.a{tc.attemptNumber()}"
+        open(os.path.join(marker_dir, name), "w").close()
+        if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            _t.sleep(sleep_s)
+        for pdf in batches:
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def _map_exec_counts(marker_dir: str, tag: str) -> dict[str, int]:
+    """partition → number of distinct task attempts recorded for it."""
+    counts: dict[str, int] = {}
+    prefix = f"{tag}.map."
+    for name in os.listdir(marker_dir):
+        if name.startswith(prefix):
+            part = name[len(prefix):].split(".")[0]
+            counts[part] = counts.get(part, 0) + 1
+    return counts
 
 
 def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
@@ -212,6 +387,20 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
 
     yield ("parquet_sink", lambda: _sink(False), lambda: _sink(True))
 
+    # 7b. Python-worker HARD kill: os._exit(1) on attempt 0 — no raised
+    #    exception, no clean Arrow-socket shutdown. The executor must
+    #    detect the crashed worker, fail the task, and the retry must
+    #    run on a fresh (or reused) worker to the same bytes.
+    def _wk(injected: bool) -> list[str]:
+        src = docs.repartition(4)
+        if injected:
+            src = hard_kill_worker_first_attempt(
+                src, marker_dir, "worker_hard_kill"
+            )
+        return _canon(drop_exact_dups(src))
+
+    yield ("worker_hard_kill", lambda: _wk(False), lambda: _wk(True))
+
     # 8/9. Task retry INSIDE a streaming micro-batch: distinct from the
     #    checkpoint-restart evidence (test_streaming) — here the QUERY
     #    keeps running while the scheduler retries one failed task of a
@@ -253,17 +442,126 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
         )
 
 
-def run_suite(sf_dir: str, out_path: str | None) -> int:
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Two worker JVMs x 2 cores x 1 GiB — the smallest real multi-process
+#: Spark cluster: standalone Master + 2 Workers + 2 executor backends,
+#: each executor a separate JVM with its own Python daemon/workers.
+LOCAL_CLUSTER = "local-cluster[2,2,1024]"
+
+
+class StandaloneCluster:
+    """A real standalone Spark cluster on loopback: one Master + two
+    Worker JVMs whose SPARK_LOCAL_HOSTNAME differ (127.0.0.1 vs
+    localhost), so the two executors register as DIFFERENT hosts.
+
+    Needed for the speculation scenarios: TaskSetManager's speculative
+    dequeue excludes any host that already has an attempt of the task,
+    so a single-host cluster (local-cluster, or two workers with the
+    same hostname) never launches the racing copy."""
+
+    MASTER_URL = "spark://127.0.0.1:7077"
+
+    def __init__(self) -> None:
+        self._procs: list = []
+
+    def start(self) -> None:
+        import subprocess
+
+        import pyspark
+
+        spark_class = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-class"
+        )
+
+        def launch(args: list[str], hostname: str, log: str) -> None:
+            env = dict(
+                os.environ,
+                SPARK_NO_DAEMONIZE="1",
+                SPARK_LOCAL_HOSTNAME=hostname,
+            )
+            fh = open(log, "w")
+            self._procs.append(
+                subprocess.Popen(
+                    [spark_class] + args,
+                    env=env,
+                    stdout=fh,
+                    stderr=subprocess.STDOUT,
+                )
+            )
+
+        launch(
+            [
+                "org.apache.spark.deploy.master.Master",
+                "--host", "127.0.0.1", "--port", "7077", "--webui-port", "0",
+            ],
+            "127.0.0.1",
+            os.path.join(tempfile.gettempdir(), "faultinject_master.log"),
+        )
+        import time as _t
+
+        _t.sleep(5)  # master must be up before workers register
+        for i, hostname in enumerate(("127.0.0.1", "localhost")):
+            launch(
+                [
+                    "org.apache.spark.deploy.worker.Worker",
+                    self.MASTER_URL,
+                    "--cores", "2", "--memory", "1500m", "--webui-port", "0",
+                ],
+                hostname,
+                os.path.join(
+                    tempfile.gettempdir(), f"faultinject_worker{i}.log"
+                ),
+            )
+
+    def stop(self) -> None:
+        for p in self._procs:
+            p.terminate()
+        for p in self._procs:
+            try:
+                p.wait(timeout=15)
+            except Exception:
+                p.kill()
+        self._procs.clear()
+
+
+def _wait_for_executors(spark, n: int, timeout_s: int = 90) -> int:
+    """Block until the driver sees >= n BlockManagers (driver + executors)."""
+    import time as _t
+
+    deadline = _t.monotonic() + timeout_s
+    size = 0
+    while _t.monotonic() < deadline:
+        size = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        if size >= n:
+            return size
+        _t.sleep(1)
+    raise TimeoutError(f"only {size} block managers after {timeout_s}s")
+
+
+def _boot(master: str, extra: dict[str, str] | None = None):
     from ncpi_whistler_spark import get_spark
 
-    # local[4,2]: 4 task threads, spark.task.maxFailures=2 — ONE retry
-    # per task, which is exactly what the injector consumes.
-    spark = get_spark(
-        app_name="faultinject", master="local[4,2]", shuffle_partitions=8
+    conf = {
+        # executor JVMs are fresh processes: the package must be
+        # importable in THEIR python workers (cloudpickle serializes
+        # module-level functions by reference)
+        "spark.executorEnv.PYTHONPATH": _REPO_ROOT,
+    }
+    if extra:
+        conf.update(extra)
+    return get_spark(
+        app_name="faultinject",
+        master=master,
+        shuffle_partitions=8,
+        extra_conf=conf,
     )
+
+
+def _run_scenarios(spark, sf_dir: str) -> tuple[dict, bool]:
     marker_dir = tempfile.mkdtemp(prefix="faultinject_markers_")
     scratch = tempfile.mkdtemp(prefix="faultinject_scratch_")
-    report: dict = {"master": "local[4,2]", "sf_dir": sf_dir, "scenarios": {}}
+    scenarios: dict = {}
     ok = True
     try:
         for name, clean, injected in _scenarios(
@@ -273,7 +571,7 @@ def run_suite(sf_dir: str, out_path: str | None) -> int:
             got = injected()
             fired = os.path.exists(os.path.join(marker_dir, f"{name}.fired"))
             match = want == got
-            report["scenarios"][name] = {
+            scenarios[name] = {
                 "match": match,
                 "fired": fired,
                 "rows": len(want),
@@ -282,7 +580,230 @@ def run_suite(sf_dir: str, out_path: str | None) -> int:
     finally:
         shutil.rmtree(marker_dir, ignore_errors=True)
         shutil.rmtree(scratch, ignore_errors=True)
-        spark.stop()
+    return scenarios, ok
+
+
+def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
+    """Executor-loss scenarios: SIGKILL one executor JVM mid-job and
+    assert FetchFailed-driven STAGE re-execution recovered bit-identical
+    results (the one fault class local[N,F] cannot produce)."""
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.operators.dedup import drop_exact_dups
+    from ncpi_whistler_spark.operators.relational import sequential_codes
+
+    docs = load_table(spark, sf_dir, "documents")
+    part = load_table(spark, sf_dir, "part")
+    marker_dir = tempfile.mkdtemp(prefix="faultinject_execkill_")
+    report: dict = {}
+    ok = True
+
+    def _run(name: str, build) -> None:
+        nonlocal ok
+        clean_tag, inj_tag = f"{name}.clean", f"{name}.inj"
+        want = _canon(build(clean_tag, False))
+        got = _canon(build(inj_tag, True))
+        flag = os.path.join(marker_dir, f"{inj_tag}.fired")
+        fired = os.path.exists(flag)
+        killed_jvm_dead = False
+        if fired:
+            with open(flag) as fh:
+                pid = int(fh.read().strip())
+            killed_jvm_dead = not os.path.exists(f"/proc/{pid}")
+        clean_counts = _map_exec_counts(marker_dir, clean_tag)
+        inj_counts = _map_exec_counts(marker_dir, inj_tag)
+        # DIFFERENTIAL evidence: the clean run establishes the plan's
+        # natural per-partition execution count (a plan that scans its
+        # input twice legitimately runs each map task twice); only an
+        # INJECTED count strictly above the clean count proves the lost
+        # shuffle output forced stage re-execution.
+        reexec = sorted(
+            p
+            for p, c in inj_counts.items()
+            if c > clean_counts.get(p, 0)
+        )
+        entry = {
+            "match": want == got,
+            "fired": fired,
+            "killed_jvm_dead": killed_jvm_dead,
+            "clean_map_execs": clean_counts,
+            "injected_map_execs": inj_counts,
+            # injected-run executions beyond the plan's natural count
+            "reexecuted_map_partitions": reexec,
+            "rows": len(want),
+        }
+        entry["ok"] = (
+            entry["match"]
+            and fired
+            and killed_jvm_dead
+            and bool(clean_counts)
+            and bool(reexec)
+        )
+        report[name] = entry
+        ok = ok and entry["ok"]
+
+    def _dedup(tag: str, injected: bool):
+        src = record_task_markers(docs.repartition(4), marker_dir, tag)
+        out = drop_exact_dups(src)
+        if injected:
+            out = kill_own_executor_jvm(out, marker_dir, tag)
+        return out
+
+    def _codes(tag: str, injected: bool):
+        src = record_task_markers(part.repartition(4), marker_dir, tag)
+        out = sequential_codes(
+            src,
+            partition_by=["p_brand"],
+            order_by=[F.col("p_partkey")],
+            prefix_col=F.lit("q"),
+        ).select("p_partkey", "p_brand", "code")
+        if injected:
+            out = kill_own_executor_jvm(out, marker_dir, tag)
+        return out
+
+    try:
+        _run("exec_kill_dedup", _dedup)
+        _run("exec_kill_codes", _codes)
+    finally:
+        shutil.rmtree(marker_dir, ignore_errors=True)
+    return report, ok
+
+
+def run_speculation(spark, sf_dir: str) -> tuple[dict, bool]:
+    """Speculative-execution determinism: a stalled attempt 0 provokes a
+    concurrent speculative attempt 1 of the SAME task on the other
+    executor; the committed result must bit-match a clean run."""
+    from ncpi_whistler_spark.catalog import load_table
+    from ncpi_whistler_spark.operators.dedup import drop_exact_dups
+    from ncpi_whistler_spark.operators.relational import sequential_codes
+
+    docs = load_table(spark, sf_dir, "documents")
+    part = load_table(spark, sf_dir, "part")
+    marker_dir = tempfile.mkdtemp(prefix="faultinject_spec_")
+    report: dict = {}
+    ok = True
+
+    def _run(name: str, build) -> None:
+        nonlocal ok
+        inj_tag = f"{name}.inj"
+        want = _canon(build(None, False))
+        got = _canon(build(inj_tag, True))
+        prefix = f"{inj_tag}.attempt.p0.a"
+        attempts = sorted(
+            int(n[len(prefix):])
+            for n in os.listdir(marker_dir)
+            if n.startswith(prefix)
+        )
+        entry = {
+            "match": want == got,
+            "slow_partition_attempts": attempts,
+            # >=2 attempts of the same task = the speculative copy launched
+            "speculated": len(attempts) >= 2,
+            "rows": len(want),
+        }
+        entry["ok"] = entry["match"] and entry["speculated"]
+        report[name] = entry
+        ok = ok and entry["ok"]
+
+    def _dedup(tag, injected: bool):
+        src = docs.repartition(4)
+        if injected:
+            src = slow_first_attempt(src, marker_dir, tag)
+        return drop_exact_dups(src)
+
+    def _codes(tag, injected: bool):
+        src = part.repartition(4)
+        if injected:
+            src = slow_first_attempt(src, marker_dir, tag)
+        return sequential_codes(
+            src,
+            partition_by=["p_brand"],
+            order_by=[F.col("p_partkey")],
+            prefix_col=F.lit("q"),
+        ).select("p_partkey", "p_brand", "code")
+
+    try:
+        _run("speculation_dedup", _dedup)
+        _run("speculation_codes", _codes)
+    finally:
+        shutil.rmtree(marker_dir, ignore_errors=True)
+    return report, ok
+
+
+def run_modes(sf_dir: str, out_path: str | None, mode: str) -> int:
+    report: dict = {"sf_dir": sf_dir}
+    ok = True
+
+    if mode in ("local", "all"):
+        # local[4,2]: 4 task threads, spark.task.maxFailures=2 — ONE
+        # retry per task, which is exactly what the injector consumes.
+        spark = _boot("local[4,2]")
+        try:
+            scen, s_ok = _run_scenarios(spark, sf_dir)
+        finally:
+            spark.stop()
+        report["master"] = "local[4,2]"
+        report["scenarios"] = scen
+        ok = ok and s_ok
+
+    if mode in ("cluster", "all"):
+        spark = _boot(LOCAL_CLUSTER)
+        try:
+            # force executor registration before counting (right after
+            # boot only the driver has a BlockManager)
+            spark.range(1000).repartition(4).count()
+            n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+            scen, s_ok = _run_scenarios(spark, sf_dir)
+            kill, k_ok = run_exec_kill(spark, sf_dir)
+            n_exec_after = (
+                spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+            )
+        finally:
+            spark.stop()
+        report["local_cluster"] = {
+            "master": LOCAL_CLUSTER,
+            # driver + 2 executors before; replacements keep it >= that
+            "executors_with_driver_before": n_exec,
+            "executors_with_driver_after": n_exec_after,
+            "scenarios": scen,
+            "exec_kill": kill,
+        }
+        ok = ok and s_ok and k_ok
+
+    if mode in ("speculation", "all"):
+        cluster = StandaloneCluster()
+        cluster.start()
+        try:
+            import sys as _sys
+
+            spark = _boot(
+                cluster.MASTER_URL,
+                extra={
+                    "spark.driver.host": "127.0.0.1",
+                    "spark.executor.memory": "1024m",
+                    "spark.cores.max": "4",
+                    "spark.pyspark.python": _sys.executable,
+                    "spark.speculation": "true",
+                    "spark.speculation.interval": "100ms",
+                    "spark.speculation.multiplier": "1.2",
+                    "spark.speculation.quantile": "0.25",
+                },
+            )
+            try:
+                n_exec = _wait_for_executors(spark, 3)
+                spec, p_ok = run_speculation(spark, sf_dir)
+            finally:
+                spark.stop()
+        finally:
+            cluster.stop()
+        report["speculation"] = {
+            "master": cluster.MASTER_URL
+            + " (standalone, 2 workers on distinct host strings)",
+            "executors_with_driver": n_exec,
+            "conf": "speculation on: interval=100ms multiplier=1.2 quantile=0.25",
+            "scenarios": spec,
+        }
+        ok = ok and p_ok
+
     report["ok"] = ok
     line = json.dumps(report)
     print(line)
@@ -330,10 +851,18 @@ def main() -> int:
     )
     ap.add_argument("--out", default=None)
     ap.add_argument("--negative-control", action="store_true")
+    ap.add_argument(
+        "--mode",
+        choices=["local", "cluster", "speculation", "all"],
+        default="local",
+        help="local = single-JVM local[4,2] retry suite; cluster = the "
+        "same suite plus executor-kill on local-cluster[2,2,1024]; "
+        "speculation = concurrent-attempt race; all = everything",
+    )
     args = ap.parse_args()
     if args.negative_control:
         return run_negative_control(args.sf_dir)
-    return run_suite(args.sf_dir, args.out)
+    return run_modes(args.sf_dir, args.out, args.mode)
 
 
 if __name__ == "__main__":
