@@ -588,7 +588,10 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
     assert FetchFailed-driven STAGE re-execution recovered bit-identical
     results (the one fault class local[N,F] cannot produce)."""
     from ncpi_whistler_spark.catalog import load_table
-    from ncpi_whistler_spark.operators.dedup import drop_exact_dups
+    from ncpi_whistler_spark.operators.dedup import (
+        drop_exact_dups,
+        minhash_lsh_pairs,
+    )
     from ncpi_whistler_spark.operators.relational import sequential_codes
 
     docs = load_table(spark, sf_dir, "documents")
@@ -708,9 +711,22 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
         report[name] = entry
         ok = ok and entry["ok"]
 
+    def _lsh(tag: str, injected: bool):
+        # The operator persist()s its signature frame; killing the
+        # executor loses its CACHED BLOCKS along with shuffle files, so
+        # the surviving executor must recompute them from lineage — a
+        # third loss class (cache, not just shuffle) with the same
+        # differential re-execution proof.
+        src = record_task_markers(docs.repartition(4), marker_dir, tag)
+        out = minhash_lsh_pairs(src, num_hashes=16, bands=4)
+        if injected:
+            out = kill_own_executor_jvm(out, marker_dir, tag)
+        return out
+
     try:
         _run("exec_kill_dedup", _dedup)
         _run("exec_kill_codes", _codes)
+        _run("exec_kill_lsh_cache", _lsh)
         _run_stream()
     finally:
         shutil.rmtree(marker_dir, ignore_errors=True)
