@@ -1,0 +1,117 @@
+"""Change-data-capture operators: change-log compaction, MERGE-style
+upsert/delete application, and SCD2 history derivation.
+
+The reference pipeline rebuilds a study wholesale on every run
+(wstlr/play.py drives a full re-extract; there is no incremental path),
+which is fine at study scale and fatal at 100 TB. These operators give
+the engine the standard incremental-ingest layer: a change log (CDC
+feed) is compacted to its latest state per key and merged into the base
+table with insert/update/delete semantics — the same contract as SQL
+MERGE or Delta Lake's ``MERGE INTO``, expressed as pure DataFrame ops so
+it runs on plain parquet.
+
+Scale design:
+
+- ``latest_change_per_key`` is an argmax aggregation — ``max(struct(
+  ordering, payload))`` — NOT a row_number window. Partial aggregation
+  combines map-side, so the shuffle carries ~|keys| rows regardless of
+  how many versions each key accumulated; a window would sort every
+  version of every key after a full shuffle.
+- ``merge_upsert`` touches the base table with ONE anti join on the
+  change keys. When the delta is dimension-sized (the overwhelmingly
+  common shape: a day of changes vs years of base), ``broadcast_delta``
+  ships the compacted keys map-side and the 100 TB base is never
+  shuffled at all. Otherwise it is a shuffle join on the merge keys —
+  co-partitioned with the compaction shuffle, and AQE converts it to a
+  broadcast automatically when the compacted delta turns out small.
+- ``scd2_history`` needs the full version order per key, so a window is
+  the honest plan there; one shuffle on the key, sort within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_change_per_key(
+    delta: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Compact a change log to the winning (highest ``seq_col``) row per
+    key. Ties on seq are broken by ``tiebreakers`` (struct comparison is
+    lexicographic); callers must make (seq, tiebreakers) total per key or
+    the winner is nondeterministic — same contract as every keeper op in
+    operators/dedup.py.
+
+    Plan: groupBy(keys).agg(max(struct(ord, payload))) — partial-agg
+    argmax, single shuffle of ~|distinct keys| combined rows.
+    """
+    ord_cols = [F.col(seq_col)] + [F.col(c) for c in (tiebreakers or [])]
+    payload = F.struct(*[F.col(c) for c in delta.columns])
+    win = delta.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(F.struct(F.struct(*ord_cols).alias("__ord"), payload.alias("__row"))).alias("__m")
+    )
+    return win.select("__m.__row.*")
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    tiebreakers: list[str] | None = None,
+    broadcast_delta: bool = False,
+) -> DataFrame:
+    """MERGE the change log ``delta`` into ``base``:
+
+    - the latest change per key wins (``latest_change_per_key``);
+    - a winning row whose ``op_col`` == ``delete_op`` removes the key;
+    - any other winning row replaces the base row (update) or adds a new
+      one (insert) — upsert semantics, no matched/not-matched split
+      needed because the union below is the same either way.
+
+    ``delta`` must carry every ``base`` column (plus ``seq_col`` /
+    ``op_col``); the result has exactly ``base``'s columns. Base rows are
+    read once and anti-joined once; they are never sorted or windowed.
+    """
+    latest = latest_change_per_key(delta, keys, seq_col, tiebreakers)
+    changed_keys = latest.select(*keys)
+    if broadcast_delta:
+        changed_keys = F.broadcast(changed_keys)
+    survivors = latest
+    if op_col is not None:
+        survivors = survivors.where(F.col(op_col) != F.lit(delete_op))
+    untouched = base.join(changed_keys, on=keys, how="left_anti")
+    return untouched.unionByName(survivors.select(*base.columns))
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    current_flag: str = "is_current",
+    valid_from: str = "valid_from_seq",
+    valid_to: str = "valid_to_seq",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: each change row becomes a
+    version with ``[valid_from_seq, valid_to_seq)`` validity and an
+    ``is_current`` marker on the open version (``valid_to_seq`` NULL).
+
+    One shuffle on the key; ``lead`` over (key, seq) closes each version
+    with the next version's seq. ``seq_col`` must be unique per key
+    (change logs are; enforce upstream with latest_change_per_key over
+    (key, seq) if a feed can duplicate).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+    nxt: Column = F.lead(F.col(seq_col)).over(w)
+    return (
+        changes.withColumn(valid_from, F.col(seq_col))
+        .withColumn(valid_to, nxt)
+        .withColumn(current_flag, F.col(valid_to).isNull())
+    )

@@ -4546,6 +4546,190 @@ def q104_bpe_apply(
     )
 
 
+_Q105_BASE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _q105_delta(base: DataFrame) -> DataFrame:
+    """Deterministic synthetic CDC feed derived from the orders fixture:
+    two generations of updates on overlapping keys (latest-wins must pick
+    seq 2), deletes, and inserts under fresh keys. Mirrored literally by
+    the oracle CTE below."""
+    key = F.col("o_orderkey")
+
+    def _tag(df: DataFrame, seq: int, op: str) -> DataFrame:
+        return df.withColumn("__seq", F.lit(seq).cast("int")).withColumn(
+            "__op", F.lit(op)
+        )
+
+    upd1 = _tag(
+        base.where(key % 7 == 1).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U1").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        1,
+        "U",
+    )
+    upd2 = _tag(
+        base.where(key % 14 == 1).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U2").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(2000.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        2,
+        "U",
+    )
+    dels = _tag(base.where(key % 11 == 3).select(*_Q105_BASE_COLS), 3, "D")
+    ins = _tag(
+        base.where(key % 13 == 5).select(
+            (key + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        1,
+        "I",
+    )
+    return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+
+
+@query(
+    "q105_cdc_upsert",
+    """
+    WITH delta AS (
+        SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority,
+               1 AS __seq, 'U' AS __op
+        FROM orders WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 2000.0,
+               o_orderdate, o_orderpriority, 2, 'U'
+        FROM orders WHERE o_orderkey % 14 = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 3, 'D'
+        FROM orders WHERE o_orderkey % 11 = 3
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority, 1, 'I'
+        FROM orders WHERE o_orderkey % 13 = 5
+    ),
+    latest AS (
+        SELECT * EXCLUDE (rn) FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY __seq DESC
+            ) AS rn FROM delta
+        ) WHERE rn = 1
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey
+    )
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM latest WHERE __op <> 'D'
+    """,
+)
+def q105_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply (operators/cdc.merge_upsert): a multi-version
+    change log (overlapping updates, deletes, fresh-key inserts) is
+    compacted latest-per-key and merged into the base table. The
+    incremental-ingest layer the reference lacks (wstlr/play.py re-extracts
+    whole studies per run).
+
+    Plan at 100 TB: the change-log compaction is a partial-aggregated
+    argmax (max(struct)) — the shuffle carries ~|changed keys| combined
+    rows, never every version; the base table is touched by exactly one
+    anti join on the compacted keys, broadcast here (a day of changes vs
+    the full history is always dimension-sized), so the base is scanned
+    once and never shuffled or sorted."""
+    from ncpi_whistler_spark.operators.cdc import merge_upsert
+
+    base = load_table(spark, sf_dir, "orders").select(*_Q105_BASE_COLS)
+    delta = _q105_delta(base)
+    return merge_upsert(
+        base,
+        delta,
+        keys=["o_orderkey"],
+        seq_col="__seq",
+        op_col="__op",
+        broadcast_delta=True,
+    )
+
+
+@query(
+    "q106_scd2_history",
+    """
+    WITH changes AS (
+        SELECT o_orderkey, 0 AS version_seq, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT o_orderkey, 1, 'U1', o_totalprice + 1000.0
+        FROM orders WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT o_orderkey, 2, 'U2', o_totalprice + 2000.0
+        FROM orders WHERE o_orderkey % 14 = 1
+    )
+    SELECT o_orderkey, version_seq, o_orderstatus, o_totalprice,
+           version_seq AS valid_from_seq,
+           lead(version_seq) OVER w AS valid_to_seq,
+           (lead(version_seq) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_orderkey ORDER BY version_seq)
+    """,
+)
+def q106_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history derivation (operators/cdc.scd2_history): the same
+    change log rendered as versioned dimension rows with
+    [valid_from_seq, valid_to_seq) validity and an is_current marker on
+    the open version. One shuffle on the key, lead() closes each version
+    — the standard warehouse dimension-history shape, absent from the
+    reference (its DD/harmony tables are rebuilt snapshot-style)."""
+    from ncpi_whistler_spark.operators.cdc import scd2_history
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    v0 = o.where(key % 7 == 1).select(
+        "o_orderkey",
+        F.lit(0).cast("int").alias("version_seq"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    v1 = o.where(key % 7 == 1).select(
+        "o_orderkey",
+        F.lit(1).cast("int").alias("version_seq"),
+        F.lit("U1").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+    )
+    v2 = o.where(key % 14 == 1).select(
+        "o_orderkey",
+        F.lit(2).cast("int").alias("version_seq"),
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(2000.0)).alias("o_totalprice"),
+    )
+    changes = v0.unionByName(v1).unionByName(v2)
+    return scd2_history(changes, keys=["o_orderkey"], seq_col="version_seq")
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

@@ -1,0 +1,160 @@
+"""CDC operators: change-log compaction, MERGE upsert/delete, SCD2.
+
+Semantics pinned on tiny hand-checkable frames; plan shapes locked so
+the scale story (argmax compaction = partial agg not window; broadcast
+anti join leaves the base unshuffled) cannot silently regress.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.operators.cdc import (
+    latest_change_per_key,
+    merge_upsert,
+    scd2_history,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, v string, amt double",
+    )
+
+
+def _delta(spark):
+    # k=1: two updates, seq 2 wins; k=2: delete; k=9: insert (two
+    # versions, seq 5 wins); k=3 untouched.
+    return spark.createDataFrame(
+        [
+            (1, "a1", 11.0, 1, "U"),
+            (1, "a2", 12.0, 2, "U"),
+            (2, "b", 20.0, 1, "D"),
+            (9, "zz", 90.0, 4, "I"),
+            (9, "z2", 99.0, 5, "U"),
+        ],
+        "k int, v string, amt double, __seq int, __op string",
+    )
+
+
+def test_latest_change_per_key_argmax(spark):
+    got = {
+        r["k"]: (r["v"], r["__seq"])
+        for r in latest_change_per_key(_delta(spark), ["k"], "__seq").collect()
+    }
+    assert got == {1: ("a2", 2), 2: ("b", 1), 9: ("z2", 5)}
+
+
+def test_latest_change_tiebreaker_total_order(spark):
+    d = spark.createDataFrame(
+        [(1, "x", 1, "U"), (1, "y", 1, "U")],
+        "k int, v string, __seq int, __op string",
+    )
+    got = latest_change_per_key(d, ["k"], "__seq", tiebreakers=["v"]).collect()
+    assert len(got) == 1 and got[0]["v"] == "y"
+
+
+def test_merge_upsert_semantics(spark):
+    out = merge_upsert(
+        _base(spark), _delta(spark), keys=["k"], seq_col="__seq", op_col="__op"
+    )
+    assert out.columns == _base(spark).columns  # schema = base exactly
+    rows = {r["k"]: (r["v"], r["amt"]) for r in out.collect()}
+    assert rows == {
+        1: ("a2", 12.0),  # latest update wins
+        3: ("c", 30.0),  # untouched base row
+        9: ("z2", 99.0),  # insert, latest version
+    }  # k=2 deleted
+
+
+def test_merge_upsert_delete_wins_when_latest(spark):
+    d = spark.createDataFrame(
+        [(3, "c9", 31.0, 1, "U"), (3, "c", 30.0, 2, "D")],
+        "k int, v string, amt double, __seq int, __op string",
+    )
+    out = merge_upsert(_base(spark), d, ["k"], "__seq", op_col="__op")
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]
+
+
+def test_merge_without_op_col_is_pure_upsert(spark):
+    d = spark.createDataFrame(
+        [(2, "B", 21.0, 1, "D")], "k int, v string, amt double, __seq int, __op string"
+    )
+    out = merge_upsert(_base(spark), d, ["k"], "__seq")  # op_col ignored
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows[2] == "B"  # 'D' is just payload without op_col
+
+
+def test_compaction_is_partial_agg_not_window(spark):
+    """The compaction must be an aggregate (map-side combinable) — a
+    row_number window here would shuffle and sort every version of every
+    key at 100 TB."""
+    plan = (
+        latest_change_per_key(_delta(spark), ["k"], "__seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert re.search(r"HashAggregate|ObjectHashAggregate|SortAggregate", plan)
+
+
+def test_broadcast_delta_leaves_base_unshuffled(spark, tmp_path):
+    base_path = str(tmp_path / "base.parquet")
+    _base(spark).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    out = merge_upsert(
+        base,
+        _delta(spark),
+        ["k"],
+        "__seq",
+        op_col="__op",
+        broadcast_delta=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the anti-join side of the union must not exchange the base scan
+    anti_section = plan.split("Union")[0]
+    assert not re.search(
+        r"(?<!Broadcast)Exchange hashpartitioning", anti_section.split("BroadcastHashJoin")[0]
+    )
+    # end-to-end values still correct through the parquet round-trip
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "a2", 3: "c", 9: "z2"}
+
+
+def test_scd2_history_versions(spark):
+    ch = spark.createDataFrame(
+        [(1, 0, "a"), (1, 2, "b"), (1, 5, "c"), (7, 3, "x")],
+        "k int, seq int, v string",
+    )
+    out = scd2_history(ch, ["k"], "seq").collect()
+    got = {
+        (r["k"], r["seq"]): (r["valid_from_seq"], r["valid_to_seq"], r["is_current"])
+        for r in out
+    }
+    assert got == {
+        (1, 0): (0, 2, False),
+        (1, 2): (2, 5, False),
+        (1, 5): (5, None, True),
+        (7, 3): (3, None, True),
+    }
+
+
+def test_merge_empty_delta_is_identity(spark):
+    d = _delta(spark).where(F.lit(False))
+    out = merge_upsert(_base(spark), d, ["k"], "__seq", op_col="__op")
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
+def test_merge_empty_base_takes_inserts(spark):
+    b = _base(spark).where(F.lit(False))
+    out = merge_upsert(b, _delta(spark), ["k"], "__seq", op_col="__op")
+    assert sorted(r["k"] for r in out.collect()) == [1, 9]
