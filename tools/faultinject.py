@@ -27,7 +27,9 @@ determinism risk classes:
 - Count-Min sketch build + the shuffle-free estimate chain,
 - a post-shuffle aggregation (reduce-stage retry re-fetches map output),
 - the parquet sink commit protocol (the failed attempt's files must be
-  discarded — exactly-once output, zero duplicate rows).
+  discarded — exactly-once output, zero duplicate rows),
+- latest-wins CDC merge (argmax keeper + delete application: the same
+  survivor-choice risk class as exact dedup, on the change-log path).
 
 ``--negative-control`` runs one injected scenario on plain ``local[4]``
 (maxFailures=1) and asserts the job FAILS — proof the injection is real
@@ -52,6 +54,11 @@ single-JVM ``local[N,F]`` master cannot produce:
     pre-shuffle task recorder proves >=1 map partition executed MORE
     THAN ONCE in the injected run and exactly once in the clean run —
     stage re-execution, not mere task retry. Results bit-match.
+  * ``exec_kill_write``: the executor dies MID-WRITE-STAGE — the commit
+    protocol must exclude the dead executor's uncommitted task-attempt
+    files (read-back bit-matches a clean write, ``_SUCCESS`` present,
+    zero ``_temporary`` residue) while the lost shuffle output forces
+    differential stage re-execution, same proof as above.
   * ``worker_hard_kill``: the Arrow worker dies via ``os._exit(1)``
     (no Python exception, no socket shutdown) on attempt 0 — exercises
     executor-side worker-crash detection + worker reuse. (Also in the
@@ -387,6 +394,43 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
 
     yield ("parquet_sink", lambda: _sink(False), lambda: _sink(True))
 
+    # 7a. CDC merge: the latest-per-key compaction is an argmax keeper —
+    #    exactly the risk class of exact_dedup (an "whichever attempt's
+    #    row survived" implementation would pass every green-path test
+    #    and corrupt under retries). Inject into the CHANGE LOG input:
+    #    the retried task's versions must recombine with the surviving
+    #    tasks' partials to the same winners, deletes included.
+    def _cdc(injected: bool) -> list[str]:
+        from ncpi_whistler_spark.operators.cdc import merge_upsert
+
+        base = part.select("p_partkey", "p_name", "p_retailprice")
+        key = F.col("p_partkey")
+        u1 = base.where(key % 3 == 0).select(
+            "p_partkey",
+            F.lit("U1").alias("p_name"),
+            (F.col("p_retailprice") + F.lit(10.0)).alias("p_retailprice"),
+        ).withColumn("__seq", F.lit(1)).withColumn("__op", F.lit("U"))
+        u2 = base.where(key % 6 == 0).select(
+            "p_partkey",
+            F.lit("U2").alias("p_name"),
+            (F.col("p_retailprice") + F.lit(20.0)).alias("p_retailprice"),
+        ).withColumn("__seq", F.lit(2)).withColumn("__op", F.lit("U"))
+        dl = (
+            base.where(key % 5 == 1)
+            .withColumn("__seq", F.lit(3))
+            .withColumn("__op", F.lit("D"))
+        )
+        delta = u1.unionByName(u2).unionByName(dl)
+        if injected:
+            delta = inj(delta, "cdc_merge")
+        return _canon(
+            merge_upsert(
+                base, delta, keys=["p_partkey"], seq_col="__seq", op_col="__op"
+            )
+        )
+
+    yield ("cdc_merge", lambda: _cdc(False), lambda: _cdc(True))
+
     # 7b. Python-worker HARD kill: os._exit(1) on attempt 0 — no raised
     #    exception, no clean Arrow-socket shutdown. The executor must
     #    detect the crashed worker, fail the task, and the retry must
@@ -711,6 +755,40 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
         report[name] = entry
         ok = ok and entry["ok"]
 
+    def _cdc_merge(tag: str, injected: bool):
+        # Executor loss between change-log compaction and the merge anti
+        # join: the argmax partials and the anti-join build side both
+        # lived (partly) on the dead executor; re-execution must converge
+        # to the same winners/deletes.
+        from ncpi_whistler_spark.operators.cdc import merge_upsert
+
+        base = part.select("p_partkey", "p_name", "p_retailprice")
+        key = F.col("p_partkey")
+        u1 = base.where(key % 3 == 0).select(
+            "p_partkey",
+            F.lit("U1").alias("p_name"),
+            (F.col("p_retailprice") + F.lit(10.0)).alias("p_retailprice"),
+        ).withColumn("__seq", F.lit(1)).withColumn("__op", F.lit("U"))
+        u2 = base.where(key % 6 == 0).select(
+            "p_partkey",
+            F.lit("U2").alias("p_name"),
+            (F.col("p_retailprice") + F.lit(20.0)).alias("p_retailprice"),
+        ).withColumn("__seq", F.lit(2)).withColumn("__op", F.lit("U"))
+        dl = (
+            base.where(key % 5 == 1)
+            .withColumn("__seq", F.lit(3))
+            .withColumn("__op", F.lit("D"))
+        )
+        delta = record_task_markers(
+            u1.unionByName(u2).unionByName(dl).repartition(4), marker_dir, tag
+        )
+        out = merge_upsert(
+            base, delta, keys=["p_partkey"], seq_col="__seq", op_col="__op"
+        )
+        if injected:
+            out = kill_own_executor_jvm(out, marker_dir, tag)
+        return out
+
     def _lsh(tag: str, injected: bool):
         # The operator persist()s its signature frame; killing the
         # executor loses its CACHED BLOCKS along with shuffle files, so
@@ -723,11 +801,86 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
             out = kill_own_executor_jvm(out, marker_dir, tag)
         return out
 
+    def _run_write() -> None:
+        # Executor dies MID-WRITE-STAGE: beyond the task-retry sink
+        # scenario (parquet_sink), this is commit-protocol-under-
+        # executor-loss — the dead executor's uncommitted task-attempt
+        # files must never reach the committed directory, the lost
+        # upstream shuffle output must force stage re-execution, and the
+        # read-back must bit-match a clean write (no duplicate, missing,
+        # or partial rows). The killed attempt dies at first pull, before
+        # it could request commit authorization, so the retried attempt
+        # commits cleanly under the OutputCommitCoordinator.
+        nonlocal ok
+        name = "exec_kill_write"
+        wdir = tempfile.mkdtemp(prefix="faultinject_ekwrite_")
+
+        def _write_read(tag: str, injected: bool):
+            out = os.path.join(wdir, tag.replace(".", "_"))
+            src = record_task_markers(
+                part.select("p_partkey", "p_name", "p_retailprice")
+                .repartition(4),
+                marker_dir,
+                tag,
+            ).repartition(2)
+            if injected:
+                src = kill_own_executor_jvm(src, marker_dir, tag)
+            src.write.mode("overwrite").parquet(out)
+            temp_left = any(
+                d.startswith("_temporary")
+                for _, dirs, _ in os.walk(out)
+                for d in dirs
+            ) or os.path.exists(os.path.join(out, "_temporary"))
+            committed = os.path.exists(os.path.join(out, "_SUCCESS"))
+            return _canon(spark.read.parquet(out)), committed, temp_left
+
+        try:
+            clean_tag, inj_tag = f"{name}.clean", f"{name}.inj"
+            want, c_ok, c_tmp = _write_read(clean_tag, False)
+            got, i_ok, i_tmp = _write_read(inj_tag, True)
+            flag = os.path.join(marker_dir, f"{inj_tag}.fired")
+            fired = os.path.exists(flag)
+            killed_jvm_dead = False
+            if fired:
+                with open(flag) as fh:
+                    pid = int(fh.read().strip())
+                killed_jvm_dead = not os.path.exists(f"/proc/{pid}")
+            clean_counts = _map_exec_counts(marker_dir, clean_tag)
+            inj_counts = _map_exec_counts(marker_dir, inj_tag)
+            reexec = sorted(
+                p for p, c in inj_counts.items() if c > clean_counts.get(p, 0)
+            )
+            entry = {
+                "match": want == got,
+                "fired": fired,
+                "killed_jvm_dead": killed_jvm_dead,
+                "clean_map_execs": clean_counts,
+                "injected_map_execs": inj_counts,
+                "reexecuted_map_partitions": reexec,
+                "committed_success_marker": c_ok and i_ok,
+                "temporary_residue": c_tmp or i_tmp,
+                "rows": len(want),
+            }
+            entry["ok"] = (
+                entry["match"]
+                and fired
+                and killed_jvm_dead
+                and bool(reexec)
+                and entry["committed_success_marker"]
+                and not entry["temporary_residue"]
+            )
+            report[name] = entry
+            ok = ok and entry["ok"]
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
     try:
         _run("exec_kill_dedup", _dedup)
         _run("exec_kill_codes", _codes)
         _run("exec_kill_lsh_cache", _lsh)
+        _run("exec_kill_cdc_merge", _cdc_merge)
         _run_stream()
+        _run_write()
     finally:
         shutil.rmtree(marker_dir, ignore_errors=True)
     return report, ok
