@@ -13,17 +13,24 @@ it runs on plain parquet.
 Scale design:
 
 - ``latest_change_per_key`` is an argmax aggregation — ``max(struct(
-  ordering, payload))`` — NOT a row_number window. Partial aggregation
-  combines map-side, so the shuffle carries ~|keys| rows regardless of
-  how many versions each key accumulated; a window would sort every
-  version of every key after a full shuffle.
+  ordering, payload))`` — not a row_number window. Partial aggregation
+  combines map-side, so the shuffle carries ~|keys|·partitions rows
+  regardless of how many versions each key accumulated (measured:
+  SCALEBENCH_CDC.json, 0.25× the input at 64 versions/key on an
+  adversarially scattered delta). Note: Spark 3.5+'s
+  InsertWindowGroupLimit makes a ``row_number()==1`` window shuffle the
+  SAME volume (measured equal) — the argmax is preferred because it is
+  shape-robust: no sort at all, and no dependence on the filter
+  matching the rank-limit pattern for the optimization to fire.
 - ``merge_upsert`` touches the base table with ONE anti join on the
   change keys. When the delta is dimension-sized (the overwhelmingly
   common shape: a day of changes vs years of base), ``broadcast_delta``
-  ships the compacted keys map-side and the 100 TB base is never
-  shuffled at all. Otherwise it is a shuffle join on the merge keys —
-  co-partitioned with the compaction shuffle, and AQE converts it to a
-  broadcast automatically when the compacted delta turns out small.
+  makes the anti join STATICALLY a broadcast (plan-asserted in
+  SCALEBENCH_CDC.json) and the 100 TB base is never shuffled at all.
+  Without the hint the engine's AQE defaults converge to the same
+  broadcast at runtime (measured: both variants' total shuffle is
+  delta-scale, below the base row count) — the hint's value is the
+  static guarantee when stats would misestimate the compacted delta.
 - ``scd2_history`` needs the full version order per key, so a window is
   the honest plan there; one shuffle on the key, sort within partitions.
 """

@@ -158,3 +158,30 @@ def test_merge_empty_base_takes_inserts(spark):
     b = _base(spark).where(F.lit(False))
     out = merge_upsert(b, _delta(spark), ["k"], "__seq", op_col="__op")
     assert sorted(r["k"] for r in out.collect()) == [1, 9]
+
+
+def test_cdcbench_plan_claims_hold_at_ci_scale():
+    """The CDC scale-evidence tool's gates (map-side-combined compaction
+    shuffle, WindowGroupLimit equivalence, static broadcast anti join,
+    delta-scale merge shuffle, bit-equal A/B results) hold at sf0.01."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tools.cdcbench", "--sf-dir", "/root/testdata/sf0.01"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["ok"] is True
+    assert report["compaction_verdict"]["map_side_combine_real"]
+    assert report["merge"]["hinted_plan_static_broadcast"]
+    for v, entry in report["compaction_sweep"].items():
+        assert entry["hash_equal"], v
