@@ -4608,9 +4608,7 @@ def _q105_delta(base: DataFrame) -> DataFrame:
     return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
 
 
-@query(
-    "q105_cdc_upsert",
-    """
+_Q105_ORACLE = """
     WITH delta AS (
         SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
                o_totalprice + 1000.0 AS o_totalprice,
@@ -4647,8 +4645,10 @@ def _q105_delta(base: DataFrame) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
     FROM latest WHERE __op <> 'D'
-    """,
-)
+    """
+
+
+@query("q105_cdc_upsert", _Q105_ORACLE)
 def q105_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style CDC apply (operators/cdc.merge_upsert): a multi-version
     change log (overlapping updates, deletes, fresh-key inserts) is
@@ -4730,6 +4730,60 @@ def q106_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(changes, keys=["o_orderkey"], seq_col="version_seq")
 
 
+@query("q107_cdc_stream_apply", _Q105_ORACLE)
+def q107_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q105 — the SAME change log drained as a
+    Structured Streaming file source in two seq-ordered micro-batch
+    rounds with a full query stop/restart boundary between them
+    (streaming/cdc.run_cdc_stream), each batch merged into a
+    VersionedTable via the replay-idempotent foreachBatch sink (fresh
+    version directory + atomic pointer swap). The final table must
+    value-hash against the IDENTICAL batch-merge oracle — which only
+    holds if the restart recovered offsets exactly-once AND the
+    incremental merges composed to the global latest-wins result
+    (batch 1 carries every seq<=1 change, batch 2 the seq>=2 updates
+    and deletes — the per-key monotonicity a real CDC feed provides).
+    Eager by necessity like q88; the staging dir is fixed per
+    (sf_dir, pid) and wiped at call start, so repeated bench/parity
+    runs reuse one bounded directory."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable, run_cdc_stream
+
+    base = load_table(spark, sf_dir, "orders").select(*_Q105_BASE_COLS)
+    delta = _q105_delta(base)
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"q107_cdc_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    src = os.path.join(workdir, "src")
+    os.makedirs(src)
+    schema = delta.schema
+    # bootstrap: the pre-existing base table is version -1; the stream's
+    # micro-batches (ids 0, 1, ...) merge into it
+    table = VersionedTable(os.path.join(workdir, "table"))
+    table.publish(base, -1)
+    for rnd in (1, 2):
+        batch = delta.where(
+            F.col("__seq") <= 1 if rnd == 1 else F.col("__seq") >= 2
+        )
+        batch.coalesce(1).write.mode("append").parquet(src)
+        table = run_cdc_stream(
+            spark,
+            src,
+            schema,
+            os.path.join(workdir, "table"),
+            keys=["o_orderkey"],
+            seq_col="__seq",
+            op_col="__op",
+        )
+    return table.read(spark)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #
@@ -4784,7 +4838,14 @@ DRIVER_QUERIES = [
     "q29_lsh_topk",               # hyperplane LSH top-k
     "q30_multimodal_decode",      # multimodal mapInPandas
     "q31_events_asof",            # as-of join
-    "q87_paragraph_dedup",        # paragraph-level corpus dedup (A4 value counts q32: tests)
+    "q105_cdc_upsert",            # CDC merge: argmax compaction +
+                                  # broadcast anti join — the one argmax
+                                  # shape in the surface (paragraph dedup
+                                  # q87 → parity-tier: the C4 dedup family
+                                  # stays driver-evidenced by q86 line
+                                  # dedup, same explode→hash→keeper shape
+                                  # at paragraph granularity; A4 value
+                                  # counts q32 stays tests-tier)
     "q34_fhir_observations",      # P6/P8 row->FHIR fan-out
     "q35_winnowing",              # winnowing fingerprints
     "q38_range_join_events",      # range join

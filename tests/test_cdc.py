@@ -185,3 +185,24 @@ def test_cdcbench_plan_claims_hold_at_ci_scale():
     assert report["merge"]["hinted_plan_static_broadcast"]
     for v, entry in report["compaction_sweep"].items():
         assert entry["hash_equal"], v
+
+
+def test_merge_null_key_rows_pass_through(spark):
+    """NULL merge keys: a NULL-keyed delta row can never match a base row
+    (SQL join semantics — NULL != NULL), so it flows through as an
+    insert; NULL-keyed base rows are never considered 'changed'. Pinned
+    because both Spark left_anti and the DuckDB NOT EXISTS oracle share
+    this semantic and a null-safe-equality refactor would silently
+    change it."""
+    b = spark.createDataFrame(
+        [(None, "nb", 1.0), (1, "a", 10.0)], "k int, v string, amt double"
+    )
+    d = spark.createDataFrame(
+        [(None, "nd", 2.0, 1, "U"), (1, "a2", 11.0, 1, "U")],
+        "k int, v string, amt double, __seq int, __op string",
+    )
+    out = merge_upsert(b, d, ["k"], "__seq", op_col="__op")
+    rows = sorted((r["k"], r["v"]) for r in out.collect() if r["k"] is not None)
+    nulls = sorted(r["v"] for r in out.collect() if r["k"] is None)
+    assert rows == [(1, "a2")]
+    assert nulls == ["nb", "nd"]  # base NULL kept, delta NULL inserted
