@@ -42,6 +42,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _contains_unorderable(dtype) -> bool:
+    """True if the type (or any nested field) is a MapType — the one
+    common column type Spark cannot order, which poisons max(struct)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _contains_unorderable(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(_contains_unorderable(f.dataType) for f in dtype.fields)
+    return False
+
+
 def latest_change_per_key(
     delta: DataFrame,
     keys: list[str],
@@ -50,16 +64,24 @@ def latest_change_per_key(
 ) -> DataFrame:
     """Compact a change log to the winning (highest ``seq_col``) row per
     key. Ties on seq are broken by ``tiebreakers`` (struct comparison is
-    lexicographic); callers must make (seq, tiebreakers) total per key or
-    the winner is nondeterministic — same contract as every keeper op in
-    operators/dedup.py.
+    lexicographic), then — for orderable payloads — by the payload struct
+    itself, so the winner is fully deterministic. Callers should still
+    make (seq, tiebreakers) total per key: when the payload contains a
+    MapType (which Spark cannot order), the op falls back to ``max_by``,
+    where a residual tie is scheduler-arbitrary.
 
-    Plan: groupBy(keys).agg(max(struct(ord, payload))) — partial-agg
-    argmax, single shuffle of ~|distinct keys| combined rows.
+    Plan either way: one partial-aggregated argmax — single shuffle of
+    ~|distinct keys per partition| combined rows.
     """
     ord_cols = [F.col(seq_col)] + [F.col(c) for c in (tiebreakers or [])]
     payload = F.struct(*[F.col(c) for c in delta.columns])
-    win = delta.groupBy(*[F.col(k) for k in keys]).agg(
+    grouped = delta.groupBy(*[F.col(k) for k in keys])
+    if any(_contains_unorderable(f.dataType) for f in delta.schema.fields):
+        win = grouped.agg(
+            F.max_by(payload, F.struct(*ord_cols)).alias("__row")
+        )
+        return win.select("__row.*")
+    win = grouped.agg(
         F.max(F.struct(F.struct(*ord_cols).alias("__ord"), payload.alias("__row"))).alias("__m")
     )
     return win.select("__m.__row.*")

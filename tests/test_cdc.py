@@ -206,3 +206,27 @@ def test_merge_null_key_rows_pass_through(spark):
     nulls = sorted(r["v"] for r in out.collect() if r["k"] is None)
     assert rows == [(1, "a2")]
     assert nulls == ["nb", "nd"]  # base NULL kept, delta NULL inserted
+
+
+def test_map_typed_payload_uses_max_by_fallback(spark):
+    """Spark cannot order structs containing MapType, so the argmax
+    compaction (and therefore merge) would raise INVALID_ORDERING_TYPE
+    on any table with a map column; the max_by fallback keeps CDC total
+    over such schemas."""
+    d = spark.createDataFrame(
+        [
+            (1, {"a": "old"}, 1, "U"),
+            (1, {"a": "new"}, 2, "U"),
+            (2, {"b": "x"}, 1, "U"),
+        ],
+        "k int, props map<string,string>, __seq int, __op string",
+    )
+    got = {
+        r["k"]: (dict(r["props"]), r["__seq"])
+        for r in latest_change_per_key(d, ["k"], "__seq").collect()
+    }
+    assert got == {1: ({"a": "new"}, 2), 2: ({"b": "x"}, 1)}
+    b = spark.createDataFrame([(1, {"a": "base"}), (3, {"c": "z"})], "k int, props map<string,string>")
+    out = merge_upsert(b, d, ["k"], "__seq", op_col="__op")
+    rows = {r["k"]: dict(r["props"]) for r in out.collect()}
+    assert rows == {1: {"a": "new"}, 2: {"b": "x"}, 3: {"c": "z"}}
