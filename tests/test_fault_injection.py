@@ -52,6 +52,7 @@ def test_task_retry_suite_deterministic():
         "agg_reduce",
         "parquet_sink",
         "cdc_merge",
+        "stream_cdc_merge",
         "stream_microbatch_hdfs",
         "stream_microbatch_rocksdb",
         "worker_hard_kill",

@@ -485,6 +485,61 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
             lambda p=prov: _stream(True, p),
         )
 
+    # 10. Task retry INSIDE the streaming CDC merge job: the foreachBatch
+    #    sink's merge is a batch job launched from a running stream; one
+    #    of its tasks fails on attempt 0. The scheduler retries WITHIN
+    #    the micro-batch (the stream does not restart), the publish
+    #    commits once, and the final versioned table bit-matches a clean
+    #    drain of the same change log.
+    def _stream_cdc(injected: bool) -> list[str]:
+        from ncpi_whistler_spark.streaming.cdc import (
+            VersionedTable,
+            cdc_merge_sink,
+        )
+
+        tag = "stream_cdc_merge"
+        wdir = os.path.join(scratch, f"cdc_stream_{'inj' if injected else 'clean'}")
+        shutil.rmtree(wdir, ignore_errors=True)
+        src = os.path.join(wdir, "src")
+        os.makedirs(src)
+        key = F.col("p_partkey")
+        base = part.select("p_partkey", "p_name", "p_retailprice")
+        changes = (
+            base.where(key % 3 == 0)
+            .select(
+                "p_partkey",
+                F.lit("U1").alias("p_name"),
+                (F.col("p_retailprice") + F.lit(5.0)).alias("p_retailprice"),
+            )
+            .withColumn("__seq", F.lit(1))
+            .withColumn("__op", F.when(key % 9 == 0, "D").otherwise("U"))
+        )
+        changes.coalesce(1).write.mode("append").parquet(src)
+        table = VersionedTable(os.path.join(wdir, "table"))
+        table.publish(base, -1)
+        raw_sink = cdc_merge_sink(spark, table, ["p_partkey"], "__seq", "__op")
+
+        def sink(mb, batch_id):
+            if injected:
+                mb = inject_first_attempt_failure(
+                    mb.repartition(4), marker_dir, tag
+                )
+            raw_sink(mb, batch_id)
+
+        q = (
+            spark.readStream.schema(changes.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(wdir, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "cdc stream drain timed out"
+        q.stop()
+        return _canon(table.read(spark))
+
+    yield ("stream_cdc_merge", lambda: _stream_cdc(False), lambda: _stream_cdc(True))
+
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
