@@ -62,7 +62,18 @@ from ncpi_whistler_spark.operators.cdc import merge_upsert
 
 class VersionedTable:
     """Immutable, never-reused version directories + an atomically-
-    swapped pointer file (format: ``<version>\\n<dirname>``)."""
+    swapped pointer file (format: ``<version>\\n<dirname>``).
+
+    SINGLE-WRITER contract: ``publish`` is read-modify-write on the
+    pointer with no compare-and-swap, so exactly one writer (one
+    streaming query / one batch job) may publish at a time — the same
+    contract a Structured Streaming checkpoint already enforces for the
+    streaming path. Two independent feeds into one table need a real
+    transactional table format (Delta/Iceberg optimistic commit), not
+    this local stand-in. Readers are unrestricted: they resolve the
+    pointer once and then hold an immutable directory (snapshot
+    isolation for the lifetime of their scan, bounded by vacuum
+    retention)."""
 
     def __init__(self, path: str) -> None:
         self.path = path
@@ -91,11 +102,34 @@ class VersionedTable:
         ptr = self._read_pointer()
         return os.path.join(self.path, ptr[1]) if ptr else None
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        d = self.current_dir()
-        if d is None:
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Read the current version, or — time travel — a specific
+        retained ``version`` (None if that version was never published
+        or was vacuumed). With multiple publishes of one version id
+        (batch replays), the most recently written directory wins."""
+        if version is None:
+            d = self.current_dir()
+            return None if d is None else spark.read.parquet(d)
+        prefix = f"v={version}-"
+        cands = [
+            os.path.join(self.path, n)
+            for n in os.listdir(self.path)
+            if n.startswith(prefix)
+        ]
+        if not cands:
             return None
-        return spark.read.parquet(d)
+        return spark.read.parquet(max(cands, key=os.path.getmtime))
+
+    def versions(self) -> list[int]:
+        """Retained (readable) version ids, ascending."""
+        out = set()
+        for n in os.listdir(self.path):
+            if n.startswith("v="):
+                try:
+                    out.add(int(n[2:].split("-", 1)[0]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     def publish(self, df: DataFrame, version: int) -> str:
         """Write ``df`` into a FRESH directory for ``version`` and

@@ -115,3 +115,22 @@ def test_versioned_table_pointer_is_atomic_unit(tmp_path):
     with open(t._pointer, "w") as fh:
         fh.write("not-an-int")
     assert t.current_version() is None  # garbage pointer = no table
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    """Every retained version is readable by id; version -1 is the
+    bootstrap-free first batch here, and vacuumed versions read None."""
+    table = _run_all(spark, tmp_path, "tt")
+    assert table.versions() == [0, 1, 2]
+    # version 0 = after batch 1 only: inserts k=1..5, no deletes yet
+    v0 = {r["k"]: r["v"] for r in table.read(spark, version=0).collect()}
+    assert v0 == {i: f"v{i}" for i in range(1, 6)}
+    # version 1 = after batch 2: k=2 updated, k=3 deleted, k=6 inserted
+    v1 = {r["k"]: r["v"] for r in table.read(spark, version=1).collect()}
+    assert v1 == {1: "v1", 2: "v2b", 4: "v4", 5: "v5", 6: "v6"}
+    # current == version 2
+    assert _table_rows(spark, table) == EXPECTED
+    assert table.read(spark, version=7) is None
+    table.vacuum(keep=1)
+    assert table.read(spark, version=0) is None  # vacuumed away
+    assert _table_rows(spark, table) == EXPECTED  # live version intact
