@@ -2011,3 +2011,55 @@ def test_corpus_mix_validation_and_missing_groups(spark):
         g: r["n_kept"] for g, r in rep.items() if r["n_kept"] > 0
     }
     assert sampled.columns == docs.columns
+
+
+def test_multimodal_audio_real_wav_codec(spark):
+    """decode_audio parses REAL RIFF/WAVE bytes: 8/16-bit PCM, extra
+    chunks before data, odd-size word alignment; rejects truncated,
+    non-PCM, unknown, and NULL payloads row-by-row without failing the
+    Arrow pass."""
+    import numpy as np
+
+    from ncpi_whistler_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+        encode_wav,
+    )
+
+    sine = np.sin(np.linspace(0, 20 * np.pi, 4000))
+    wav16 = encode_wav(sine, sample_rate=8000, bits=16)
+    wav8 = encode_wav([0.5] * 441, sample_rate=44100, bits=8)  # odd data size
+    # an extra LIST chunk before fmt/data must be skipped, not fatal
+    extra = wav16[:12] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + wav16[12:]
+    trunc = wav16[: len(wav16) // 2]
+    nonpcm = bytearray(wav16)
+    nonpcm[20] = 3  # audioFormat = IEEE float — not handled, must reject
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav16)),
+            (2, bytearray(wav8)),
+            (3, bytearray(extra)),
+            (4, bytearray(trunc)),
+            (5, bytearray(bytes(nonpcm))),
+            (6, bytearray(b"not audio")),
+            (7, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_audio(df).collect()}
+    r1 = rows[1]
+    assert r1["ok"] and r1["bits"] == 16 and r1["sample_rate"] == 8000
+    assert r1["n_frames"] == 4000 and r1["duration_ms"] == 500
+    # RMS of a sine ≈ 1/sqrt(2), quantized to 16 bits
+    assert abs(r1["rms"] - 1 / np.sqrt(2)) < 0.01
+    assert rows[2]["ok"] and rows[2]["bits"] == 8 and rows[2]["n_frames"] == 441
+    assert rows[3]["ok"] and rows[3]["n_frames"] == 4000  # LIST chunk skipped
+    for bad in (4, 5, 6, 7):
+        assert not rows[bad]["ok"], bad
+        assert rows[bad]["n_frames"] == 0
+
+    # single-payload truncation sweep: NO prefix of a valid file may
+    # crash or report ok with a wrong frame count
+    for cut in range(0, len(wav16), 997):
+        m = decode_wav(wav16[:cut])
+        assert not m["ok"]
