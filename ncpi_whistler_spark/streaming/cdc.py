@@ -126,7 +126,10 @@ class VersionedTable:
         for n in os.listdir(self.path):
             if n.startswith("v="):
                 try:
-                    out.add(int(n[2:].split("-", 1)[0]))
+                    # dirname = v=<version>-<token>; version may be
+                    # negative (bootstrap), so strip the token from the
+                    # RIGHT
+                    out.add(int(n[2:].rsplit("-", 1)[0]))
                 except ValueError:
                     continue
         return sorted(out)

@@ -134,3 +134,14 @@ def test_time_travel_reads_retained_versions(spark, tmp_path):
     table.vacuum(keep=1)
     assert table.read(spark, version=0) is None  # vacuumed away
     assert _table_rows(spark, table) == EXPECTED  # live version intact
+
+
+def test_negative_bootstrap_version_listed_and_readable(spark, tmp_path):
+    """versions() must parse negative ids (the bootstrap convention is
+    version -1; the dirname token is stripped from the right)."""
+    t = VersionedTable(str(tmp_path / "nv"))
+    t.publish(spark.createDataFrame([(1, "a")], "k int, v string"), -1)
+    assert t.versions() == [-1]
+    assert t.current_version() == -1
+    got = t.read(spark, version=-1).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, "a")]
