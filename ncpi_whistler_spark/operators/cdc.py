@@ -77,8 +77,21 @@ def latest_change_per_key(
     payload = F.struct(*[F.col(c) for c in delta.columns])
     grouped = delta.groupBy(*[F.col(k) for k in keys])
     if any(_contains_unorderable(f.dataType) for f in delta.schema.fields):
+        # max_by's ordering struct must itself be orderable, but it need
+        # not carry the map columns: extend (seq, tiebreakers) with every
+        # ORDERABLE payload column so a seq tie is still broken
+        # deterministically whenever the orderable part of the payload
+        # differs. Only rows identical in ALL orderable columns (same
+        # key, seq, tiebreakers, and every non-map field) and differing
+        # solely inside a map remain scheduler-arbitrary — a genuinely
+        # unorderable residue.
+        orderable_tail = [
+            F.col(f.name)
+            for f in delta.schema.fields
+            if not _contains_unorderable(f.dataType)
+        ]
         win = grouped.agg(
-            F.max_by(payload, F.struct(*ord_cols)).alias("__row")
+            F.max_by(payload, F.struct(*ord_cols, *orderable_tail)).alias("__row")
         )
         return win.select("__row.*")
     win = grouped.agg(
@@ -96,6 +109,7 @@ def merge_upsert(
     delete_op: str = "D",
     tiebreakers: list[str] | None = None,
     broadcast_delta: bool = False,
+    evolve: bool = False,
 ) -> DataFrame:
     """MERGE the change log ``delta`` into ``base``:
 
@@ -108,7 +122,28 @@ def merge_upsert(
     ``delta`` must carry every ``base`` column (plus ``seq_col`` /
     ``op_col``); the result has exactly ``base``'s columns. Base rows are
     read once and anti-joined once; they are never sorted or windowed.
+
+    Schema evolution: a delta carrying columns the base lacks (beyond
+    ``seq_col``/``op_col``) is a schema change, never a silent drop —
+    by default it raises; with ``evolve=True`` the base schema WIDENS:
+    new columns are appended (delta column order) with NULL backfill on
+    historical base rows, and the result carries base columns + the new
+    ones. A delta MISSING a base column still fails loud either way.
     """
+    meta = {seq_col} | ({op_col} if op_col else set())
+    extra = [c for c in delta.columns if c not in set(base.columns) | meta]
+    if extra:
+        if not evolve:
+            raise ValueError(
+                "merge_upsert: delta carries column(s) the base lacks: "
+                f"{extra}. A CDC feed whose schema widened is a schema "
+                "change, not payload — pass evolve=True to widen the "
+                "base (NULL backfill on history) or fix the feed."
+            )
+        for c in extra:
+            base = base.withColumn(
+                c, F.lit(None).cast(delta.schema[c].dataType)
+            )
     latest = latest_change_per_key(delta, keys, seq_col, tiebreakers)
     changed_keys = latest.select(*keys)
     if broadcast_delta:

@@ -1,25 +1,43 @@
 """Streaming CDC apply: a change-log stream continuously merged into a
-queryable base table, with exactly-once EFFECT under crash/replay.
+queryable base table, with exactly-once EFFECT under crash/replay and a
+partition-pruned incremental publish that rewrites only the buckets a
+micro-batch actually touched.
 
 Extends the batch merge (operators/cdc.py) to Structured Streaming via
-``foreachBatch``. Two pieces make it crash-safe end to end:
+``foreachBatch``. Three pieces make it crash-safe end to end:
 
 * **VersionedTable** — the table directory holds immutable,
-  NEVER-REUSED version subdirectories (``v=<batchId>-<token>``) plus a
-  ``_CURRENT`` pointer file; readers resolve the pointer, writers
+  NEVER-REUSED version subdirectories (``v=<batchId>-<pubseq>-<token>``)
+  plus a ``_CURRENT`` pointer file; readers resolve the pointer, writers
   publish a fresh directory and then move the pointer with an atomic
-  ``os.replace``. A crash mid-publish leaves the previous version live
-  (the half-written directory is an unreferenced orphan); a replayed
-  batch publishes a NEW directory for the same version id and
-  re-points. Directory names are never reused because a replayed batch
-  READS the current version while merging — overwriting the directory
-  it is reading from is exactly the torn-write Spark's FileFormatWriter
-  aborts on (the first version of this module did that, and the replay
-  test caught it). Superseded/orphan directories are reclaimed by
-  ``vacuum(keep=...)``, which must retain enough versions for in-flight
-  readers. (This is the local-FS stand-in for a transactional table
-  format's commit; on a real deployment the publish step is a Delta/
-  Iceberg transaction and everything else here is unchanged.)
+  ``os.replace``. A version directory is COMMITTED only once it contains
+  a ``_COMMITTED`` marker, written after every file (including
+  carried-over bucket links) is in place and before the pointer moves —
+  ``versions()``/``read(version=)`` ignore uncommitted directories, so a
+  crash mid-publish can never serve torn data (Spark's own ``_SUCCESS``
+  is NOT sufficient: an incremental publish links carry-over buckets in
+  AFTER Spark's write commits). A replayed batch publishes a NEW
+  directory for the same version id and re-points; with multiple
+  publishes of one id the highest publish sequence wins
+  (deterministic — no mtime races). Superseded/orphan directories are
+  reclaimed by ``vacuum(keep=...)``; hard-linked carry-over files make
+  that safe (removing an old version never breaks a newer one that
+  links its files). (This is the local-FS stand-in for a transactional
+  table format's commit; on a real deployment the publish step is a
+  Delta/Iceberg transaction and everything else here is unchanged.)
+
+* **Bucketed incremental publish** — with ``bucket_cols``/
+  ``num_buckets`` set, every version directory is laid out as
+  ``__bucket=<pmod(hash(keys), N)>/`` partitions. The sink compacts the
+  micro-batch, collects its DISTINCT buckets (delta-sized — the same
+  rows it broadcasts), reads ONLY those buckets of the base (partition
+  pruning on the ``__bucket`` partition column), merges, writes only
+  those buckets into the new version, and HARD-LINKS every untouched
+  bucket's files from the previous version. Per-batch I/O is therefore
+  O(changed buckets) ≈ O(delta), not O(base) — the 100 TB shape. At
+  cluster scale the hard-link step is a manifest/metadata commit
+  (Delta/Iceberg keep unchanged files by reference); the bucket-pruned
+  read-merge-write is identical.
 
 * **Idempotent merge** — the sink recomputes
   ``merge_upsert(current_base, batch_delta)`` per micro-batch. Because
@@ -29,7 +47,11 @@ Extends the batch merge (operators/cdc.py) to Structured Streaming via
   re-insert identical rows. So wherever the crash lands relative to the
   checkpoint commit — before the publish, between publish and offset
   commit, or mid-write — the restarted query converges to the same
-  bytes (test-pinned, including a deliberate double-apply).
+  bytes (test-pinned, including a deliberate double-apply). NULL merge
+  keys would break this fixpoint (anti joins never match NULL, so a
+  NULL-keyed row re-inserts on every replay): the sink REJECTS them by
+  default (``null_key_policy="error"``) or drops them
+  (``null_key_policy="drop"``) — they never reach the table.
 
 Ordering contract: the published base does NOT retain ``seq_col``, so
 incremental application is equivalent to one global merge only when the
@@ -39,45 +61,135 @@ order is irrelevant: the compaction is an argmax). Replaying the SAME
 batch is always safe (fixpoint); REORDERING batches is not, and a feed
 that can reorder must carry seq into the base schema instead.
 
-Scale notes: the per-batch plan is exactly the batch merge's —
-compaction shuffle ~|batch keys|, broadcast anti join (a micro-batch is
-always dimension-sized vs the base), base scanned once. The full-base
-rewrite per batch is the LOCAL simplification: at 100 TB the base is
-partitioned (e.g. by key bucket) and the rewrite touches only the
-partitions that contain changed keys (prune with the compacted delta's
-distinct buckets — the same broadcast), or the publish becomes a
-merge-on-read delta commit. The reference has no streaming or
-incremental path at all (wstlr/play.py is batch re-extract).
+The reference has no streaming or incremental path at all
+(wstlr/play.py:79-117's mtime skip is per-source-file batch
+re-extract); this is that gesture done properly.
 """
 
 from __future__ import annotations
 
+import functools
+import operator as pyop
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ncpi_whistler_spark.operators.cdc import merge_upsert
+from ncpi_whistler_spark.operators.cdc import latest_change_per_key, merge_upsert
+
+BUCKET_COL = "__bucket"
+_COMMIT_MARKER = "_COMMITTED"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer published to this VersionedTable; the losing
+    writer fails loud instead of silently dropping updates."""
 
 
 class VersionedTable:
     """Immutable, never-reused version directories + an atomically-
     swapped pointer file (format: ``<version>\\n<dirname>``).
 
-    SINGLE-WRITER contract: ``publish`` is read-modify-write on the
-    pointer with no compare-and-swap, so exactly one writer (one
-    streaming query / one batch job) may publish at a time — the same
-    contract a Structured Streaming checkpoint already enforces for the
-    streaming path. Two independent feeds into one table need a real
-    transactional table format (Delta/Iceberg optimistic commit), not
-    this local stand-in. Readers are unrestricted: they resolve the
-    pointer once and then hold an immutable directory (snapshot
-    isolation for the lifetime of their scan, bounded by vacuum
-    retention)."""
+    SINGLE-WRITER contract — now ENFORCED: ``publish`` holds a lease
+    (``_LEASE`` file with this writer's token). A fresh writer instance
+    takes the lease over on its first publish (so a restarted job
+    resumes cleanly), but a writer that HELD the lease and finds another
+    writer's token — at publish start or again just before the pointer
+    swap — raises :class:`ConcurrentWriterError` instead of silently
+    losing the other writer's updates. Two independent feeds into one
+    table still need a real transactional table format (Delta/Iceberg
+    optimistic commit); the lease makes the local contract fail-loud.
+    Readers are unrestricted: they resolve the pointer once and then
+    hold an immutable directory (snapshot isolation for the lifetime of
+    their scan, bounded by vacuum retention).
 
-    def __init__(self, path: str) -> None:
+    Optional bucketing: pass ``bucket_cols`` + ``num_buckets`` (persisted
+    in ``_META`` and re-adopted on reopen) to lay every version out as
+    ``__bucket=<i>`` partitions of ``pmod(hash(bucket_cols), N)`` —
+    the layout :meth:`publish_incremental` prunes against.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        bucket_cols: list[str] | None = None,
+        num_buckets: int | None = None,
+    ) -> None:
         self.path = path
         os.makedirs(path, exist_ok=True)
+        self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        self._held_lease = False
+        meta = self._read_meta()
+        if meta is not None:
+            mb, mn = meta.get("bucket_cols"), meta.get("num_buckets")
+            if bucket_cols is not None and (bucket_cols != mb or num_buckets != mn):
+                raise ValueError(
+                    f"VersionedTable at {path} is bucketed by {mb} x {mn}; "
+                    f"cannot reopen with {bucket_cols} x {num_buckets}"
+                )
+            bucket_cols, num_buckets = mb, mn
+        elif bucket_cols is not None:
+            if not num_buckets or num_buckets < 1:
+                raise ValueError("bucket_cols requires num_buckets >= 1")
+            self._write_meta(bucket_cols, num_buckets)
+        self.bucket_cols: list[str] | None = bucket_cols
+        self.num_buckets: int | None = num_buckets
+
+    # -- metadata / lease ------------------------------------------------
+
+    def _read_meta(self) -> dict | None:
+        import json
+
+        try:
+            with open(os.path.join(self.path, "_META")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _write_meta(self, bucket_cols: list[str], num_buckets: int) -> None:
+        import json
+
+        tmp = os.path.join(self.path, "_META.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"bucket_cols": bucket_cols, "num_buckets": num_buckets}, fh)
+        os.replace(tmp, os.path.join(self.path, "_META"))
+
+    @property
+    def _lease(self) -> str:
+        return os.path.join(self.path, "_LEASE")
+
+    def _lease_holder(self) -> str | None:
+        try:
+            with open(self._lease) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
+
+    def _acquire_lease(self) -> None:
+        holder = self._lease_holder()
+        if holder is not None and holder != self._token and self._held_lease:
+            raise ConcurrentWriterError(
+                f"VersionedTable {self.path}: writer lease was taken over by "
+                f"{holder} after this writer published — a second concurrent "
+                "publisher exists; refusing to overwrite its updates"
+            )
+        if holder != self._token:
+            tmp = self._lease + f".{self._token}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(self._token)
+            os.replace(tmp, self._lease)
+        self._held_lease = True
+
+    def _check_lease(self) -> None:
+        if self._lease_holder() != self._token:
+            raise ConcurrentWriterError(
+                f"VersionedTable {self.path}: lost the writer lease mid-"
+                "publish (another writer took over); aborting pointer swap"
+            )
+
+    # -- pointer ---------------------------------------------------------
 
     @property
     def _pointer(self) -> str:
@@ -102,73 +214,212 @@ class VersionedTable:
         ptr = self._read_pointer()
         return os.path.join(self.path, ptr[1]) if ptr else None
 
+    # -- directory naming / commit state ---------------------------------
+
+    def _next_pubseq(self) -> int:
+        """Monotonic publish counter (deterministic replay resolution —
+        no mtime races). Single-writer, so read-increment-replace is
+        safe under the lease."""
+        seq_path = os.path.join(self.path, "_PUBSEQ")
+        try:
+            with open(seq_path) as fh:
+                seq = int(fh.read().strip())
+        except (OSError, ValueError):
+            seq = max(
+                (p[1] for p in map(self._parse_dirname, os.listdir(self.path)) if p),
+                default=0,
+            )
+        seq += 1
+        tmp = seq_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(seq))
+        os.replace(tmp, seq_path)
+        return seq
+
+    @staticmethod
+    def _parse_dirname(name: str) -> tuple[int, int] | None:
+        """``v=<version>-<pubseq>-<token>`` -> (version, pubseq); the
+        version may be negative (bootstrap convention), so split from
+        the RIGHT. Unparseable names (foreign junk) -> None."""
+        if not name.startswith("v="):
+            return None
+        parts = name[2:].rsplit("-", 2)
+        if len(parts) != 3:
+            return None
+        try:
+            return int(parts[0]), int(parts[1])
+        except ValueError:
+            return None
+
+    def _is_committed(self, dirname: str) -> bool:
+        return os.path.exists(os.path.join(self.path, dirname, _COMMIT_MARKER))
+
+    def _committed_dirs(self) -> list[tuple[int, int, str]]:
+        out = []
+        for n in os.listdir(self.path):
+            p = self._parse_dirname(n)
+            if p and self._is_committed(n):
+                out.append((p[0], p[1], n))
+        return out
+
+    # -- read ------------------------------------------------------------
+
+    def _strip_bucket(self, df: DataFrame) -> DataFrame:
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """Read the current version, or — time travel — a specific
-        retained ``version`` (None if that version was never published
-        or was vacuumed). With multiple publishes of one version id
-        (batch replays), the most recently written directory wins."""
+        retained ``version`` (None if that version was never published,
+        never committed, or was vacuumed). With multiple publishes of
+        one version id (batch replays), the highest publish sequence
+        wins. Only COMMITTED directories are ever served."""
         if version is None:
             d = self.current_dir()
-            return None if d is None else spark.read.parquet(d)
-        prefix = f"v={version}-"
-        cands = [
-            os.path.join(self.path, n)
-            for n in os.listdir(self.path)
-            if n.startswith(prefix)
-        ]
+            return None if d is None else self._strip_bucket(spark.read.parquet(d))
+        cands = [(ps, n) for v, ps, n in self._committed_dirs() if v == version]
         if not cands:
             return None
-        return spark.read.parquet(max(cands, key=os.path.getmtime))
+        dirname = max(cands)[1]
+        return self._strip_bucket(
+            spark.read.parquet(os.path.join(self.path, dirname))
+        )
+
+    def read_buckets(
+        self, spark: SparkSession, buckets: list[int]
+    ) -> DataFrame | None:
+        """Read ONLY the given buckets of the current version (partition
+        pruning on the ``__bucket`` directory column); bucket column
+        stripped from the result."""
+        if self.num_buckets is None:
+            raise ValueError("read_buckets requires a bucketed table")
+        d = self.current_dir()
+        if d is None:
+            return None
+        df = spark.read.parquet(d)
+        if BUCKET_COL not in df.columns:  # pre-bucketing version
+            return df
+        return self._strip_bucket(
+            df.where(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
+        )
 
     def versions(self) -> list[int]:
-        """Retained (readable) version ids, ascending."""
-        out = set()
-        for n in os.listdir(self.path):
-            if n.startswith("v="):
-                try:
-                    # dirname = v=<version>-<token>; version may be
-                    # negative (bootstrap), so strip the token from the
-                    # RIGHT
-                    out.add(int(n[2:].rsplit("-", 1)[0]))
-                except ValueError:
-                    continue
-        return sorted(out)
+        """Retained (committed, readable) version ids, ascending."""
+        return sorted({v for v, _, _ in self._committed_dirs()})
 
-    def publish(self, df: DataFrame, version: int) -> str:
-        """Write ``df`` into a FRESH directory for ``version`` and
-        atomically re-point. Never writes into an existing directory —
-        a replayed batch's merge plan is still lazily READING the
-        current version while this write runs."""
-        import uuid
+    # -- write -----------------------------------------------------------
 
-        dirname = f"v={version}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, dirname))
-        tmp = self._pointer + ".tmp"
+    def _bucket_expr(self):
+        return F.pmod(
+            F.hash(*[F.col(c) for c in (self.bucket_cols or [])]),
+            F.lit(int(self.num_buckets)),
+        ).cast("int")
+
+    def _commit(self, dirname: str, version: int) -> None:
+        """Marker + atomic pointer swap (lease re-checked first so a
+        writer that lost the lease mid-write never publishes)."""
+        self._check_lease()
+        with open(os.path.join(self.path, dirname, _COMMIT_MARKER), "w") as fh:
+            fh.write(self._token)
+        tmp = self._pointer + f".{self._token}.tmp"
         with open(tmp, "w") as fh:
             fh.write(f"{version}\n{dirname}\n")
         os.replace(tmp, self._pointer)  # atomic on POSIX
+
+    def publish(self, df: DataFrame, version: int) -> str:
+        """Write ``df`` in FULL into a fresh directory for ``version``
+        and atomically re-point. Never writes into an existing
+        directory — a replayed batch's merge plan is still lazily
+        READING the current version while this write runs."""
+        self._acquire_lease()
+        dirname = f"v={version}-{self._next_pubseq()}-{uuid.uuid4().hex[:8]}"
+        target = os.path.join(self.path, dirname)
+        if self.num_buckets is not None:
+            (
+                df.withColumn(BUCKET_COL, self._bucket_expr())
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(target)
+            )
+        else:
+            df.write.mode("overwrite").parquet(target)
+        self._commit(dirname, version)
+        return dirname
+
+    def publish_incremental(
+        self, changed_df: DataFrame, version: int, changed_buckets: list[int]
+    ) -> str:
+        """Publish a new version whose CHANGED buckets are rewritten from
+        ``changed_df`` (base-schema rows, bucket column recomputed here)
+        and whose untouched buckets are HARD-LINKED file-by-file from the
+        current version — per-publish I/O is O(changed buckets), not
+        O(base). A changed bucket that ends up empty (every key deleted)
+        is simply absent from the new version. Requires a bucketed table
+        with a live current version (bootstrap goes through
+        :meth:`publish`)."""
+        if self.num_buckets is None:
+            raise ValueError("publish_incremental requires a bucketed table")
+        prev = self.current_dir()
+        if prev is None:
+            raise ValueError("publish_incremental requires an existing version")
+        self._acquire_lease()
+        changed = {int(b) for b in changed_buckets}
+        dirname = f"v={version}-{self._next_pubseq()}-{uuid.uuid4().hex[:8]}"
+        target = os.path.join(self.path, dirname)
+        (
+            changed_df.withColumn(BUCKET_COL, self._bucket_expr())
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(target)
+        )
+        # carry untouched buckets by hard link (same inode, zero data
+        # copied) — the local stand-in for a manifest that keeps
+        # unchanged files by reference; copy2 fallback for filesystems
+        # without link support.
+        for entry in os.listdir(prev):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            try:
+                b = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b in changed:
+                continue
+            src_dir = os.path.join(prev, entry)
+            dst_dir = os.path.join(target, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in os.listdir(src_dir):
+                if fname.startswith(("_", ".")):
+                    continue
+                src, dst = os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        self._commit(dirname, version)
         return dirname
 
     def vacuum(self, keep: int = 2) -> list[str]:
-        """Best-effort removal of unreferenced version directories,
-        keeping the current one plus the ``keep``-1 most recently
-        modified others (in-flight readers hold directory listings, so
-        retention must cover the longest concurrent read)."""
-        import shutil
-
+        """Remove unreferenced version directories: every UNCOMMITTED
+        orphan goes first, then superseded committed versions beyond the
+        ``keep``-1 most recent (by publish sequence) besides the live
+        one. Hard-linked carry-over files make this safe — deleting an
+        old version never breaks a newer version that links its files.
+        Retention must still cover the longest concurrent read."""
         ptr = self._read_pointer()
         live = {ptr[1]} if ptr else set()
-        candidates = sorted(
-            (
-                d
-                for d in os.listdir(self.path)
-                if d.startswith("v=") and d not in live
-            ),
-            key=lambda d: os.path.getmtime(os.path.join(self.path, d)),
-            reverse=True,
-        )
         removed = []
-        for d in candidates[max(keep - 1, 0):]:
+        committed = []
+        for d in os.listdir(self.path):
+            if not d.startswith("v=") or d in live:
+                continue
+            p = self._parse_dirname(d)
+            if p is None or not self._is_committed(d):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                removed.append(d)
+            else:
+                committed.append((p[1], d))
+        committed.sort(reverse=True)
+        for _, d in committed[max(keep - 1, 0):]:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             removed.append(d)
         return removed
@@ -181,27 +432,86 @@ def cdc_merge_sink(
     seq_col: str,
     op_col: str | None = None,
     delete_op: str = "D",
+    null_key_policy: str = "error",
+    evolve: bool = False,
 ):
     """foreachBatch callable: merge each micro-batch of the change log
     into ``table``. The batch delta is always broadcast (a micro-batch
-    is dimension-sized vs the base by construction)."""
+    is dimension-sized vs the base by construction). On a bucketed table
+    the publish is INCREMENTAL: only buckets containing changed keys are
+    read, merged, and rewritten; untouched buckets carry over by hard
+    link (O(delta) I/O per batch, not O(base)).
+
+    ``null_key_policy``: NULL merge keys break replay idempotence (anti
+    joins never match NULL, so a NULL-keyed winner re-inserts on every
+    replay) — ``"error"`` (default) fails the batch loudly; ``"drop"``
+    filters them out. ``evolve``: forwarded to :func:`merge_upsert`
+    (schema-widening deltas NULL-backfill history; a widening batch on a
+    bucketed table falls back to one full rewrite so every bucket file
+    carries the new schema).
+    """
+    if null_key_policy not in ("error", "drop"):
+        raise ValueError(f"null_key_policy must be error|drop, got {null_key_policy!r}")
 
     def sink(mb: DataFrame, batch_id: int) -> None:
-        base = table.read(spark)
+        # foreachBatch hands a DataFrame bound to the micro-batch's
+        # cloned session; do ALL reads/joins through it (mixing the
+        # outer session's base scan with the batch frame is fragile on a
+        # cluster — session confs/AQE diverge). Outer spark is only the
+        # bootstrap fallback for mocks without a session.
+        s = getattr(mb, "sparkSession", None) or spark
+        null_pred = functools.reduce(
+            pyop.or_, (F.col(k).isNull() for k in keys)
+        )
+        if null_key_policy == "drop":
+            mb = mb.where(~null_pred)
+        elif mb.where(null_pred).limit(1).count() > 0:
+            raise ValueError(
+                f"CDC batch {batch_id}: NULL value in merge key(s) {keys} — "
+                "NULL keys can never match (anti-join semantics), so they "
+                "would re-insert on every replay and break exactly-once "
+                "effect. Fix the feed or use null_key_policy='drop'."
+            )
+        base = table.read(s)
         if base is None:
             drop = {seq_col} | ({op_col} if op_col else set())
             base_cols = [c for c in mb.columns if c not in drop]
             base = mb.select(*base_cols).where(F.lit(False))
-        merged = merge_upsert(
-            base,
-            mb,
+        kw = dict(
             keys=keys,
             seq_col=seq_col,
             op_col=op_col,
             delete_op=delete_op,
             broadcast_delta=True,
+            evolve=evolve,
         )
-        table.publish(merged, int(batch_id))
+        widening = evolve and any(
+            c not in set(base.columns) | {seq_col, op_col} for c in mb.columns
+        )
+        if (
+            table.num_buckets is not None
+            and table.current_dir() is not None
+            and not widening
+        ):
+            # Compact ONCE, pin the (micro-batch-sized) winners, and
+            # derive the changed-bucket set from them; the same frame
+            # feeds the merge (re-compacting an already-compacted delta
+            # is a no-op on |keys| rows).
+            latest = latest_change_per_key(mb, keys, seq_col).localCheckpoint(
+                eager=True
+            )
+            changed = sorted(
+                r[0]
+                for r in latest.select(
+                    table._bucket_expr().alias("b")
+                ).distinct().collect()
+            )
+            base_sub = table.read_buckets(s, changed)
+            merged_sub = merge_upsert(base_sub, latest, **kw)
+            table.publish_incremental(merged_sub, int(batch_id), changed)
+        else:
+            merged = merge_upsert(base, mb, **kw)
+            table.publish(merged, int(batch_id))
 
     return sink
 
@@ -217,19 +527,33 @@ def run_cdc_stream(
     delete_op: str = "D",
     checkpoint: str | None = None,
     timeout: int = 300,
+    bucket_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+    null_key_policy: str = "error",
+    evolve: bool = False,
 ) -> VersionedTable:
     """Drain the change-log files currently in ``source_dir`` into the
     versioned table at ``table_path`` (``availableNow`` trigger — call
     again after staging more files; the shared checkpoint guarantees no
     batch is re-read and any half-applied batch is replayed, which the
-    idempotent merge absorbs)."""
-    table = VersionedTable(table_path)
+    idempotent merge absorbs). Pass ``bucket_cols``/``num_buckets`` to
+    lay the table out for the partition-pruned incremental publish."""
+    table = VersionedTable(table_path, bucket_cols=bucket_cols, num_buckets=num_buckets)
     cp = checkpoint or os.path.join(table_path, "_checkpoint")
     q = (
         spark.readStream.schema(schema)
         .parquet(source_dir)
         .writeStream.foreachBatch(
-            cdc_merge_sink(spark, table, keys, seq_col, op_col, delete_op)
+            cdc_merge_sink(
+                spark,
+                table,
+                keys,
+                seq_col,
+                op_col,
+                delete_op,
+                null_key_policy=null_key_policy,
+                evolve=evolve,
+            )
         )
         .option("checkpointLocation", cp)
         .outputMode("update")

@@ -81,11 +81,44 @@ def test_merge_upsert_delete_wins_when_latest(spark):
 
 def test_merge_without_op_col_is_pure_upsert(spark):
     d = spark.createDataFrame(
-        [(2, "B", 21.0, 1, "D")], "k int, v string, amt double, __seq int, __op string"
+        [(2, "B", 21.0, 1)], "k int, v string, amt double, __seq int"
     )
-    out = merge_upsert(_base(spark), d, ["k"], "__seq")  # op_col ignored
+    out = merge_upsert(_base(spark), d, ["k"], "__seq")  # no op_col: upsert only
     rows = {r["k"]: r["v"] for r in out.collect()}
-    assert rows[2] == "B"  # 'D' is just payload without op_col
+    assert rows[2] == "B" and set(rows) == {1, 2, 3}
+
+
+def test_merge_extra_delta_column_fails_loud_unless_evolve(spark):
+    """A delta column the base lacks is a schema CHANGE: silent dropping
+    (the pre-r10 behavior) hides a widened feed; default is a loud
+    error, and evolve=True widens the base with NULL backfill."""
+    import pytest
+
+    d = spark.createDataFrame(
+        [(2, "B", 21.0, "eu", 1, "U")],
+        "k int, v string, amt double, region string, __seq int, __op string",
+    )
+    with pytest.raises(ValueError, match="region"):
+        merge_upsert(_base(spark), d, ["k"], "__seq", op_col="__op")
+    out = merge_upsert(
+        _base(spark), d, ["k"], "__seq", op_col="__op", evolve=True
+    )
+    assert out.columns == ["k", "v", "amt", "region"]
+    rows = {r["k"]: (r["v"], r["region"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("B", "eu"), 3: ("c", None)}
+
+
+def test_merge_missing_base_column_still_fails(spark):
+    """evolve widens, never narrows: a delta MISSING a base column is an
+    error either way (select(*base.columns) cannot resolve it)."""
+    import pytest
+
+    d = spark.createDataFrame([(2, 1, "U")], "k int, __seq int, __op string")
+    for ev in (False, True):
+        with pytest.raises(Exception):
+            merge_upsert(
+                _base(spark), d, ["k"], "__seq", op_col="__op", evolve=ev
+            ).collect()
 
 
 def test_compaction_is_partial_agg_not_window(spark):
@@ -230,3 +263,25 @@ def test_map_typed_payload_uses_max_by_fallback(spark):
     out = merge_upsert(b, d, ["k"], "__seq", op_col="__op")
     rows = {r["k"]: dict(r["props"]) for r in out.collect()}
     assert rows == {1: {"a": "new"}, 2: {"b": "x"}, 3: {"c": "z"}}
+
+
+def test_map_fallback_seq_tie_broken_by_orderable_columns(spark):
+    """The max_by fallback's ordering struct extends (seq, tiebreakers)
+    with every ORDERABLE payload column, so a seq tie between rows whose
+    orderable part differs is still deterministic — even with no
+    explicit tiebreakers. Only rows identical in ALL orderable columns
+    and differing solely inside a map stay scheduler-arbitrary."""
+    d = spark.createDataFrame(
+        [
+            (1, "alpha", {"m": "x"}, 1, "U"),
+            (1, "zeta", {"m": "y"}, 1, "U"),  # same seq; 'zeta' > 'alpha'
+        ],
+        "k int, v string, props map<string,string>, __seq int, __op string",
+    )
+    for _ in range(3):  # repeated runs: same winner every time
+        got = latest_change_per_key(
+            d.repartition(8), ["k"], "__seq"
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["v"] == "zeta"
+        assert dict(got[0]["props"]) == {"m": "y"}
