@@ -137,6 +137,147 @@ def _delta(base: DataFrame, versions: int) -> DataFrame:
     )
 
 
+N_BUCKETS = 64
+CHANGED_BUCKETS = [3, 17, 42, 59]  # 4 of 64 — a sparse day-of-changes
+
+
+def _version_files(version_dir: str) -> dict[str, tuple[int, int]]:
+    """{bucket-relative filename: (size, inode)} across all __bucket=
+    subdirectories of one version."""
+    out = {}
+    for entry in os.listdir(version_dir):
+        if not entry.startswith("__bucket="):
+            continue
+        d = os.path.join(version_dir, entry)
+        for f in os.listdir(d):
+            if f.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(d, f))
+            out[f"{entry}/{f}"] = (st.st_size, st.st_ino)
+    return out
+
+
+def _incremental_publish_claim(spark, base: DataFrame, merge_upsert) -> dict:
+    """The r9-verdict scale-killer, measured fixed: a micro-batch whose
+    keys fall in 4 of 64 buckets must cause a publish that writes NEW
+    bytes only for those buckets (the rest hard-linked from the prior
+    version), at 64 versions per key — and the incremental result must
+    bit-match the direct full batch merge."""
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.operators.cdc import latest_change_per_key
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable, cdc_merge_sink
+
+    workdir = tempfile.mkdtemp(prefix="cdcbench_inc_")
+    try:
+        key_bucket = F.pmod(F.hash("o_orderkey"), F.lit(N_BUCKETS)).cast("int")
+        # 64 versions per changed key, keys confined to the sparse buckets
+        delta = (
+            base.where(key_bucket.isin(CHANGED_BUCKETS))
+            .where(F.col("o_orderkey") % 10 == 3)  # thin the key set
+            .select(
+                "o_orderkey",
+                F.explode(F.sequence(F.lit(1), F.lit(VERSION_SWEEP[1]))).alias(
+                    "__seq"
+                ),
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+            )
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit("U").alias("o_orderstatus"),
+                (F.col("o_totalprice") + F.col("__seq").cast("double")).alias(
+                    "o_totalprice"
+                ),
+                "__seq",
+                F.lit("U").alias("__op"),
+            )
+            .repartition(16)
+            .persist()
+        )
+        delta_rows = delta.count()
+
+        table = VersionedTable(
+            os.path.join(workdir, "table"),
+            bucket_cols=["o_orderkey"],
+            num_buckets=N_BUCKETS,
+        )
+        table.publish(base, -1)
+        v_prev = table.current_dir()
+        prev_files = _version_files(v_prev)
+
+        t0 = time.monotonic()
+        sink = cdc_merge_sink(spark, table, ["o_orderkey"], "__seq", op_col="__op")
+        sink(delta, 0)
+        publish_sec = time.monotonic() - t0
+
+        v_new = table.current_dir()
+        new_files = _version_files(v_new)
+        prev_inodes = {ino for _, ino in prev_files.values()}
+        new_bytes = sum(
+            size for size, ino in new_files.values() if ino not in prev_inodes
+        )
+        linked_bytes = sum(
+            size for size, ino in new_files.values() if ino in prev_inodes
+        )
+        total_bytes = new_bytes + linked_bytes
+        changed_set = {
+            f"__bucket={b}" for b in CHANGED_BUCKETS
+        }
+        mislinked = [
+            f
+            for f, (_, ino) in new_files.items()
+            if f.split("/", 1)[0] not in changed_set and ino not in prev_inodes
+        ]
+
+        inc = table.read(spark)
+        direct = merge_upsert(
+            base,
+            delta,
+            keys=["o_orderkey"],
+            seq_col="__seq",
+            op_col="__op",
+            broadcast_delta=True,
+        )
+        _, inc_n, inc_h = _measure(spark, inc)
+        _, dir_n, dir_h = _measure(spark, direct)
+        delta.unpersist()
+
+        rewrite_fraction = new_bytes / max(total_bytes, 1)
+        out = {
+            "num_buckets": N_BUCKETS,
+            "changed_buckets": len(CHANGED_BUCKETS),
+            "versions_per_key": VERSION_SWEEP[1],
+            "delta_rows": delta_rows,
+            "publish_sec": round(publish_sec, 3),
+            "new_bytes": new_bytes,
+            "linked_bytes": linked_bytes,
+            "rewrite_fraction_of_version": round(rewrite_fraction, 4),
+            "bucket_fraction": round(len(CHANGED_BUCKETS) / N_BUCKETS, 4),
+            "untouched_bucket_new_files": mislinked,
+            "hash_equal": inc_h == dir_h and inc_n == dir_n,
+            "rows_out": inc_n,
+        }
+        # gates: rewrite bytes track the CHANGED-bucket fraction (2×
+        # headroom for parquet size variance), every untouched bucket is
+        # pure links, and the pruned merge is bit-equal to the direct one
+        out["rewrite_proportional_to_delta"] = (
+            rewrite_fraction <= 2.0 * len(CHANGED_BUCKETS) / N_BUCKETS
+        )
+        out["ok"] = (
+            out["rewrite_proportional_to_delta"]
+            and not mislinked
+            and out["hash_equal"]
+            and linked_bytes > 0
+        )
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def run(sf_dir: str) -> dict:
     from ncpi_whistler_spark import get_spark
     from ncpi_whistler_spark.catalog import load_table
@@ -236,6 +377,12 @@ def run(sf_dir: str) -> dict:
             and merge["broadcast_below_base"]
             and merge["unhinted_below_base_via_aqe"]
         )
+
+        # --- claim 3: incremental publish I/O is O(delta), not O(base) -
+        report["incremental_publish"] = _incremental_publish_claim(
+            spark, base, merge_upsert
+        )
+        ok = ok and report["incremental_publish"]["ok"]
     finally:
         spark.stop()
     report["ok"] = ok
