@@ -150,9 +150,14 @@ def compact_parquet(
     re-establishes clustering while rewriting (see write_range_sorted).
     Returns the new file count.
 
-    The rewrite goes through a temp dir + atomic-ish rename so a reader
-    never sees a half-written directory (at cluster scale use a table
-    format's transactional rewrite instead)."""
+    The rewrite goes through a temp dir + two renames, so the window
+    where ``path`` is absent is two metadata ops (microseconds), not an
+    O(files) ``rmtree`` — and the OLD files survive in a trash dir until
+    the swap completes, so a POSIX reader holding open descriptors
+    finishes its scan. A reader that re-resolves the PATH inside that
+    window can still race; for gapless concurrent reads put the data in
+    a :class:`~ncpi_whistler_spark.streaming.cdc.VersionedTable` and use
+    :func:`compact_versioned` (pointer swap, no window at all)."""
     import glob
     import os
     import shutil
@@ -166,10 +171,74 @@ def compact_parquet(
     else:
         df = df.coalesce(n) if n < len(files) else df.repartition(n)
     tmp = path.rstrip("/") + "__compact_tmp"
+    trash = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, trash)
     os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def compact_versioned(
+    spark,
+    table,
+    target_file_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction with ZERO reader-visible gap: rewrite the
+    current version of a :class:`~ncpi_whistler_spark.streaming.cdc.
+    VersionedTable` into right-sized files and publish the result as a
+    new directory for the SAME version id (higher publish sequence wins)
+    — a compaction changes layout, not logical content. Concurrent
+    readers that already resolved the pointer keep scanning the old
+    immutable directory (snapshot isolation, bounded by vacuum
+    retention); new readers see the compacted one the instant the
+    pointer swaps. This is the streaming-sink housekeeping pass: a
+    long-lived CDC table accretes one small delta file set per
+    micro-batch and periodic compaction restores scan efficiency.
+
+    Bucketed tables keep their bucket layout (one file per bucket — the
+    pruning unit); flat tables size by bytes like :func:`compact_parquet`.
+    Compaction is a PUBLISH, so it falls under the table's single-writer
+    lease: run it from (or between runs of) the table's owning writer —
+    a foreign compactor instance would take the lease over and the
+    streaming writer's next publish would fail loud (by design).
+    Returns the new parquet file count."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ncpi_whistler_spark.streaming.cdc import BUCKET_COL
+
+    d = table.current_dir()
+    version = table.current_version()
+    if d is None or version is None:
+        raise ValueError(f"VersionedTable at {table.path} has no current version")
+    if table.num_buckets is not None:
+        df = spark.read.parquet(d)
+        if BUCKET_COL in df.columns:
+            compacted = df.repartition(
+                int(table.num_buckets), F.col(BUCKET_COL)
+            ).drop(BUCKET_COL)
+        else:
+            compacted = df
+        # publish() recomputes the bucket column and re-partitions by it
+        table.publish(compacted, version)
+    else:
+        files = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = spark.read.parquet(d)
+        if sort_by:
+            df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n) if n < len(files) else df.repartition(n)
+        table.publish(df, version)
+    new_dir = table.current_dir()
+    return len(glob.glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True))
 
 
 def zorder_key(cols, bits: int = 16):

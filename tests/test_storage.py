@@ -148,6 +148,66 @@ def test_compact_parquet(spark, tmp_path):
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
 
 
+def test_compact_versioned_no_reader_gap(spark, tmp_path):
+    """Compaction through VersionedTable: a reader that resolved the
+    pointer BEFORE the compaction finishes its scan on the old immutable
+    directory (no rmtree/rename window at all), new readers see the
+    compacted layout with identical values, and time travel still
+    resolves the version id (highest publish sequence = compacted)."""
+    from ncpi_whistler_spark.storage import compact_versioned
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    df = spark.createDataFrame([(i, i % 5) for i in range(10_000)], "id long, g long")
+    t.publish(df.repartition(64), 7)
+    before = len(glob.glob(os.path.join(t.current_dir(), "*.parquet")))
+    assert before >= 32
+
+    # reader resolves the pointer pre-compaction...
+    old_reader = t.read(spark)
+    after = compact_versioned(spark, t, target_file_mb=256)
+    assert after < before
+    # ...and still completes against the old directory afterwards
+    assert old_reader.count() == 10_000
+    back = t.read(spark)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+    # same logical version, compacted layout wins the time-travel read
+    assert t.versions() == [7]
+    assert t.current_version() == 7
+    assert t.read(spark, version=7).count() == 10_000
+    # vacuum reclaims the pre-compaction directory, live one intact
+    t.vacuum(keep=1)
+    assert t.read(spark).count() == 10_000
+
+
+def test_compact_versioned_preserves_bucket_layout(spark, tmp_path):
+    """Compacting a bucketed table keeps the __bucket directory layout
+    (the pruning unit) while collapsing per-bucket small files."""
+    from ncpi_whistler_spark.storage import compact_versioned
+    from ncpi_whistler_spark.streaming.cdc import BUCKET_COL, VersionedTable
+
+    t = VersionedTable(str(tmp_path / "bvt"), bucket_cols=["id"], num_buckets=4)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4_000)], "id long, v string")
+    t.publish(df.repartition(32), 0)
+    files_before = len(
+        glob.glob(os.path.join(t.current_dir(), "**", "*.parquet"), recursive=True)
+    )
+    files_after = compact_versioned(spark, t)
+    assert files_after < files_before
+    buckets = {
+        d
+        for d in os.listdir(t.current_dir())
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    assert buckets == {f"{BUCKET_COL}={i}" for i in range(4)}
+    back = t.read(spark)
+    assert back.count() == 4_000 and BUCKET_COL not in back.columns
+    # bucket pruning still works on the compacted layout
+    sub = t.read_buckets(spark, [1])
+    assert 0 < sub.count() < 4_000
+
+
 def test_zorder_prunes_second_dimension(spark, tmp_path):
     """For a filter on the SECOND clustering column, the Z-ordered layout
     must have strictly fewer files intersecting the predicate range than
