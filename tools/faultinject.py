@@ -929,6 +929,202 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
+    def _run_commit_kill() -> None:
+        # Executor dies INSIDE THE STAGE'S COMMIT WINDOW — the boundary
+        # exec_kill_write leaves untested (its kill fires at first pull,
+        # before any commit authorization). Here the victim task has
+        # FINISHED streaming its data (its Python generator returned, so
+        # the executor is draining the arrow stream, closing the parquet
+        # footer, requesting canCommit from the driver's
+        # OutputCommitCoordinator, and renaming its attempt dir) and at
+        # least one SIBLING task has already committed (its task_* dir is
+        # visible under _temporary) — i.e. the coordinator has granted
+        # authorizations and the stage is partially committed. A driver-
+        # side watcher SIGKILLs the victim's executor JVM in exactly that
+        # state. The coordinator must then revoke/release the lost
+        # attempt's authorization (ExecutorLostFailure frees the commit
+        # lock), authorize the retried attempt, and the v1 committer must
+        # tolerate a possibly-already-renamed task dir — the read-back
+        # must bit-match a clean write with _SUCCESS and zero _temporary
+        # residue. Landing between one specific canCommit RPC and its
+        # rename is inherently probabilistic from outside the JVM, so the
+        # scenario retries until the watcher catches the window (the
+        # pyend-marker gating makes each try a genuine commit-phase kill
+        # or a no-op, never a mid-write kill).
+        nonlocal ok
+        import re
+        import signal
+        import threading
+        import time as _t
+
+        name = "exec_kill_commit"
+        wdir = tempfile.mkdtemp(prefix="faultinject_ekcommit_")
+        rows_df = (
+            spark.range(0, 200_000, 1, 4)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 997).cast("double").alias("val"),
+                F.sha1(F.col("id").cast("string")).alias("payload"),
+            )
+        )
+        schema = rows_df.schema
+
+        def staged(tag: str):
+            """Write-stage tasks record start markers + their executor
+            JVM pid, stream their batches (partition 0 gets a head
+            start so one sibling commit lands first), and drop a pyend
+            marker the moment their generator returns — the observable
+            'task entered its commit path' signal."""
+
+            def gen(batches):
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                p = tc.partitionId()
+                os.makedirs(marker_dir, exist_ok=True)
+                open(
+                    os.path.join(
+                        marker_dir, f"{tag}.map.p{p}.t{tc.taskAttemptId()}"
+                    ),
+                    "w",
+                ).close()
+                # resolve our executor JVM pid (ancestor walk, as in
+                # kill_own_executor_jvm) so the driver-side watcher can
+                # target THIS partition's executor
+                pid, jvm = os.getppid(), None
+                for _ in range(10):
+                    try:
+                        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                            cmd = fh.read().decode(errors="replace")
+                        with open(f"/proc/{pid}/stat") as fh:
+                            stat = fh.read()
+                    except OSError:
+                        break
+                    if "CoarseGrainedExecutorBackend" in cmd:
+                        jvm = pid
+                        break
+                    pid = int(stat.rsplit(")", 1)[1].split()[1])
+                if jvm is not None:
+                    with open(
+                        os.path.join(marker_dir, f"{tag}.exec.p{p}"), "w"
+                    ) as fh:
+                        fh.write(str(jvm))
+                first = True
+                for pdf in batches:
+                    yield pdf
+                    if first and p != 0:
+                        _t.sleep(0.5)  # partition 0 commits first
+                        first = False
+                open(
+                    os.path.join(marker_dir, f"{tag}.pyend.p{p}"), "w"
+                ).close()
+
+            return rows_df.mapInPandas(gen, schema)
+
+        def _committed_parts(out: str) -> set[int]:
+            got = set()
+            tmp = os.path.join(out, "_temporary")
+            if not os.path.isdir(tmp):
+                return got
+            for root, dirs, _ in os.walk(tmp):
+                for d in dirs:
+                    m = re.match(r"task_.*_m_(\d+)$", d)
+                    if m:
+                        got.add(int(m.group(1)))
+            return got
+
+        def watcher(out: str, tag: str, done: threading.Event, res: dict):
+            while not done.is_set():
+                committed = _committed_parts(out)
+                if committed:
+                    pyend = set()
+                    for n in os.listdir(marker_dir):
+                        if n.startswith(f"{tag}.pyend.p"):
+                            pyend.add(int(n[len(f"{tag}.pyend.p"):]))
+                    for p in sorted(pyend - committed):
+                        pidf = os.path.join(marker_dir, f"{tag}.exec.p{p}")
+                        try:
+                            with open(pidf) as fh:
+                                pid = int(fh.read().strip())
+                            os.kill(pid, signal.SIGKILL)
+                        except (OSError, ValueError):
+                            continue
+                        res.update(
+                            fired=True,
+                            victim_partition=p,
+                            victim_pid=pid,
+                            committed_before_kill=sorted(committed),
+                        )
+                        return
+                _t.sleep(0.002)
+
+        def _write_read(tag: str, injected: bool):
+            out = os.path.join(wdir, tag.replace(".", "_"))
+            res: dict = {"fired": False}
+            done = threading.Event()
+            th = None
+            if injected:
+                th = threading.Thread(
+                    target=watcher, args=(out, tag, done, res), daemon=True
+                )
+                th.start()
+            try:
+                staged(tag).write.mode("overwrite").parquet(out)
+            finally:
+                done.set()
+                if th:
+                    th.join(timeout=5)
+            temp_left = os.path.exists(os.path.join(out, "_temporary"))
+            committed = os.path.exists(os.path.join(out, "_SUCCESS"))
+            return _canon(spark.read.parquet(out)), committed, temp_left, res
+
+        try:
+            want, c_ok, c_tmp, _ = _write_read(f"{name}.clean", False)
+            tries = 0
+            res: dict = {"fired": False}
+            got, i_ok, i_tmp = want, False, True
+            while tries < 6:
+                tries += 1
+                tag = f"{name}.inj{tries}"
+                got, i_ok, i_tmp, res = _write_read(tag, True)
+                if res["fired"]:
+                    break
+            victim = res.get("victim_partition")
+            inj_counts = _map_exec_counts(marker_dir, tag)
+            victim_retried = (
+                victim is not None
+                and inj_counts.get(f"p{victim}", 0) >= 2
+            )
+            killed_jvm_dead = res["fired"] and not os.path.exists(
+                f"/proc/{res.get('victim_pid')}"
+            )
+            entry = {
+                "match": want == got,
+                "fired": res["fired"],
+                "tries": tries,
+                "victim_partition": victim,
+                "committed_before_kill": res.get("committed_before_kill"),
+                "killed_jvm_dead": killed_jvm_dead,
+                "injected_map_execs": inj_counts,
+                "victim_task_retried": victim_retried,
+                "committed_success_marker": c_ok and i_ok,
+                "temporary_residue": c_tmp or i_tmp,
+                "rows": len(want),
+            }
+            entry["ok"] = (
+                entry["match"]
+                and entry["fired"]
+                and killed_jvm_dead
+                and bool(entry["committed_before_kill"])
+                and victim_retried
+                and entry["committed_success_marker"]
+                and not entry["temporary_residue"]
+            )
+            report[name] = entry
+            ok = ok and entry["ok"]
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
     try:
         _run("exec_kill_dedup", _dedup)
         _run("exec_kill_codes", _codes)
@@ -936,6 +1132,7 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
         _run("exec_kill_cdc_merge", _cdc_merge)
         _run_stream()
         _run_write()
+        _run_commit_kill()
     finally:
         shutil.rmtree(marker_dir, ignore_errors=True)
     return report, ok
