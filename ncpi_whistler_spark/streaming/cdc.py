@@ -434,6 +434,8 @@ def cdc_merge_sink(
     delete_op: str = "D",
     null_key_policy: str = "error",
     evolve: bool = False,
+    vacuum_keep: int | None = None,
+    compact_every: int | None = None,
 ):
     """foreachBatch callable: merge each micro-batch of the change log
     into ``table``. The batch delta is always broadcast (a micro-batch
@@ -449,6 +451,16 @@ def cdc_merge_sink(
     (schema-widening deltas NULL-backfill history; a widening batch on a
     bucketed table falls back to one full rewrite so every bucket file
     carries the new schema).
+
+    Housekeeping for LONG-RUNNING streams (a table accretes one version
+    per micro-batch forever otherwise): ``vacuum_keep=k`` vacuums after
+    every publish keeping the k most recent committed versions (hard
+    links make this safe for versions that carry files forward; size k
+    to cover the longest concurrent reader), and ``compact_every=n``
+    runs :func:`~ncpi_whistler_spark.storage.compact_versioned` after
+    every n-th batch — incremental publishes accrete small per-bucket
+    delta files, periodic compaction restores scan efficiency. Both are
+    no-ops when None.
     """
     if null_key_policy not in ("error", "drop"):
         raise ValueError(f"null_key_policy must be error|drop, got {null_key_policy!r}")
@@ -512,6 +524,12 @@ def cdc_merge_sink(
         else:
             merged = merge_upsert(base, mb, **kw)
             table.publish(merged, int(batch_id))
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            from ncpi_whistler_spark.storage import compact_versioned
+
+            compact_versioned(s, table)
+        if vacuum_keep is not None:
+            table.vacuum(keep=vacuum_keep)
 
     return sink
 
@@ -531,6 +549,8 @@ def run_cdc_stream(
     num_buckets: int | None = None,
     null_key_policy: str = "error",
     evolve: bool = False,
+    vacuum_keep: int | None = None,
+    compact_every: int | None = None,
 ) -> VersionedTable:
     """Drain the change-log files currently in ``source_dir`` into the
     versioned table at ``table_path`` (``availableNow`` trigger — call
@@ -553,6 +573,8 @@ def run_cdc_stream(
                 delete_op,
                 null_key_policy=null_key_policy,
                 evolve=evolve,
+                vacuum_keep=vacuum_keep,
+                compact_every=compact_every,
             )
         )
         .option("checkpointLocation", cp)

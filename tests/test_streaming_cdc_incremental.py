@@ -317,3 +317,35 @@ def test_read_buckets_prunes_partitions(spark, tmp_path):
     ).distinct().collect()
     assert {r["b"] for r in got} <= {0, 3}
     assert BUCKET_COL not in sub.columns
+
+
+def test_sink_housekeeping_vacuum_and_compaction(spark, tmp_path):
+    """Long-running-stream hygiene: vacuum_keep bounds retained version
+    directories after every publish (safe with hard-linked carries) and
+    compact_every periodically rewrites the current version into a
+    compact per-bucket layout under the SAME version id — end state
+    stays correct throughout."""
+    table = _run_all(
+        spark,
+        tmp_path,
+        "hk",
+        bucket_cols=["k"],
+        num_buckets=N_BUCKETS,
+        vacuum_keep=2,
+        compact_every=2,
+    )
+    assert _rows(spark, table) == _expected()
+    assert table.current_version() == 2
+    vdirs = [d for d in os.listdir(table.path) if d.startswith("v=")]
+    assert len(vdirs) <= 2  # live + at most one retained
+    # the compacted current version still prunes by bucket
+    sub = table.read_buckets(
+        spark,
+        [
+            r[0]
+            for r in spark.createDataFrame([(2,)], "k int")
+            .select(F.pmod(F.hash("k"), F.lit(N_BUCKETS)).cast("int").alias("b"))
+            .collect()
+        ],
+    )
+    assert 2 in {r["k"] for r in sub.collect()}
