@@ -213,6 +213,10 @@ def compact_versioned(
 
     from ncpi_whistler_spark.streaming.cdc import BUCKET_COL
 
+    if table.current_chain():
+        # merge-on-read deltas must fold into the base first — compacting
+        # only the base dir would strand (and then orphan) the chain
+        table.fold(spark)
     d = table.current_dir()
     version = table.current_version()
     if d is None or version is None:

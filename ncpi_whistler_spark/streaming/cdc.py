@@ -149,12 +149,46 @@ class VersionedTable:
             return None
 
     def _write_meta(self, bucket_cols: list[str], num_buckets: int) -> None:
+        self._update_meta(bucket_cols=bucket_cols, num_buckets=num_buckets)
+
+    def _update_meta(self, **kv) -> None:
         import json
 
+        meta = self._read_meta() or {}
+        meta.update(kv)
         tmp = os.path.join(self.path, "_META.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"bucket_cols": bucket_cols, "num_buckets": num_buckets}, fh)
+            json.dump(meta, fh)
         os.replace(tmp, os.path.join(self.path, "_META"))
+
+    def merge_spec(self) -> dict | None:
+        """The (keys, seq_col, op_col, delete_op) a merge-on-read reader
+        needs to fold the delta chain — persisted so ANY reader can
+        resolve the live state, not just the writing sink."""
+        meta = self._read_meta() or {}
+        return meta.get("merge_spec")
+
+    def set_merge_spec(
+        self,
+        keys: list[str],
+        seq_col: str,
+        op_col: str | None,
+        delete_op: str = "D",
+    ) -> None:
+        spec = {
+            "keys": keys,
+            "seq_col": seq_col,
+            "op_col": op_col,
+            "delete_op": delete_op,
+        }
+        existing = self.merge_spec()
+        if existing is not None and existing != spec:
+            raise ValueError(
+                f"VersionedTable at {self.path} already has merge spec "
+                f"{existing}; cannot change to {spec}"
+            )
+        if existing is None:
+            self._update_meta(merge_spec=spec)
 
     @property
     def _lease(self) -> str:
@@ -195,24 +229,42 @@ class VersionedTable:
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
-    def _read_pointer(self) -> tuple[int, str] | None:
+    def _read_pointer_full(self) -> tuple[int, str, list[str]] | None:
+        """(version, base dirname, delta chain dirnames). The chain is
+        non-empty only in merge-on-read mode: lines 3+ of the pointer
+        name compacted delta directories to be merged over the base, in
+        publish order."""
         try:
             with open(self._pointer) as fh:
-                version_line, dirname = fh.read().splitlines()[:2]
-            target = os.path.join(self.path, dirname)
-            if not os.path.isdir(target):
+                lines = [ln for ln in fh.read().splitlines() if ln]
+            version, dirname = int(lines[0]), lines[1]
+            if not os.path.isdir(os.path.join(self.path, dirname)):
                 return None
-            return int(version_line), dirname
-        except (OSError, ValueError):
+            chain = [
+                d for d in lines[2:] if os.path.isdir(os.path.join(self.path, d))
+            ]
+            return version, dirname, chain
+        except (OSError, ValueError, IndexError):
             return None
+
+    def _read_pointer(self) -> tuple[int, str] | None:
+        full = self._read_pointer_full()
+        return (full[0], full[1]) if full else None
 
     def current_version(self) -> int | None:
         ptr = self._read_pointer()
         return ptr[0] if ptr else None
 
     def current_dir(self) -> str | None:
+        """Directory of the current BASE (in merge-on-read mode the live
+        state is this base merged with :meth:`current_chain`)."""
         ptr = self._read_pointer()
         return os.path.join(self.path, ptr[1]) if ptr else None
+
+    def current_chain(self) -> list[str]:
+        """Unfolded merge-on-read delta dirnames, publish order."""
+        full = self._read_pointer_full()
+        return full[2] if full else []
 
     # -- directory naming / commit state ---------------------------------
 
@@ -267,19 +319,84 @@ class VersionedTable:
     def _strip_bucket(self, df: DataFrame) -> DataFrame:
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def _read_manifest(self, dirname: str) -> dict | None:
+        import json
+
+        try:
+            with open(os.path.join(self.path, dirname, "_MANIFEST")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _merged_view(
+        self, spark: SparkSession, base_dirname: str, chain: list[str]
+    ) -> DataFrame:
+        """Merge-on-read resolution: the base overlaid with the delta
+        chain. Each chain entry is an already-compacted (one row per
+        key) delta retaining op/seq columns; chain POSITION is the
+        cross-batch ordering (per-key seq monotonicity across batches —
+        the same feed contract the copy-on-write path relies on), so
+        the fold is one argmax on chain index + one broadcast anti join
+        against the base: identical plan shape to the batch merge, with
+        the chain union standing in for the micro-batch."""
+        base = self._strip_bucket(
+            spark.read.parquet(os.path.join(self.path, base_dirname))
+        )
+        if not chain:
+            return base
+        spec = self.merge_spec()
+        if spec is None:
+            raise ValueError(
+                f"VersionedTable at {self.path} has a delta chain but no "
+                "merge spec; call set_merge_spec before publish_delta"
+            )
+        deltas = [
+            spark.read.parquet(os.path.join(self.path, d)).withColumn(
+                "__chain_idx", F.lit(i)
+            )
+            for i, d in enumerate(chain)
+        ]
+        union = functools.reduce(DataFrame.unionByName, deltas).drop(
+            spec["seq_col"]
+        )
+        return merge_upsert(
+            base,
+            union,
+            keys=spec["keys"],
+            seq_col="__chain_idx",
+            op_col=spec["op_col"],
+            delete_op=spec["delete_op"],
+            broadcast_delta=True,
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """Read the current version, or — time travel — a specific
         retained ``version`` (None if that version was never published,
         never committed, or was vacuumed). With multiple publishes of
         one version id (batch replays), the highest publish sequence
-        wins. Only COMMITTED directories are ever served."""
+        wins. Only COMMITTED directories are ever served. Merge-on-read
+        states (delta chains) resolve transparently — live via the
+        pointer, time travel via the per-version _MANIFEST snapshot
+        (bounded by vacuum retention like any other version)."""
         if version is None:
-            d = self.current_dir()
-            return None if d is None else self._strip_bucket(spark.read.parquet(d))
+            full = self._read_pointer_full()
+            if full is None:
+                return None
+            return self._merged_view(spark, full[1], full[2])
         cands = [(ps, n) for v, ps, n in self._committed_dirs() if v == version]
         if not cands:
             return None
         dirname = max(cands)[1]
+        man = self._read_manifest(dirname)
+        if man is not None:
+            missing = [
+                d
+                for d in [man["base"]] + man["chain"]
+                if not os.path.isdir(os.path.join(self.path, d))
+            ]
+            if missing:
+                return None  # vacuumed past this snapshot
+            return self._merged_view(spark, man["base"], man["chain"])
         return self._strip_bucket(
             spark.read.parquet(os.path.join(self.path, dirname))
         )
@@ -314,15 +431,34 @@ class VersionedTable:
             F.lit(int(self.num_buckets)),
         ).cast("int")
 
-    def _commit(self, dirname: str, version: int) -> None:
+    def _ensure_readable_empty(self, df: DataFrame, target: str) -> None:
+        """A partitionBy write of ZERO rows produces no files at all —
+        the directory would be unreadable (UNABLE_TO_INFER_SCHEMA). If
+        no bucket directory materialized, rewrite as a plain (schema-
+        bearing) empty parquet; readers strip the bucket column anyway
+        and read_buckets handles the bucketless empty version."""
+        if not any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(target)):
+            df.drop(BUCKET_COL).write.mode("overwrite").parquet(target)
+
+    def _commit(
+        self,
+        dirname: str,
+        version: int,
+        base_dirname: str | None = None,
+        chain: list[str] | None = None,
+    ) -> None:
         """Marker + atomic pointer swap (lease re-checked first so a
-        writer that lost the lease mid-write never publishes)."""
+        writer that lost the lease mid-write never publishes). With
+        ``base_dirname``/``chain`` the pointer records a merge-on-read
+        state (base + delta chain); otherwise ``dirname`` IS the full
+        state and any previous chain is implicitly folded away."""
         self._check_lease()
         with open(os.path.join(self.path, dirname, _COMMIT_MARKER), "w") as fh:
             fh.write(self._token)
+        lines = [str(version), base_dirname or dirname] + list(chain or [])
         tmp = self._pointer + f".{self._token}.tmp"
         with open(tmp, "w") as fh:
-            fh.write(f"{version}\n{dirname}\n")
+            fh.write("\n".join(lines) + "\n")
         os.replace(tmp, self._pointer)  # atomic on POSIX
 
     def publish(self, df: DataFrame, version: int) -> str:
@@ -340,9 +476,13 @@ class VersionedTable:
                 .partitionBy(BUCKET_COL)
                 .parquet(target)
             )
+            self._ensure_readable_empty(df, target)
         else:
             df.write.mode("overwrite").parquet(target)
         self._commit(dirname, version)
+        self._update_meta(
+            base_columns=[c for c in df.columns if c != BUCKET_COL]
+        )
         return dirname
 
     def publish_incremental(
@@ -395,18 +535,124 @@ class VersionedTable:
                     os.link(src, dst)
                 except OSError:
                     shutil.copy2(src, dst)
+        self._ensure_readable_empty(changed_df, target)
         self._commit(dirname, version)
+        self._update_meta(
+            base_columns=[c for c in changed_df.columns if c != BUCKET_COL]
+        )
         return dirname
+
+    def publish_delta(self, compacted_delta: DataFrame, version: int) -> str:
+        """Merge-on-READ commit: write only the compacted micro-batch
+        (one row per key, seq/op retained) into a fresh delta directory
+        and append it to the pointer's chain — per-publish I/O is
+        O(delta) LITERALLY (no base bucket is rewritten at all); readers
+        fold the chain via :meth:`read` and :meth:`fold` periodically
+        re-bases it. The write-optimized end of the trade the
+        copy-on-write incremental publish sits in the middle of.
+
+        Requires :meth:`set_merge_spec` (persisted, so any reader can
+        fold) and an existing base (bootstrap via :meth:`publish`). A
+        replayed batch REPLACES its own chain entry (same version id) —
+        never appends a duplicate. Each delta dir carries a _MANIFEST
+        snapshot (base + chain) for time travel. Schema is checked
+        against the recorded base columns — fail-loud, widening a MOR
+        table means fold first, then evolve through the merge path."""
+        spec = self.merge_spec()
+        if spec is None:
+            raise ValueError("publish_delta requires set_merge_spec first")
+        full = self._read_pointer_full()
+        if full is None:
+            raise ValueError(
+                "publish_delta requires an existing base version "
+                "(bootstrap via publish)"
+            )
+        _, base_dirname, chain = full
+        meta = self._read_meta() or {}
+        base_cols = meta.get("base_columns")
+        if base_cols is not None:
+            want = set(base_cols) | {spec["seq_col"]} | (
+                {spec["op_col"]} if spec["op_col"] else set()
+            )
+            if set(compacted_delta.columns) != want:
+                raise ValueError(
+                    f"publish_delta: delta columns {sorted(compacted_delta.columns)} "
+                    f"!= base+spec columns {sorted(want)} — schema changes "
+                    "must go through fold + merge_upsert(evolve=True)"
+                )
+        self._acquire_lease()
+        import json
+
+        dirname = f"v={version}-{self._next_pubseq()}-{uuid.uuid4().hex[:8]}"
+        target = os.path.join(self.path, dirname)
+        compacted_delta.write.mode("overwrite").parquet(target)
+        new_chain = [
+            d
+            for d in chain
+            if (self._parse_dirname(d) or (None, None))[0] != version
+        ] + [dirname]
+        with open(os.path.join(target, "_MANIFEST"), "w") as fh:
+            json.dump({"base": base_dirname, "chain": new_chain}, fh)
+        self._commit(dirname, version, base_dirname=base_dirname, chain=new_chain)
+        return dirname
+
+    def fold(self, spark: SparkSession, version: int | None = None) -> str | None:
+        """Re-base a merge-on-read chain: merge every chained delta into
+        the base and publish the result as a NEW base version (pointer
+        chain resets). On a bucketed table the fold itself is the
+        partition-pruned incremental publish — only buckets containing
+        chain keys are rewritten, the rest hard-link. No-op (returns
+        None) when the chain is empty."""
+        full = self._read_pointer_full()
+        if full is None or not full[2]:
+            return None
+        cur_version, base_dirname, chain = full
+        version = cur_version if version is None else version
+        spec = self.merge_spec()
+        if self.num_buckets is not None:
+            deltas = [
+                spark.read.parquet(os.path.join(self.path, d)).withColumn(
+                    "__chain_idx", F.lit(i)
+                )
+                for i, d in enumerate(chain)
+            ]
+            union = functools.reduce(DataFrame.unionByName, deltas).drop(
+                spec["seq_col"]
+            )
+            winners = latest_change_per_key(
+                union, spec["keys"], "__chain_idx"
+            ).localCheckpoint(eager=True)
+            changed = sorted(
+                r[0]
+                for r in winners.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            )
+            base_sub = self.read_buckets(spark, changed)
+            merged_sub = merge_upsert(
+                base_sub,
+                winners,
+                keys=spec["keys"],
+                seq_col="__chain_idx",
+                op_col=spec["op_col"],
+                delete_op=spec["delete_op"],
+                broadcast_delta=True,
+            )
+            return self.publish_incremental(merged_sub, version, changed)
+        merged = self._merged_view(spark, base_dirname, chain)
+        return self.publish(merged, version)
 
     def vacuum(self, keep: int = 2) -> list[str]:
         """Remove unreferenced version directories: every UNCOMMITTED
         orphan goes first, then superseded committed versions beyond the
         ``keep``-1 most recent (by publish sequence) besides the live
-        one. Hard-linked carry-over files make this safe — deleting an
-        old version never breaks a newer version that links its files.
-        Retention must still cover the longest concurrent read."""
-        ptr = self._read_pointer()
-        live = {ptr[1]} if ptr else set()
+        set (base + any unfolded delta chain). Hard-linked carry-over
+        files make this safe — deleting an old version never breaks a
+        newer version that links its files. Retention must still cover
+        the longest concurrent read (and any time-travel snapshot you
+        want resolvable)."""
+        ptr = self._read_pointer_full()
+        live = {ptr[1], *ptr[2]} if ptr else set()
         removed = []
         committed = []
         for d in os.listdir(self.path):
@@ -436,6 +682,8 @@ def cdc_merge_sink(
     evolve: bool = False,
     vacuum_keep: int | None = None,
     compact_every: int | None = None,
+    mode: str = "cow",
+    fold_every: int | None = None,
 ):
     """foreachBatch callable: merge each micro-batch of the change log
     into ``table``. The batch delta is always broadcast (a micro-batch
@@ -443,6 +691,17 @@ def cdc_merge_sink(
     the publish is INCREMENTAL: only buckets containing changed keys are
     read, merged, and rewritten; untouched buckets carry over by hard
     link (O(delta) I/O per batch, not O(base)).
+
+    ``mode``: the write/read trade. ``"cow"`` (copy-on-write, default)
+    merges eagerly per batch — reads see a plain parquet layout, writes
+    pay O(changed buckets). ``"mor"`` (merge-on-read) publishes only
+    the compacted delta per batch (O(delta) write, literally — no
+    bucket rewritten) and defers the merge to readers;
+    ``fold_every=n`` re-bases automatically once the chain reaches n
+    deltas (on a bucketed table the fold itself is the partition-pruned
+    incremental publish). Same exactly-once-effect guarantees: a
+    replayed batch REPLACES its own chain entry. Schema evolution is
+    cow-only (a MOR chain must keep one schema); mor+evolve raises.
 
     ``null_key_policy``: NULL merge keys break replay idempotence (anti
     joins never match NULL, so a NULL-keyed winner re-inserts on every
@@ -464,6 +723,13 @@ def cdc_merge_sink(
     """
     if null_key_policy not in ("error", "drop"):
         raise ValueError(f"null_key_policy must be error|drop, got {null_key_policy!r}")
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
+    if mode == "mor" and evolve:
+        raise ValueError(
+            "mode='mor' cannot evolve schemas mid-chain: fold first, then "
+            "widen through the cow path (merge_upsert(evolve=True))"
+        )
 
     def sink(mb: DataFrame, batch_id: int) -> None:
         # foreachBatch hands a DataFrame bound to the micro-batch's
@@ -500,11 +766,21 @@ def cdc_merge_sink(
         widening = evolve and any(
             c not in set(base.columns) | {seq_col, op_col} for c in mb.columns
         )
-        if (
+        if mode == "mor" and table.current_dir() is not None:
+            # merge-on-READ: compact, publish the delta alone, re-base
+            # only when the chain is long enough
+            table.set_merge_spec(keys, seq_col, op_col, delete_op)
+            latest = latest_change_per_key(mb, keys, seq_col)
+            table.publish_delta(latest, int(batch_id))
+            if fold_every and len(table.current_chain()) >= fold_every:
+                table.fold(s)
+        elif (
             table.num_buckets is not None
             and table.current_dir() is not None
             and not widening
         ):
+            if table.current_chain():
+                table.fold(s)  # a cow publish must not strand MOR deltas
             # Compact ONCE, pin the (micro-batch-sized) winners, and
             # derive the changed-bucket set from them; the same frame
             # feeds the merge (re-compacting an already-compacted delta
@@ -551,6 +827,8 @@ def run_cdc_stream(
     evolve: bool = False,
     vacuum_keep: int | None = None,
     compact_every: int | None = None,
+    mode: str = "cow",
+    fold_every: int | None = None,
 ) -> VersionedTable:
     """Drain the change-log files currently in ``source_dir`` into the
     versioned table at ``table_path`` (``availableNow`` trigger — call
@@ -575,6 +853,8 @@ def run_cdc_stream(
                 evolve=evolve,
                 vacuum_keep=vacuum_keep,
                 compact_every=compact_every,
+                mode=mode,
+                fold_every=fold_every,
             )
         )
         .option("checkpointLocation", cp)

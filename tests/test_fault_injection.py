@@ -92,7 +92,12 @@ def test_local_cluster_multi_jvm_and_executor_loss():
     for name, s in lc["exec_kill"].items():
         assert s["ok"], f"{name}: {s}"
         assert s["killed_jvm_dead"], name
-        if name != "exec_kill_stream":  # stream evidence = match+kill only
+        if name == "exec_kill_commit":
+            # commit-window kill: the evidence is the victim's retried
+            # write task + a sibling commit already durable at kill time
+            assert s["victim_task_retried"], s
+            assert s["committed_before_kill"], s
+        elif name != "exec_kill_stream":  # stream evidence = match+kill only
             assert s["reexecuted_map_partitions"], name
     # state recovery across an executor loss mid-stream-query
     assert "exec_kill_stream" in lc["exec_kill"]

@@ -349,3 +349,19 @@ def test_sink_housekeeping_vacuum_and_compaction(spark, tmp_path):
         ],
     )
     assert 2 in {r["k"] for r in sub.collect()}
+
+
+def test_empty_bucketed_publish_is_readable(spark, tmp_path):
+    """partitionBy of zero rows writes NO files; the publish must fall
+    back to a schema-bearing empty parquet so the version stays
+    readable (found by the empty-input totality sweep via q107)."""
+    t = VersionedTable(str(tmp_path / "e"), bucket_cols=["k"], num_buckets=4)
+    t.publish(spark.createDataFrame([], "k int, v string"), 0)
+    got = t.read(spark)
+    assert got.count() == 0 and set(got.columns) == {"k", "v"}
+    # incremental publish whose only changed bucket deletes to empty
+    t2 = VersionedTable(str(tmp_path / "e2"), bucket_cols=["k"], num_buckets=1)
+    t2.publish(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    t2.publish_incremental(spark.createDataFrame([], "k int, v string"), 1, [0])
+    got2 = t2.read(spark)
+    assert got2.count() == 0 and set(got2.columns) == {"k", "v"}
