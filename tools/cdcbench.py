@@ -278,6 +278,108 @@ def _incremental_publish_claim(spark, base: DataFrame, merge_upsert) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _mor_publish_claim(spark, base: DataFrame, merge_upsert) -> dict:
+    """Merge-on-read: the per-batch commit must write ~|compacted delta|
+    bytes (no base bucket touched), the chained read must bit-match the
+    direct merge, and fold() must re-base with the claim-3 incremental
+    profile (only chain-key buckets rewritten)."""
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable, cdc_merge_sink
+
+    workdir = tempfile.mkdtemp(prefix="cdcbench_mor_")
+    try:
+        key_bucket = F.pmod(F.hash("o_orderkey"), F.lit(N_BUCKETS)).cast("int")
+        delta = (
+            base.where(key_bucket.isin(CHANGED_BUCKETS))
+            .where(F.col("o_orderkey") % 10 == 3)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit("U").alias("o_orderstatus"),
+                (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+                F.lit(1).alias("__seq"),
+                F.lit("U").alias("__op"),
+            )
+            .repartition(16)
+            .persist()
+        )
+        delta.count()
+        table = VersionedTable(
+            os.path.join(workdir, "table"),
+            bucket_cols=["o_orderkey"],
+            num_buckets=N_BUCKETS,
+        )
+        table.publish(base, -1)
+        base_dir = table.current_dir()
+        base_bytes = sum(s for s, _ in _version_files(base_dir).values())
+
+        sink = cdc_merge_sink(
+            spark, table, ["o_orderkey"], "__seq", op_col="__op", mode="mor"
+        )
+        t0 = time.monotonic()
+        sink(delta, 0)
+        publish_sec = time.monotonic() - t0
+        chain = table.current_chain()
+        delta_dir = os.path.join(table.path, chain[-1])
+        delta_bytes = sum(
+            os.path.getsize(os.path.join(delta_dir, f))
+            for f in os.listdir(delta_dir)
+            if not f.startswith(("_", "."))
+        )
+        base_untouched = table.current_dir() == base_dir
+
+        direct = merge_upsert(
+            base,
+            delta,
+            keys=["o_orderkey"],
+            seq_col="__seq",
+            op_col="__op",
+            broadcast_delta=True,
+        )
+        _, mor_n, mor_h = _measure(spark, table.read(spark))
+        _, dir_n, dir_h = _measure(spark, direct)
+
+        t1 = time.monotonic()
+        table.fold(spark)
+        fold_sec = time.monotonic() - t1
+        folded_files = _version_files(table.current_dir())
+        base_inodes = {ino for _, ino in _version_files(base_dir).values()}
+        fold_new_bytes = sum(
+            s for s, ino in folded_files.values() if ino not in base_inodes
+        )
+        fold_total = sum(s for s, _ in folded_files.values())
+        _, fold_n, fold_h = _measure(spark, table.read(spark))
+        delta.unpersist()
+
+        out = {
+            "num_buckets": N_BUCKETS,
+            "changed_buckets": len(CHANGED_BUCKETS),
+            "publish_sec": round(publish_sec, 3),
+            "fold_sec": round(fold_sec, 3),
+            "delta_commit_bytes": delta_bytes,
+            "base_bytes": base_bytes,
+            "delta_commit_fraction_of_base": round(delta_bytes / max(base_bytes, 1), 4),
+            "base_untouched_by_publish": base_untouched,
+            "chained_read_hash_equal": mor_h == dir_h and mor_n == dir_n,
+            "fold_rewrite_fraction": round(fold_new_bytes / max(fold_total, 1), 4),
+            "fold_hash_equal": fold_h == dir_h and fold_n == dir_n,
+            "chain_after_fold": len(table.current_chain()),
+        }
+        out["ok"] = (
+            out["base_untouched_by_publish"]
+            and out["chained_read_hash_equal"]
+            and out["fold_hash_equal"]
+            and out["chain_after_fold"] == 0
+            and out["delta_commit_fraction_of_base"] < 0.5
+            and out["fold_rewrite_fraction"] <= 2.0 * len(CHANGED_BUCKETS) / N_BUCKETS
+        )
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def run(sf_dir: str) -> dict:
     from ncpi_whistler_spark import get_spark
     from ncpi_whistler_spark.catalog import load_table
@@ -383,6 +485,10 @@ def run(sf_dir: str) -> dict:
             spark, base, merge_upsert
         )
         ok = ok and report["incremental_publish"]["ok"]
+
+        # --- claim 4: merge-on-read publish writes the delta ALONE ----
+        report["mor_publish"] = _mor_publish_claim(spark, base, merge_upsert)
+        ok = ok and report["mor_publish"]["ok"]
     finally:
         spark.stop()
     report["ok"] = ok
