@@ -470,8 +470,14 @@ class VersionedTable:
         dirname = f"v={version}-{self._next_pubseq()}-{uuid.uuid4().hex[:8]}"
         target = os.path.join(self.path, dirname)
         if self.num_buckets is not None:
+            # co-partition on the bucket id before partitionBy so each
+            # bucket directory gets ONE file instead of one per writer
+            # task (a naive partitionBy writes tasks x buckets files —
+            # measured as the dominant q107 local cost and a small-file
+            # explosion at scale)
             (
                 df.withColumn(BUCKET_COL, self._bucket_expr())
+                .repartition(int(self.num_buckets), F.col(BUCKET_COL))
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(target)
@@ -507,6 +513,7 @@ class VersionedTable:
         target = os.path.join(self.path, dirname)
         (
             changed_df.withColumn(BUCKET_COL, self._bucket_expr())
+            .repartition(max(len(changed), 1), F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(target)
@@ -743,13 +750,21 @@ def cdc_merge_sink(
         )
         if null_key_policy == "drop":
             mb = mb.where(~null_pred)
-        elif mb.where(null_pred).limit(1).count() > 0:
-            raise ValueError(
-                f"CDC batch {batch_id}: NULL value in merge key(s) {keys} — "
-                "NULL keys can never match (anti-join semantics), so they "
-                "would re-insert on every replay and break exactly-once "
-                "effect. Fix the feed or use null_key_policy='drop'."
-            )
+
+        def _reject_null_keys(df: DataFrame) -> None:
+            """error-policy check. On the compacted paths this runs over
+            the (pinned, key-sized) winners instead of rescanning the
+            raw micro-batch — NULL keys survive compaction (they group
+            under the NULL key), so detection is equivalent and one full
+            batch scan cheaper."""
+            if null_key_policy == "error" and df.where(null_pred).limit(1).count() > 0:
+                raise ValueError(
+                    f"CDC batch {batch_id}: NULL value in merge key(s) {keys} — "
+                    "NULL keys can never match (anti-join semantics), so they "
+                    "would re-insert on every replay and break exactly-once "
+                    "effect. Fix the feed or use null_key_policy='drop'."
+                )
+
         base = table.read(s)
         if base is None:
             drop = {seq_col} | ({op_col} if op_col else set())
@@ -770,7 +785,10 @@ def cdc_merge_sink(
             # merge-on-READ: compact, publish the delta alone, re-base
             # only when the chain is long enough
             table.set_merge_spec(keys, seq_col, op_col, delete_op)
-            latest = latest_change_per_key(mb, keys, seq_col)
+            latest = latest_change_per_key(mb, keys, seq_col).localCheckpoint(
+                eager=True
+            )
+            _reject_null_keys(latest)
             table.publish_delta(latest, int(batch_id))
             if fold_every and len(table.current_chain()) >= fold_every:
                 table.fold(s)
@@ -784,10 +802,11 @@ def cdc_merge_sink(
             # Compact ONCE, pin the (micro-batch-sized) winners, and
             # derive the changed-bucket set from them; the same frame
             # feeds the merge (re-compacting an already-compacted delta
-            # is a no-op on |keys| rows).
+            # is a no-op on |keys| rows) and the null check.
             latest = latest_change_per_key(mb, keys, seq_col).localCheckpoint(
                 eager=True
             )
+            _reject_null_keys(latest)
             changed = sorted(
                 r[0]
                 for r in latest.select(
@@ -798,6 +817,7 @@ def cdc_merge_sink(
             merged_sub = merge_upsert(base_sub, latest, **kw)
             table.publish_incremental(merged_sub, int(batch_id), changed)
         else:
+            _reject_null_keys(mb)
             merged = merge_upsert(base, mb, **kw)
             table.publish(merged, int(batch_id))
         if compact_every and (int(batch_id) + 1) % compact_every == 0:

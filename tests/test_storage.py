@@ -190,11 +190,31 @@ def test_compact_versioned_preserves_bucket_layout(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "bvt"), bucket_cols=["id"], num_buckets=4)
     df = spark.createDataFrame([(i, f"v{i}") for i in range(4_000)], "id long, v string")
     t.publish(df.repartition(32), 0)
-    files_before = len(
-        glob.glob(os.path.join(t.current_dir(), "**", "*.parquet"), recursive=True)
+    # the engine's own publishes are already one-file-per-bucket (write
+    # repartitions on the bucket id); fragment the current version the
+    # way a foreign writer would, to give compaction something to do
+    from pyspark.sql import functions as F2
+
+    cur = t.current_dir()
+    (
+        df.withColumn("__bucket", F2.pmod(F2.hash("id"), F2.lit(4)).cast("int"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(cur + "_frag")
     )
+    import shutil
+
+    shutil.rmtree(cur)
+    os.rename(cur + "_frag", cur)
+    open(os.path.join(cur, "_COMMITTED"), "w").close()
+    files_before = len(
+        glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
+    )
+    assert files_before > 4
     files_after = compact_versioned(spark, t)
     assert files_after < files_before
+    assert files_after <= 8  # ~one file per bucket
     buckets = {
         d
         for d in os.listdir(t.current_dir())
