@@ -18,6 +18,7 @@ from ncpi_whistler_spark.operators.cdc import (
     latest_change_per_key,
     merge_upsert,
     scd2_history,
+    table_diff,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "latest_change_per_key",
     "merge_upsert",
     "scd2_history",
+    "table_diff",
 ]

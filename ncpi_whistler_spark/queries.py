@@ -4798,6 +4798,56 @@ def q107_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q109_table_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 14 = 1 THEN 'U2' ELSE 'U1' END AS o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 14 = 1
+                               THEN 2000.0 ELSE 1000.0 END AS o_totalprice,
+           o_orderdate, o_orderpriority, 'U' AS change_op
+    FROM base WHERE o_orderkey % 7 = 1 AND o_orderkey % 11 <> 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, 'D'
+    FROM base WHERE o_orderkey % 11 = 3
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+           o_orderdate, o_orderpriority, 'I'
+    FROM base WHERE o_orderkey % 13 = 5
+    """,
+)
+def q109_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed derivation (operators/cdc.table_diff) — the
+    OUTBOUND half of CDC: snapshot v2 = the q105 merge applied to the
+    orders base; diff(v1, v2) must emit exactly the EFFECTIVE change
+    set (latest-wins winners that actually changed something: U rows
+    for surviving updates, D for deletes, I for inserts — intermediate
+    seq-1 versions that lost to seq-2 never appear). The oracle derives
+    that truth ANALYTICALLY from the q105 generation formulas, so the
+    full-outer-join + null-safe struct-compare pipeline must land on it
+    exactly: one co-shuffle of both snapshots, no window, no sort,
+    unchanged keys dropping out plan-side."""
+    from ncpi_whistler_spark.operators.cdc import merge_upsert, table_diff
+
+    v1 = load_table(spark, sf_dir, "orders").select(*_Q105_BASE_COLS)
+    delta = _q105_delta(v1)
+    v2 = merge_upsert(
+        v1,
+        delta,
+        keys=["o_orderkey"],
+        seq_col="__seq",
+        op_col="__op",
+        broadcast_delta=True,
+    )
+    return table_diff(v1, v2, keys=["o_orderkey"])
+
+
+@query(
     "q108_video_frame_sample",
     """
     WITH f AS (

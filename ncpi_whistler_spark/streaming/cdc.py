@@ -423,6 +423,35 @@ class VersionedTable:
         """Retained (committed, readable) version ids, ascending."""
         return sorted({v for v, _, _ in self._committed_dirs()})
 
+    def diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        keys: list[str] | None = None,
+        op_col: str = "change_op",
+    ) -> DataFrame | None:
+        """Change-data-feed BETWEEN two retained versions: the I/U/D
+        rows that turn snapshot ``v_from`` into snapshot ``v_to``
+        (operators/cdc.table_diff) — what a downstream consumer replays
+        instead of re-reading the whole table. Keys default to the
+        persisted merge spec. None if either version is unreadable
+        (never published or vacuumed)."""
+        from ncpi_whistler_spark.operators.cdc import table_diff
+
+        if keys is None:
+            spec = self.merge_spec()
+            if spec is None:
+                raise ValueError(
+                    "diff needs keys (no merge spec persisted on this table)"
+                )
+            keys = spec["keys"]
+        old = self.read(spark, version=v_from)
+        new = self.read(spark, version=v_to)
+        if old is None or new is None:
+            return None
+        return table_diff(old, new, keys=keys, op_col=op_col)
+
     # -- write -----------------------------------------------------------
 
     def _bucket_expr(self):

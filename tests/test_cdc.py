@@ -285,3 +285,108 @@ def test_map_fallback_seq_tie_broken_by_orderable_columns(spark):
         assert len(got) == 1
         assert got[0]["v"] == "zeta"
         assert dict(got[0]["props"]) == {"m": "y"}
+
+
+def test_table_diff_semantics_and_roundtrip(spark):
+    """table_diff emits exactly the I/U/D rows between snapshots
+    (unchanged keys drop out; NULL payload flips are real updates via
+    eqNullSafe; NULL keys never match so they surface as D+I), and
+    applying the emitted feed to the old snapshot via merge_upsert
+    reconstructs the new snapshot exactly — CDC out then in is the
+    identity."""
+    from ncpi_whistler_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged
+            (2, "b", 20.0),      # updated value
+            (3, "c", None),      # NULL -> non-NULL: update
+            (4, "d", 40.0),      # deleted
+            (None, "nk", 0.0),   # NULL key: join-semantics D
+        ],
+        "k int, v string, amt double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b2", 21.0),
+            (3, "c", 33.0),
+            (5, "e", 50.0),      # inserted
+            (None, "nk2", 0.0),  # NULL key: join-semantics I
+        ],
+        "k int, v string, amt double",
+    )
+    d = table_diff(old, new, keys=["k"])
+    got = {(r["k"], r["change_op"]): (r["v"], r["amt"]) for r in d.collect()}
+    assert got == {
+        (2, "U"): ("b2", 21.0),
+        (3, "U"): ("c", 33.0),
+        (4, "D"): ("d", 40.0),
+        (5, "I"): ("e", 50.0),
+        (None, "D"): ("nk", 0.0),
+        (None, "I"): ("nk2", 0.0),
+    }
+    # round-trip: old + emitted feed == new (non-NULL keys; NULL keys
+    # are pass-through by documented merge semantics)
+    feed = d.withColumn("__seq", F.lit(1))
+    back = merge_upsert(
+        old.where(F.col("k").isNotNull()),
+        feed.where(F.col("k").isNotNull()),
+        keys=["k"],
+        seq_col="__seq",
+        op_col="change_op",
+        delete_op="D",
+    )
+    want = sorted(
+        (r["k"], r["v"], r["amt"])
+        for r in new.where(F.col("k").isNotNull()).collect()
+    )
+    assert sorted((r["k"], r["v"], r["amt"]) for r in back.collect()) == want
+
+
+def test_table_diff_compare_cols_ignores_volatile(spark):
+    from ncpi_whistler_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame([(1, "a", 100)], "k int, v string, mtime int")
+    new = spark.createDataFrame([(1, "a", 999)], "k int, v string, mtime int")
+    assert table_diff(old, new, ["k"]).count() == 1  # mtime counts by default
+    assert table_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
+
+
+def test_table_diff_plan_single_join_no_window(spark):
+    from ncpi_whistler_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame([(1, "a")], "k int, v string")
+    new = spark.createDataFrame([(1, "b")], "k int, v string")
+    plan = (
+        table_diff(old, new, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Join") >= 1
+
+
+def test_versioned_table_diff_between_versions(spark, tmp_path):
+    """VersionedTable.diff = the change feed a downstream consumer
+    replays between retained versions, keys from the persisted spec."""
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable, cdc_merge_sink
+
+    t = VersionedTable(str(tmp_path / "cdf"), bucket_cols=["k"], num_buckets=4)
+    sink = cdc_merge_sink(spark, t, ["k"], "__seq", op_col="__op")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1.0, 1, "I"), (2, "b", 2.0, 1, "I")],
+        "k int, v string, amt double, __seq int, __op string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 22.0, 2, "U"), (1, "x", 0.0, 2, "D"), (3, "c", 3.0, 2, "I")],
+        "k int, v string, amt double, __seq int, __op string",
+    )
+    sink(b1, 0)
+    t.set_merge_spec(["k"], "__seq", "__op")
+    sink(b2, 1)
+    d = t.diff(spark, 0, 1)
+    got = {(r["k"], r["change_op"]): r["v"] for r in d.collect()}
+    assert got == {(1, "D"): "a", (2, "U"): "b2", (3, "I"): "c"}
+    assert t.diff(spark, 0, 99) is None
