@@ -682,11 +682,13 @@ class VersionedTable:
         """Remove unreferenced version directories: every UNCOMMITTED
         orphan goes first, then superseded committed versions beyond the
         ``keep``-1 most recent (by publish sequence) besides the live
-        set (base + any unfolded delta chain). Hard-linked carry-over
-        files make this safe — deleting an old version never breaks a
-        newer version that links its files. Retention must still cover
-        the longest concurrent read (and any time-travel snapshot you
-        want resolvable)."""
+        set (base + any unfolded delta chain). RETAINED merge-on-read
+        snapshots stay RESOLVABLE: any kept directory's _MANIFEST pins
+        its base and chain dirs too, so a time-travel read of a kept
+        delta version never returns torn state. Hard-linked carry-over
+        files make removal safe — deleting an old version never breaks
+        a newer version that links its files. Retention must still
+        cover the longest concurrent read."""
         ptr = self._read_pointer_full()
         live = {ptr[1], *ptr[2]} if ptr else set()
         removed = []
@@ -701,7 +703,22 @@ class VersionedTable:
             else:
                 committed.append((p[1], d))
         committed.sort(reverse=True)
+        kept = live | {d for _, d in committed[: max(keep - 1, 0)]}
+        # manifest closure: a kept MOR snapshot pins its base + chain
+        # (manifests only reference FULL versions and older deltas, so
+        # one expansion pass per frontier converges)
+        frontier = list(kept)
+        while frontier:
+            refs = set()
+            for d in frontier:
+                man = self._read_manifest(d)
+                if man:
+                    refs.update([man["base"], *man["chain"]])
+            frontier = [d for d in refs if d not in kept]
+            kept |= refs
         for _, d in committed[max(keep - 1, 0):]:
+            if d in kept:
+                continue
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             removed.append(d)
         return removed

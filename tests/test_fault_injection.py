@@ -53,6 +53,8 @@ def test_task_retry_suite_deterministic():
         "parquet_sink",
         "cdc_merge",
         "stream_cdc_merge",
+        "stream_cdc_bucketed",
+        "stream_cdc_mor",
         "stream_microbatch_hdfs",
         "stream_microbatch_rocksdb",
         "worker_hard_kill",

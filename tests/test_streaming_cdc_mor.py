@@ -198,3 +198,25 @@ def test_mor_compact_versioned_folds_first(spark, tmp_path):
     compact_versioned(spark, table)
     assert table.current_chain() == []
     assert _rows(spark, table) == want
+
+
+def test_vacuum_manifest_closure_keeps_retained_snapshot_resolvable(spark, tmp_path):
+    """After a fold, vacuum(keep=2) retains the newest superseded dir —
+    the last MOR delta. Its _MANIFEST references the OLD base and the
+    earlier chain entries; the closure must pin those too, so the
+    retained snapshot stays time-travel-resolvable instead of torn."""
+    table = _run_all(
+        spark, tmp_path, "morclosure", bucket_cols=["k"], num_buckets=N_BUCKETS,
+        mode="mor",
+    )
+    live_before = _rows(spark, table)
+    v2_snapshot = _rows(spark, table, version=2)
+    table.fold(spark)
+    table.vacuum(keep=2)
+    # the kept delta's base+chain survived the vacuum via the closure
+    assert _rows(spark, table, version=2) == v2_snapshot
+    assert _rows(spark, table) == live_before
+    # keep=1 releases the closure entirely
+    table.vacuum(keep=1)
+    assert table.read(spark, version=1) is None
+    assert _rows(spark, table) == live_before

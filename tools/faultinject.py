@@ -540,6 +540,74 @@ def _scenarios(spark, sf_dir: str, marker_dir: str, scratch: str):
 
     yield ("stream_cdc_merge", lambda: _stream_cdc(False), lambda: _stream_cdc(True))
 
+    # 10b/10c. Round-10 publish paths under task retry: the BUCKETED
+    #    incremental publish (changed buckets rewritten, rest hard-
+    #    linked) and the MERGE-ON-READ delta commit (chain + read-time
+    #    fold). A retried task inside the micro-batch must not corrupt
+    #    the winners feeding the changed-bucket set (cow) or the chained
+    #    delta (mor); the final resolved table bit-matches a clean run.
+    def _stream_cdc_mode(injected: bool, mode: str, tag: str) -> list[str]:
+        from ncpi_whistler_spark.streaming.cdc import (
+            VersionedTable,
+            cdc_merge_sink,
+        )
+        wdir = os.path.join(scratch, f"cdc_{mode}_{'inj' if injected else 'clean'}")
+        shutil.rmtree(wdir, ignore_errors=True)
+        src = os.path.join(wdir, "src")
+        os.makedirs(src)
+        key = F.col("p_partkey")
+        base = part.select("p_partkey", "p_name", "p_retailprice")
+        changes = (
+            base.where(key % 3 == 0)
+            .select(
+                "p_partkey",
+                F.lit("U1").alias("p_name"),
+                (F.col("p_retailprice") + F.lit(5.0)).alias("p_retailprice"),
+            )
+            .withColumn("__seq", F.lit(1))
+            .withColumn("__op", F.when(key % 9 == 0, "D").otherwise("U"))
+        )
+        changes.coalesce(1).write.mode("append").parquet(src)
+        table = VersionedTable(
+            os.path.join(wdir, "table"),
+            bucket_cols=["p_partkey"],
+            num_buckets=8,
+        )
+        table.publish(base, -1)
+        raw_sink = cdc_merge_sink(
+            spark, table, ["p_partkey"], "__seq", "__op", mode=mode
+        )
+
+        def sink(mb, batch_id):
+            if injected:
+                mb = inject_first_attempt_failure(
+                    mb.repartition(4), marker_dir, tag
+                )
+            raw_sink(mb, batch_id)
+
+        q = (
+            spark.readStream.schema(changes.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(wdir, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), f"cdc {mode} stream drain timed out"
+        q.stop()
+        return _canon(table.read(spark))
+
+    yield (
+        "stream_cdc_bucketed",
+        lambda: _stream_cdc_mode(False, "cow", "stream_cdc_bucketed"),
+        lambda: _stream_cdc_mode(True, "cow", "stream_cdc_bucketed"),
+    )
+    yield (
+        "stream_cdc_mor",
+        lambda: _stream_cdc_mode(False, "mor", "stream_cdc_mor"),
+        lambda: _stream_cdc_mode(True, "mor", "stream_cdc_mor"),
+    )
+
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
