@@ -93,6 +93,11 @@ def run(spark, sf_dir: str, table_dir: str) -> None:
             f"sum_price={live.agg(F.sum('o_totalprice')).first()[0]:.2f}"
         )
 
+    # ---- change feed OUT (what a downstream consumer replays) ----------
+    cdf = table.diff(spark, -1, table.current_version(), keys=["o_orderkey"])
+    counts = {r["change_op"]: r["count"] for r in cdf.groupBy("change_op").count().collect()}
+    print(f"change feed bootstrap->current: {counts}")
+
     # ---- time travel + retention ---------------------------------------
     v0 = table.read(spark, version=-1)
     print(f"time travel to bootstrap: {v0.count()} rows (deletes undone)")
