@@ -714,6 +714,14 @@ def _boot(master: str, extra: dict[str, str] | None = None):
         # importable in THEIR python workers (cloudpickle serializes
         # module-level functions by reference)
         "spark.executorEnv.PYTHONPATH": _REPO_ROOT,
+        # under full-suite/external box load the 1024 MB executors get
+        # SIGKILLed (exit 137) when CPU starvation stalls heartbeats —
+        # the flake NOTES documents since r9. Generous liveness timeouts
+        # keep a slow-but-alive executor alive; the suite's own kills
+        # are explicit SIGKILLs, unaffected by these knobs.
+        "spark.executor.heartbeatInterval": "60s",
+        "spark.network.timeout": "600s",
+        "spark.worker.timeout": "300",
     }
     if extra:
         conf.update(extra)
