@@ -81,6 +81,9 @@ from ncpi_whistler_spark.operators.cdc import latest_change_per_key, merge_upser
 
 BUCKET_COL = "__bucket"
 _COMMIT_MARKER = "_COMMITTED"
+# "no parent captured" sentinel for the commit CAS (None is a valid
+# parent state: the empty table)
+_UNSET = object()
 
 
 class ConcurrentWriterError(RuntimeError):
@@ -92,18 +95,27 @@ class VersionedTable:
     """Immutable, never-reused version directories + an atomically-
     swapped pointer file (format: ``<version>\\n<dirname>``).
 
-    SINGLE-WRITER contract — now ENFORCED: ``publish`` holds a lease
-    (``_LEASE`` file with this writer's token). A fresh writer instance
-    takes the lease over on its first publish (so a restarted job
-    resumes cleanly), but a writer that HELD the lease and finds another
-    writer's token — at publish start or again just before the pointer
-    swap — raises :class:`ConcurrentWriterError` instead of silently
-    losing the other writer's updates. Two independent feeds into one
-    table still need a real transactional table format (Delta/Iceberg
-    optimistic commit); the lease makes the local contract fail-loud.
-    Readers are unrestricted: they resolve the pointer once and then
-    hold an immutable directory (snapshot isolation for the lifetime of
-    their scan, bounded by vacuum retention).
+    SINGLE-WRITER contract — ENFORCED by optimistic compare-and-swap:
+    every publish records the pointer state (the raw pointer bytes)
+    resolved when THIS writer last read the base for its merge
+    (``read``/``read_buckets``/``fold``/``publish_delta`` capture it at
+    resolution time; a blind full ``publish`` captures at publish
+    start). ``_commit`` then takes an exclusive ``flock`` on
+    ``_COMMITLOCK``, re-reads the pointer, and aborts with
+    :class:`ConcurrentWriterError` if it moved — so of two writers that
+    merged from the same base, the SECOND to commit always fails loud
+    and its (uncommitted, invisible) directory is reclaimed by vacuum.
+    The lock is held only around the check+swap; a crash releases it
+    (kernel-owned), so there is no stale-token deadlock — the reason
+    this is flock-CAS rather than a create-exclusive token file. The
+    ``_LEASE`` file remains as a second line of defense for blind
+    (no-read) publish alternation by a writer that previously held it.
+    Two independent feeds into one table still want a real
+    transactional table format (Delta/Iceberg optimistic commit — this
+    CAS is exactly that protocol's local stand-in). Readers are
+    unrestricted: they resolve the pointer once and then hold an
+    immutable directory (snapshot isolation for the lifetime of their
+    scan, bounded by vacuum retention).
 
     Optional bucketing: pass ``bucket_cols`` + ``num_buckets`` (persisted
     in ``_META`` and re-adopted on reopen) to lay every version out as
@@ -121,6 +133,7 @@ class VersionedTable:
         os.makedirs(path, exist_ok=True)
         self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
         self._held_lease = False
+        self._parent_token: object = _UNSET
         meta = self._read_meta()
         if meta is not None:
             mb, mn = meta.get("bucket_cols"), meta.get("num_buckets")
@@ -229,14 +242,18 @@ class VersionedTable:
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
-    def _read_pointer_full(self) -> tuple[int, str, list[str]] | None:
-        """(version, base dirname, delta chain dirnames). The chain is
-        non-empty only in merge-on-read mode: lines 3+ of the pointer
-        name compacted delta directories to be merged over the base, in
-        publish order."""
+    def _pointer_raw(self) -> str | None:
+        """Raw pointer bytes (the commit-CAS identity) — None if the
+        pointer does not exist (empty table)."""
         try:
             with open(self._pointer) as fh:
-                lines = [ln for ln in fh.read().splitlines() if ln]
+                return fh.read()
+        except OSError:
+            return None
+
+    def _parse_pointer(self, raw: str | None) -> tuple[int, str, list[str]] | None:
+        try:
+            lines = [ln for ln in (raw or "").splitlines() if ln]
             version, dirname = int(lines[0]), lines[1]
             if not os.path.isdir(os.path.join(self.path, dirname)):
                 return None
@@ -244,8 +261,27 @@ class VersionedTable:
                 d for d in lines[2:] if os.path.isdir(os.path.join(self.path, d))
             ]
             return version, dirname, chain
-        except (OSError, ValueError, IndexError):
+        except (ValueError, IndexError):
             return None
+
+    def _read_pointer_full(self) -> tuple[int, str, list[str]] | None:
+        """(version, base dirname, delta chain dirnames). The chain is
+        non-empty only in merge-on-read mode: lines 3+ of the pointer
+        name compacted delta directories to be merged over the base, in
+        publish order."""
+        return self._parse_pointer(self._pointer_raw())
+
+    def _capture_parent(self) -> tuple[int, str, list[str]] | None:
+        """Resolve the pointer AND record its raw bytes as this writer's
+        commit-CAS parent. Called exactly where a writer binds data it
+        will later publish against (read / read_buckets / fold /
+        publish_delta / blind publish start) — the capture point is the
+        base-resolution moment, so a pointer that moves between here and
+        ``_commit`` aborts the publish (ADVICE r10: the lost-update
+        window between a writer's base read and its pointer swap)."""
+        raw = self._pointer_raw()
+        self._parent_token = raw
+        return self._parse_pointer(raw)
 
     def _read_pointer(self) -> tuple[int, str] | None:
         full = self._read_pointer_full()
@@ -379,7 +415,7 @@ class VersionedTable:
         pointer, time travel via the per-version _MANIFEST snapshot
         (bounded by vacuum retention like any other version)."""
         if version is None:
-            full = self._read_pointer_full()
+            full = self._capture_parent()
             if full is None:
                 return None
             return self._merged_view(spark, full[1], full[2])
@@ -402,16 +438,31 @@ class VersionedTable:
         )
 
     def read_buckets(
-        self, spark: SparkSession, buckets: list[int]
+        self, spark: SparkSession, buckets: list[int], base_only: bool = False
     ) -> DataFrame | None:
         """Read ONLY the given buckets of the current version (partition
         pruning on the ``__bucket`` directory column); bucket column
-        stripped from the result."""
+        stripped from the result.
+
+        Fails loud when a merge-on-read delta chain is live: the base
+        buckets alone are STALE state, and unlike :meth:`read` this
+        method cannot resolve the chain (a delta is not bucket-pruned).
+        Internal callers that deliberately want the pre-fold base
+        (``fold`` itself) pass ``base_only=True``."""
         if self.num_buckets is None:
             raise ValueError("read_buckets requires a bucketed table")
-        d = self.current_dir()
-        if d is None:
+        full = self._capture_parent()
+        if full is None:
             return None
+        if full[2] and not base_only:
+            raise ValueError(
+                f"VersionedTable at {self.path} has a live merge-on-read "
+                f"delta chain ({len(full[2])} deltas); read_buckets would "
+                "return stale base-only rows — use read() (resolves the "
+                "chain) or fold() first, or pass base_only=True if the "
+                "pre-fold base is genuinely what you want"
+            )
+        d = os.path.join(self.path, full[1])
         df = spark.read.parquet(d)
         if BUCKET_COL not in df.columns:  # pre-bucketing version
             return df
@@ -475,26 +526,70 @@ class VersionedTable:
         version: int,
         base_dirname: str | None = None,
         chain: list[str] | None = None,
+        base_columns: list[str] | None = None,
     ) -> None:
-        """Marker + atomic pointer swap (lease re-checked first so a
-        writer that lost the lease mid-write never publishes). With
-        ``base_dirname``/``chain`` the pointer records a merge-on-read
-        state (base + delta chain); otherwise ``dirname`` IS the full
-        state and any previous chain is implicitly folded away."""
-        self._check_lease()
-        with open(os.path.join(self.path, dirname, _COMMIT_MARKER), "w") as fh:
-            fh.write(self._token)
-        lines = [str(version), base_dirname or dirname] + list(chain or [])
-        tmp = self._pointer + f".{self._token}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-        os.replace(tmp, self._pointer)  # atomic on POSIX
+        """Compare-and-swap commit under an exclusive ``flock``:
+
+        1. re-read the pointer; if it moved since this writer captured
+           its parent state (:meth:`_capture_parent`), abort with
+           :class:`ConcurrentWriterError` — the directory stays
+           UNCOMMITTED (invisible to readers, reclaimed by vacuum), so
+           the losing publish has zero reader-visible effect;
+        2. re-check the lease (blind-publish second line of defense);
+        3. write ``base_columns`` into ``_META`` BEFORE the pointer
+           swap — schema metadata can never lag the live version (a
+           crash between the two leaves meta at-or-ahead, which the
+           replayed batch re-publishes past; meta-BEHIND would make
+           ``publish_delta``'s schema gate validate against stale
+           columns);
+        4. write the ``_COMMITTED`` marker, then atomically swap the
+           pointer.
+
+        The flock serializes check+swap across processes and is
+        kernel-released on crash — no stale-token deadlock, unlike a
+        create-exclusive commit-token file. With ``base_dirname``/
+        ``chain`` the pointer records a merge-on-read state (base +
+        delta chain); otherwise ``dirname`` IS the full state and any
+        previous chain is implicitly folded away."""
+        import fcntl
+
+        expected = self._parent_token
+        self._parent_token = _UNSET  # consumed either way
+        with open(os.path.join(self.path, "_COMMITLOCK"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if expected is not _UNSET and self._pointer_raw() != expected:
+                    raise ConcurrentWriterError(
+                        f"VersionedTable {self.path}: pointer moved since this "
+                        "writer resolved its base — a concurrent writer "
+                        f"published in between; aborting publish of {dirname} "
+                        "instead of silently dropping the other writer's "
+                        "updates (directory left uncommitted for vacuum)"
+                    )
+                self._check_lease()
+                if base_columns is not None:
+                    self._update_meta(base_columns=base_columns)
+                with open(
+                    os.path.join(self.path, dirname, _COMMIT_MARKER), "w"
+                ) as fh:
+                    fh.write(self._token)
+                lines = [str(version), base_dirname or dirname] + list(chain or [])
+                tmp = self._pointer + f".{self._token}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(lines) + "\n")
+                os.replace(tmp, self._pointer)  # atomic on POSIX
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def publish(self, df: DataFrame, version: int) -> str:
         """Write ``df`` in FULL into a fresh directory for ``version``
         and atomically re-point. Never writes into an existing
         directory — a replayed batch's merge plan is still lazily
         READING the current version while this write runs."""
+        if self._parent_token is _UNSET:
+            # blind publish (no prior base read by this writer): the CAS
+            # parent is the pointer at publish start
+            self._capture_parent()
         self._acquire_lease()
         dirname = f"v={version}-{self._next_pubseq()}-{uuid.uuid4().hex[:8]}"
         target = os.path.join(self.path, dirname)
@@ -514,9 +609,10 @@ class VersionedTable:
             self._ensure_readable_empty(df, target)
         else:
             df.write.mode("overwrite").parquet(target)
-        self._commit(dirname, version)
-        self._update_meta(
-            base_columns=[c for c in df.columns if c != BUCKET_COL]
+        self._commit(
+            dirname,
+            version,
+            base_columns=[c for c in df.columns if c != BUCKET_COL],
         )
         return dirname
 
@@ -533,9 +629,18 @@ class VersionedTable:
         :meth:`publish`)."""
         if self.num_buckets is None:
             raise ValueError("publish_incremental requires a bucketed table")
-        prev = self.current_dir()
-        if prev is None:
+        # the carry-over source MUST be the same version the merged data
+        # was read from — resolve it from the captured CAS parent (set by
+        # the read_buckets call that produced changed_df) so a pointer
+        # move in between can never mix two versions' buckets
+        full = (
+            self._capture_parent()
+            if self._parent_token is _UNSET
+            else self._parse_pointer(self._parent_token)  # type: ignore[arg-type]
+        )
+        if full is None:
             raise ValueError("publish_incremental requires an existing version")
+        prev = os.path.join(self.path, full[1])
         self._acquire_lease()
         changed = {int(b) for b in changed_buckets}
         dirname = f"v={version}-{self._next_pubseq()}-{uuid.uuid4().hex[:8]}"
@@ -572,9 +677,10 @@ class VersionedTable:
                 except OSError:
                     shutil.copy2(src, dst)
         self._ensure_readable_empty(changed_df, target)
-        self._commit(dirname, version)
-        self._update_meta(
-            base_columns=[c for c in changed_df.columns if c != BUCKET_COL]
+        self._commit(
+            dirname,
+            version,
+            base_columns=[c for c in changed_df.columns if c != BUCKET_COL],
         )
         return dirname
 
@@ -597,7 +703,8 @@ class VersionedTable:
         spec = self.merge_spec()
         if spec is None:
             raise ValueError("publish_delta requires set_merge_spec first")
-        full = self._read_pointer_full()
+        # the new chain is built from THIS pointer state — CAS against it
+        full = self._capture_parent()
         if full is None:
             raise ValueError(
                 "publish_delta requires an existing base version "
@@ -639,7 +746,8 @@ class VersionedTable:
         partition-pruned incremental publish — only buckets containing
         chain keys are rewritten, the rest hard-link. No-op (returns
         None) when the chain is empty."""
-        full = self._read_pointer_full()
+        raw0 = self._pointer_raw()
+        full = self._parse_pointer(raw0)
         if full is None or not full[2]:
             return None
         cur_version, base_dirname, chain = full
@@ -664,7 +772,7 @@ class VersionedTable:
                 .distinct()
                 .collect()
             )
-            base_sub = self.read_buckets(spark, changed)
+            base_sub = self.read_buckets(spark, changed, base_only=True)
             merged_sub = merge_upsert(
                 base_sub,
                 winners,
@@ -674,8 +782,13 @@ class VersionedTable:
                 delete_op=spec["delete_op"],
                 broadcast_delta=True,
             )
+            # CAS against the state whose CHAIN this fold absorbed (the
+            # read_buckets call above re-captured a possibly-later
+            # pointer; a chain entry published in between must abort)
+            self._parent_token = raw0
             return self.publish_incremental(merged_sub, version, changed)
         merged = self._merged_view(spark, base_dirname, chain)
+        self._parent_token = raw0
         return self.publish(merged, version)
 
     def vacuum(self, keep: int = 2) -> list[str]:

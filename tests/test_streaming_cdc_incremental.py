@@ -365,3 +365,127 @@ def test_empty_bucketed_publish_is_readable(spark, tmp_path):
     t2.publish_incremental(spark.createDataFrame([], "k int, v string"), 1, [0])
     got2 = t2.read(spark)
     assert got2.count() == 0 and set(got2.columns) == {"k", "v"}
+
+
+# -- round-11: commit compare-and-swap (lost-update window closed) --------
+
+
+def test_two_fresh_writers_interleaving_exactly_one_raises(spark, tmp_path):
+    """The r10 ADVICE lost-update scenario: writer B resolves the base at
+    v0, writer A publishes v1, then B publishes a merge derived from v0.
+    B's commit must abort IMMEDIATELY (pointer moved since B read its
+    base) — not on B's next publish, after the loss is reader-visible.
+    Exactly one of the two publishes succeeds."""
+    path = str(tmp_path / "cas")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    VersionedTable(path).publish(base, 0)
+
+    a, b = VersionedTable(path), VersionedTable(path)
+    # both writers resolve the SAME base (v0) for their merges
+    df_a = a.read(spark).withColumn("v", F.upper(F.col("v")))
+    df_b = b.read(spark).withColumn("v", F.concat(F.col("v"), F.lit("!")))
+    a.publish(df_a, 1)  # A wins the race
+    with pytest.raises(ConcurrentWriterError):
+        b.publish(df_b, 2)  # B merged from v0 -> pointer moved -> abort
+    # A's updates are intact; B's directory never became visible
+    assert VersionedTable(path).current_version() == 1
+    rows = {r["k"]: r["v"] for r in VersionedTable(path).read(spark).collect()}
+    assert rows == {1: "A", 2: "B"}
+
+
+def test_cas_losing_publish_leaves_no_committed_dir(spark, tmp_path):
+    """The losing writer's directory stays UNCOMMITTED (invisible to
+    versions()/read()) and vacuum reclaims it."""
+    path = str(tmp_path / "cas_orphan")
+    VersionedTable(path).publish(
+        spark.createDataFrame([(1, "a")], "k int, v string"), 0
+    )
+    a, b = VersionedTable(path), VersionedTable(path)
+    df_a, df_b = a.read(spark), b.read(spark)
+    a.publish(df_a, 1)
+    with pytest.raises(ConcurrentWriterError):
+        b.publish(df_b, 2)
+    t = VersionedTable(path)
+    assert t.versions() == [0, 1]  # v2 never committed
+    orphans = [
+        d for d in os.listdir(path) if d.startswith("v=2-")
+    ]
+    assert orphans  # the losing dir exists on disk...
+    t.vacuum(keep=10)
+    assert not [d for d in os.listdir(path) if d.startswith("v=2-")]  # ...until vacuum
+
+
+def test_cas_incremental_publish_aborts_on_moved_pointer(spark, tmp_path):
+    """Same window on the bucketed incremental path: B's read_buckets
+    binds v0's buckets; A publishes; B's publish_incremental must abort
+    (else B would hard-link v0's untouched buckets over A's)."""
+    path = str(tmp_path / "cas_inc")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, v string"
+    )
+    VersionedTable(path, bucket_cols=["k"], num_buckets=N_BUCKETS).publish(df, 0)
+    a = VersionedTable(path)
+    b = VersionedTable(path)
+    sub_b = b.read_buckets(spark, [0, 1])
+    sub_a = a.read_buckets(spark, [2]).withColumn("v", F.lit("A"))
+    a.publish_incremental(sub_a, 1, [2])
+    with pytest.raises(ConcurrentWriterError):
+        b.publish_incremental(sub_b.withColumn("v", F.lit("B")), 2, [0, 1])
+    assert VersionedTable(path).current_version() == 1
+
+
+def test_restart_after_cas_crash_window_recovers(spark, tmp_path):
+    """No stale-token deadlock: a writer that dies anywhere in the
+    commit window leaves only kernel-released state, so a FRESH writer
+    (job restart) re-reads the base and publishes normally."""
+    path = str(tmp_path / "cas_restart")
+    VersionedTable(path).publish(
+        spark.createDataFrame([(1, "a")], "k int, v string"), 0
+    )
+    # simulate the crash aftermath: an uncommitted directory from a dead
+    # writer (wrote its data, never reached the pointer swap)
+    dead = os.path.join(path, "v=1-99-deadbeef")
+    os.makedirs(dead, exist_ok=True)
+    t2 = VersionedTable(path)
+    df = t2.read(spark).withColumn("v", F.lit("z"))
+    t2.publish(df, 1)  # must not raise
+    assert t2.current_version() == 1
+
+
+def test_read_buckets_fails_loud_on_live_mor_chain(spark, tmp_path):
+    """ADVICE r10: a public read_buckets on a table with an unfolded
+    merge-on-read chain would silently return stale base-only rows —
+    it must raise instead (fold() or read() resolve the live state)."""
+    path = str(tmp_path / "rb_mor")
+    table = VersionedTable(path, bucket_cols=["k"], num_buckets=N_BUCKETS)
+    table.publish(
+        spark.createDataFrame([(1, "a", 0, "I")], "k int, v string, __seq int, __op string")
+        .drop("__seq", "__op"),
+        0,
+    )
+    table.set_merge_spec(["k"], "__seq", "__op")
+    table.publish_delta(
+        spark.createDataFrame(
+            [(1, "b", 1, "U")], "k int, v string, __seq int, __op string"
+        ),
+        1,
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        table.read_buckets(spark, [0, 1])
+    # base_only is the explicit escape hatch (fold uses it)
+    assert table.read_buckets(spark, list(range(N_BUCKETS)), base_only=True) is not None
+    table.fold(spark)
+    assert table.read_buckets(spark, [0, 1]) is not None  # chain folded -> fine
+
+
+def test_base_columns_meta_never_lags_live_version(spark, tmp_path):
+    """ADVICE r10: base_columns is written INSIDE the commit (before the
+    pointer swap), so a schema-widening publish can never leave a live
+    widened version whose recorded columns are the pre-widening set."""
+    path = str(tmp_path / "meta_order")
+    t = VersionedTable(path)
+    t.publish(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    assert set(t._read_meta()["base_columns"]) == {"k", "v"}
+    wide = t.read(spark).withColumn("extra", F.lit(1))
+    t.publish(wide, 1)
+    assert set(t._read_meta()["base_columns"]) == {"k", "v", "extra"}
