@@ -547,19 +547,31 @@ def _parse_avi(payload: bytes):
                 if c2 == b"avih" and e2 - s2 >= 40:
                     avih = struct.unpack_from("<10I", payload, s2)
                 elif c2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    # strh/strf pairing is scoped PER strl: only a strl
+                    # whose strh declares fccType 'vids' contributes its
+                    # strf (BITMAPINFOHEADER) and fps — in a multi-stream
+                    # AVI an audio strl's WAVEFORMATEXTENSIBLE strf must
+                    # never overwrite the video header, and fps must come
+                    # from the SAME strl as the accepted strf. First vids
+                    # strl wins (the primary video stream).
+                    strl_is_vids = False
+                    strl_fps = 0.0
+                    strl_strf = None
                     for c3, s3, e3 in _walk_riff(payload, s2 + 4, e2):
                         if c3 == b"strh" and e3 - s3 >= 56:
-                            if payload[s3 : s3 + 4] != b"vids":
-                                continue
-                            scale, rate = struct.unpack_from(
-                                "<II", payload, s3 + 20
-                            )
-                            if scale:
-                                fps = rate / scale
-                        elif c3 == b"strf" and e3 - s3 >= 40:
-                            strf = struct.unpack_from(
+                            strl_is_vids = payload[s3 : s3 + 4] == b"vids"
+                            if strl_is_vids:
+                                scale, rate = struct.unpack_from(
+                                    "<II", payload, s3 + 20
+                                )
+                                if scale:
+                                    strl_fps = rate / scale
+                        elif c3 == b"strf" and e3 - s3 >= 40 and strl_is_vids:
+                            strl_strf = struct.unpack_from(
                                 "<IiiHHII", payload, s3
                             )
+                    if strl_strf is not None and strf is None:
+                        strf, fps = strl_strf, strl_fps
         elif ltype == b"movi":
             for c2, s2, e2 in _walk_riff(payload, s + 4, e):
                 # ##db / ##dc = video frame data for stream ##

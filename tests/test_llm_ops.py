@@ -2127,3 +2127,65 @@ def test_multimodal_video_real_avi_codec(spark):
     # exhaustive prefix sweep on the raw decoder
     for cut in range(len(avi)):
         assert not video_decoder(avi[:cut])["ok"], cut
+
+
+def test_multimodal_avi_multistream_strl_scoping(spark):
+    """ADVICE r10: strh/strf pairing is scoped per strl. In an
+    audio+video AVI, an audio strl whose strf is an extended
+    WAVEFORMATEXTENSIBLE (>=40 bytes) must never overwrite the video
+    stream's BITMAPINFOHEADER, and fps must come from the SAME strl as
+    the accepted strf — in either strl order."""
+    import struct
+
+    import numpy as np
+
+    from ncpi_whistler_spark.operators.multimodal import avi_frame_array, decode_avi, encode_avi
+
+    frames = [np.full((6, 5, 3), 10 * (i + 1), np.uint8) for i in range(3)]
+    base = encode_avi(frames, fps=10)
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    # audio strl: fccType 'auds', rate/scale that would yield fps=48000,
+    # and a 40-byte extended-WAVEFORMAT strf whose fields (interpreted as
+    # BITMAPINFOHEADER) would fail the dimension check or corrupt bits
+    auds_strh = (
+        b"auds" + b"\x00\x00\x00\x00"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 48000, 0, 144000, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    auds_strf = struct.pack("<HHIIHHH", 0xFFFE, 2, 48000, 192000, 4, 16, 22) + b"\x99" * 22
+    assert len(auds_strf) >= 40
+    auds_strl = lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+
+    def rebuild(audio_first: bool) -> bytes:
+        # splice the audio strl into the existing hdrl LIST, either side
+        # of the vids strl, then fix up the LIST and RIFF sizes
+        hdrl_at = base.index(b"hdrl") - 8  # LIST header start
+        hdrl_size = int.from_bytes(base[hdrl_at + 4 : hdrl_at + 8], "little")
+        body_start, body_end = hdrl_at + 8, hdrl_at + 8 + hdrl_size
+        inner = base[body_start + 4 : body_end]  # after 'hdrl' tag
+        avih_chunk_len = 8 + int.from_bytes(inner[4:8], "little")
+        avih_c, vids_strl = inner[:avih_chunk_len], inner[avih_chunk_len:]
+        new_inner = (
+            avih_c + (auds_strl + vids_strl if audio_first else vids_strl + auds_strl)
+        )
+        out = base[:hdrl_at] + lst(b"hdrl", new_inner) + base[body_end:]
+        out = bytearray(out)
+        out[4:8] = (len(out) - 8).to_bytes(4, "little")
+        return bytes(out)
+
+    for audio_first in (False, True):
+        avi = rebuild(audio_first)
+        m = decode_avi(avi)
+        assert m["ok"], (audio_first, m)
+        assert (m["width"], m["height"], m["bits"]) == (5, 6, 24), m
+        assert m["fps"] == 10.0 and m["n_frames"] == 3, m
+        f0 = avi_frame_array(avi, 0)
+        assert f0 is not None and f0.shape == (6, 5, 3) and f0[0, 0, 0] == 10
