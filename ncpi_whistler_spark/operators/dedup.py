@@ -823,11 +823,16 @@ def embedding_dup_pairs(
     dim: int | None = None,
     bucket_mode: str = "arrow",
     tables: int = 24,
+    allow_quadratic: bool = False,
+    quadratic_cap: int | None = None,
 ) -> DataFrame:
     """Embedding pairs with cosine >= threshold.
 
     bucket_bits=0: exact all-pairs (quadratic — small corpora / verify
-    path). bucket_bits>0: random-hyperplane LSH prefilter — pairs must
+    path; row-count-GUARDED via similarity.guard_quadratic — above
+    ``quadratic_cap`` (default 1e5) it fails loud unless
+    ``allow_quadratic=True``, so corpus-scale data can never hit the
+    n² tier silently). bucket_bits>0: random-hyperplane LSH prefilter — pairs must
     share the sign-bit bucket, trading recall for a 2^bits fan-in cut
     (the scale path; see similarity.hyperplane_bucket). Pass ``dim`` to
     skip the vector-length probe job; ``bucket_mode='fold'`` selects the
@@ -905,6 +910,17 @@ def embedding_dup_pairs(
             # a pair colliding in several tables must score once
             pairs = pairs.dropDuplicates(["id_a", "id_b"])
     else:
+        from ncpi_whistler_spark.operators.similarity import (
+            QUADRATIC_CAP_DEFAULT,
+            guard_quadratic,
+        )
+
+        guard_quadratic(
+            v,
+            allow_quadratic,
+            QUADRATIC_CAP_DEFAULT if quadratic_cap is None else quadratic_cap,
+            "embedding_dup_pairs(bucket_bits=0)",
+        )
         a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
         b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))

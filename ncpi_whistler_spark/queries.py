@@ -842,8 +842,15 @@ def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # corpus_path => executors read the corpus side from parquet directly;
     # no driver collect/broadcast anywhere in the plan (scale-safe).
+    # allow_quadratic pins the guard's escape hatch: the exact tier is
+    # row-count-capped by default (similarity.guard_quadratic) so
+    # corpus-scale data can never hit the n² path silently; this query
+    # IS the deliberate exact-verify case.
     return embedding_pairs_blocked(
-        emb, threshold=0.4, corpus_path=f"{sf_dir}/embeddings.parquet"
+        emb,
+        threshold=0.4,
+        corpus_path=f"{sf_dir}/embeddings.parquet",
+        allow_quadratic=True,
     )
 
 
