@@ -134,6 +134,7 @@ class VersionedTable:
         self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
         self._held_lease = False
         self._parent_token: object = _UNSET
+        self._metric_mode: str | None = None  # fold() tags its publishes
         meta = self._read_meta()
         if meta is not None:
             mb, mn = meta.get("bucket_cols"), meta.get("num_buckets")
@@ -503,6 +504,100 @@ class VersionedTable:
             return None
         return table_diff(old, new, keys=keys, op_col=op_col)
 
+    # -- per-publish ops metrics ------------------------------------------
+
+    def _emit_metric(
+        self,
+        dirname: str,
+        version: int,
+        mode: str,
+        buckets_rewritten: int,
+        buckets_linked: int,
+        bytes_new: int,
+        bytes_linked: int,
+        chain_len: int,
+    ) -> None:
+        """Append ONE row to the ``_metrics`` parquet log next to the
+        version directories — the observability a long-running stream
+        needs to detect delta-shape drift (a feed suddenly touching all
+        buckets shows up as buckets_rewritten jumping to num_buckets;
+        an unfolded MOR chain shows up as chain_len climbing). Written
+        driver-side with pyarrow (one tiny file per publish, no Spark
+        job); read back via :meth:`metrics`. Only SUCCESSFUL publishes
+        emit (a CAS-aborted publish has no reader-visible effect and no
+        metric row). Metric emission is best-effort: a failure here
+        must never fail a publish that already committed."""
+        import time
+
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            mdir = os.path.join(self.path, "_metrics")
+            os.makedirs(mdir, exist_ok=True)
+            row = pa.table(
+                {
+                    "version": pa.array([int(version)], pa.int64()),
+                    "pubseq": pa.array(
+                        [(self._parse_dirname(dirname) or (0, 0))[1]], pa.int64()
+                    ),
+                    "dirname": pa.array([dirname], pa.string()),
+                    "mode": pa.array([mode], pa.string()),
+                    "buckets_rewritten": pa.array([int(buckets_rewritten)], pa.int64()),
+                    "buckets_linked": pa.array([int(buckets_linked)], pa.int64()),
+                    "bytes_new": pa.array([int(bytes_new)], pa.int64()),
+                    "bytes_linked": pa.array([int(bytes_linked)], pa.int64()),
+                    "chain_len": pa.array([int(chain_len)], pa.int64()),
+                    "ts_epoch": pa.array([time.time()], pa.float64()),
+                }
+            )
+            pq.write_table(
+                row, os.path.join(mdir, f"m-{dirname[2:]}.parquet")
+            )
+        except Exception:
+            pass  # observability must not fail the publish
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        """The per-publish ops log as a DataFrame (None before the first
+        publish): one row per successful publish with mode (full /
+        incremental / delta / fold), buckets rewritten vs hard-linked,
+        bytes written vs carried, and merge-on-read chain length —
+        queryable with plain DataFrame ops (tools/cdcbench.py consumes
+        it for the rewrite∝delta claim)."""
+        mdir = os.path.join(self.path, "_metrics")
+        if not os.path.isdir(mdir) or not os.listdir(mdir):
+            return None
+        return spark.read.parquet(mdir)
+
+    def _version_dir_stats(
+        self, target: str, changed: set[int] | None
+    ) -> tuple[int, int, int, int]:
+        """(buckets_rewritten, buckets_linked, bytes_new, bytes_linked)
+        for a just-written version directory. ``changed`` classifies
+        bucket partitions (None = everything newly written)."""
+        rew = lnk = bytes_new = bytes_linked = 0
+        for entry in os.listdir(target):
+            p = os.path.join(target, entry)
+            if entry.startswith(f"{BUCKET_COL}="):
+                try:
+                    b = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                size = sum(
+                    os.path.getsize(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if not f.startswith(("_", "."))
+                )
+                if changed is None or b in changed:
+                    rew += 1
+                    bytes_new += size
+                else:
+                    lnk += 1
+                    bytes_linked += size
+            elif not entry.startswith(("_", ".")) and os.path.isfile(p):
+                bytes_new += os.path.getsize(p)
+        return rew, lnk, bytes_new, bytes_linked
+
     # -- write -----------------------------------------------------------
 
     def _bucket_expr(self):
@@ -614,6 +709,9 @@ class VersionedTable:
             version,
             base_columns=[c for c in df.columns if c != BUCKET_COL],
         )
+        mode, self._metric_mode = self._metric_mode or "full", None
+        rew, lnk, bn, bl = self._version_dir_stats(target, None)
+        self._emit_metric(dirname, version, mode, rew, lnk, bn, bl, 0)
         return dirname
 
     def publish_incremental(
@@ -682,6 +780,9 @@ class VersionedTable:
             version,
             base_columns=[c for c in changed_df.columns if c != BUCKET_COL],
         )
+        mode, self._metric_mode = self._metric_mode or "incremental", None
+        rew, lnk, bn, bl = self._version_dir_stats(target, changed)
+        self._emit_metric(dirname, version, mode, rew, lnk, bn, bl, 0)
         return dirname
 
     def publish_delta(self, compacted_delta: DataFrame, version: int) -> str:
@@ -737,6 +838,14 @@ class VersionedTable:
         with open(os.path.join(target, "_MANIFEST"), "w") as fh:
             json.dump({"base": base_dirname, "chain": new_chain}, fh)
         self._commit(dirname, version, base_dirname=base_dirname, chain=new_chain)
+        bytes_new = sum(
+            os.path.getsize(os.path.join(target, f))
+            for f in os.listdir(target)
+            if not f.startswith(("_", "."))
+        )
+        self._emit_metric(
+            dirname, version, "delta", 0, 0, bytes_new, 0, len(new_chain)
+        )
         return dirname
 
     def fold(self, spark: SparkSession, version: int | None = None) -> str | None:
@@ -786,9 +895,11 @@ class VersionedTable:
             # read_buckets call above re-captured a possibly-later
             # pointer; a chain entry published in between must abort)
             self._parent_token = raw0
+            self._metric_mode = "fold"
             return self.publish_incremental(merged_sub, version, changed)
         merged = self._merged_view(spark, base_dirname, chain)
         self._parent_token = raw0
+        self._metric_mode = "fold"
         return self.publish(merged, version)
 
     def vacuum(self, keep: int = 2) -> list[str]:
