@@ -128,6 +128,7 @@ class VersionedTable:
         path: str,
         bucket_cols: list[str] | None = None,
         num_buckets: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
         self.path = path
         os.makedirs(path, exist_ok=True)
@@ -144,12 +145,26 @@ class VersionedTable:
                     f"cannot reopen with {bucket_cols} x {num_buckets}"
                 )
             bucket_cols, num_buckets = mb, mn
-        elif bucket_cols is not None:
-            if not num_buckets or num_buckets < 1:
-                raise ValueError("bucket_cols requires num_buckets >= 1")
-            self._write_meta(bucket_cols, num_buckets)
+            ms = meta.get("stats_cols")
+            if stats_cols is not None and ms is not None and stats_cols != ms:
+                raise ValueError(
+                    f"VersionedTable at {path} records stats for {ms}; "
+                    f"cannot reopen with {stats_cols}"
+                )
+            if stats_cols is not None and ms is None:
+                self._update_meta(stats_cols=stats_cols)
+            else:
+                stats_cols = ms
+        else:
+            if bucket_cols is not None:
+                if not num_buckets or num_buckets < 1:
+                    raise ValueError("bucket_cols requires num_buckets >= 1")
+                self._write_meta(bucket_cols, num_buckets)
+            if stats_cols is not None:
+                self._update_meta(stats_cols=stats_cols)
         self.bucket_cols: list[str] | None = bucket_cols
         self.num_buckets: int | None = num_buckets
+        self.stats_cols: list[str] | None = stats_cols
 
     # -- metadata / lease ------------------------------------------------
 
@@ -365,8 +380,144 @@ class VersionedTable:
         except (OSError, ValueError):
             return None
 
+    # -- file-skipping stats (local stand-in for Iceberg manifests) -------
+
+    def _collect_file_stats(
+        self, target: str, prev_stats: dict | None = None
+    ) -> dict:
+        """Per-file min/max for the declared ``stats_cols``, read from
+        parquet FOOTERS via pyarrow (row-group statistics — metadata
+        only, no data scan). Hard-linked carry-over files inherit their
+        entry from the previous version's manifest (same relpath, same
+        inode — the stats cannot have changed), so an incremental
+        publish stays O(changed files). A column is recorded for a file
+        only when EVERY row group has min/max (else the file can never
+        be proven skippable); non-JSON-able types are skipped (kept =
+        never wrongly pruned). Returns {relpath: {col: [min, max]}}."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out = {}
+        want = set(self.stats_cols)
+        for root, _, files in os.walk(target):
+            for f in files:
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, f), target)
+                if prev_stats and rel in prev_stats:
+                    out[rel] = prev_stats[rel]
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(root, f)).metadata
+                except Exception:
+                    continue
+                names = [
+                    md.row_group(0).column(j).path_in_schema
+                    for j in range(md.num_columns)
+                ] if md.num_row_groups else []
+                cols = {}
+                for j, name in enumerate(names):
+                    if name not in want:
+                        continue
+                    lo = hi = None
+                    ok = True
+                    for i in range(md.num_row_groups):
+                        st = md.row_group(i).column(j).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = st.min, st.max
+                        if not isinstance(mn, (int, float, str)) or not isinstance(
+                            mx, (int, float, str)
+                        ):
+                            ok = False
+                            break
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    if ok and lo is not None:
+                        cols[name] = [lo, hi]
+                if cols:
+                    out[rel] = cols
+        return out
+
+    def _write_manifest_stats(self, dirname: str, stats: dict) -> None:
+        import json
+
+        if not stats:
+            return
+        man = self._read_manifest(dirname) or {}
+        man["file_stats"] = stats
+        tmp = os.path.join(self.path, dirname, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, os.path.join(self.path, dirname, "_MANIFEST"))
+
+    @staticmethod
+    def _file_may_match(col_stats: dict, where: dict) -> bool:
+        """Can a file with these per-column [min,max] ranges contain a
+        row satisfying the conjunctive range predicate? Missing stats
+        for a predicate column → True (never wrongly pruned)."""
+        for c, (lo, hi) in where.items():
+            rng = col_stats.get(c)
+            if rng is None:
+                continue
+            mn, mx = rng
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            except TypeError:  # incomparable bound type: keep the file
+                continue
+        return True
+
+    def _read_base_pruned(
+        self, spark: SparkSession, base_dirname: str, where: dict | None
+    ) -> DataFrame:
+        """Scan of one version directory with manifest-stats file
+        skipping applied: files whose recorded [min,max] cannot satisfy
+        ``where`` are dropped from the read BEFORE the parquet scan —
+        the I/O saving Iceberg/Delta get from manifest pruning. Files
+        without stats are always read; the caller still applies the
+        exact row predicate (file granularity over-approximates)."""
+        d = os.path.join(self.path, base_dirname)
+        stats = (self._read_manifest(base_dirname) or {}).get("file_stats")
+        if not where or not stats:
+            return spark.read.parquet(d)
+        keep = []
+        total = 0
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, d)
+                total += 1
+                if self._file_may_match(stats.get(rel, {}), where):
+                    keep.append(full)
+        if len(keep) == total:
+            return spark.read.parquet(d)
+        if not keep:
+            return self._strip_bucket(spark.read.parquet(d)).limit(0)
+        return spark.read.parquet(*keep)
+
+    @staticmethod
+    def _where_predicate(where: dict):
+        preds = []
+        for c, (lo, hi) in where.items():
+            if lo is not None:
+                preds.append(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                preds.append(F.col(c) <= F.lit(hi))
+        return functools.reduce(pyop.and_, preds) if preds else F.lit(True)
+
     def _merged_view(
-        self, spark: SparkSession, base_dirname: str, chain: list[str]
+        self,
+        spark: SparkSession,
+        base_dirname: str,
+        chain: list[str],
+        where: dict | None = None,
     ) -> DataFrame:
         """Merge-on-read resolution: the base overlaid with the delta
         chain. Each chain entry is an already-compacted (one row per
@@ -375,9 +526,15 @@ class VersionedTable:
         the same feed contract the copy-on-write path relies on), so
         the fold is one argmax on chain index + one broadcast anti join
         against the base: identical plan shape to the batch merge, with
-        the chain union standing in for the micro-batch."""
+        the chain union standing in for the micro-batch.
+
+        ``where`` file-prunes the BASE scan only; this stays exact
+        because deltas are read in full (an update moving a row INTO
+        the range arrives from the delta side regardless of which base
+        file held its old version) and :meth:`read` re-applies the row
+        predicate after the merge."""
         base = self._strip_bucket(
-            spark.read.parquet(os.path.join(self.path, base_dirname))
+            self._read_base_pruned(spark, base_dirname, where)
         )
         if not chain:
             return base
@@ -406,7 +563,12 @@ class VersionedTable:
             broadcast_delta=True,
         )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: dict | None = None,
+    ) -> DataFrame | None:
         """Read the current version, or — time travel — a specific
         retained ``version`` (None if that version was never published,
         never committed, or was vacuumed). With multiple publishes of
@@ -414,29 +576,47 @@ class VersionedTable:
         wins. Only COMMITTED directories are ever served. Merge-on-read
         states (delta chains) resolve transparently — live via the
         pointer, time travel via the per-version _MANIFEST snapshot
-        (bounded by vacuum retention like any other version)."""
+        (bounded by vacuum retention like any other version).
+
+        ``where={col: (lo, hi)}`` (inclusive, None = open end) applies
+        the conjunctive range predicate EXACTLY — and, on a table with
+        declared ``stats_cols``, first skips every base file whose
+        manifest [min,max] cannot match (inputFiles shrinks; the local
+        stand-in for Iceberg manifest pruning, same argument as the
+        hard-link carry-over). Without stats it degrades to a plain
+        row filter — never wrong, just unpruned."""
+        out = None
         if version is None:
             full = self._capture_parent()
             if full is None:
                 return None
-            return self._merged_view(spark, full[1], full[2])
-        cands = [(ps, n) for v, ps, n in self._committed_dirs() if v == version]
-        if not cands:
-            return None
-        dirname = max(cands)[1]
-        man = self._read_manifest(dirname)
-        if man is not None:
-            missing = [
-                d
-                for d in [man["base"]] + man["chain"]
-                if not os.path.isdir(os.path.join(self.path, d))
+            out = self._merged_view(spark, full[1], full[2], where=where)
+        else:
+            cands = [
+                (ps, n) for v, ps, n in self._committed_dirs() if v == version
             ]
-            if missing:
-                return None  # vacuumed past this snapshot
-            return self._merged_view(spark, man["base"], man["chain"])
-        return self._strip_bucket(
-            spark.read.parquet(os.path.join(self.path, dirname))
-        )
+            if not cands:
+                return None
+            dirname = max(cands)[1]
+            man = self._read_manifest(dirname)
+            if man is not None and "base" in man:
+                missing = [
+                    d
+                    for d in [man["base"]] + man["chain"]
+                    if not os.path.isdir(os.path.join(self.path, d))
+                ]
+                if missing:
+                    return None  # vacuumed past this snapshot
+                out = self._merged_view(
+                    spark, man["base"], man["chain"], where=where
+                )
+            else:
+                out = self._strip_bucket(
+                    self._read_base_pruned(spark, dirname, where)
+                )
+        if where:
+            out = out.where(self._where_predicate(where))
+        return out
 
     def read_buckets(
         self, spark: SparkSession, buckets: list[int], base_only: bool = False
@@ -704,6 +884,9 @@ class VersionedTable:
             self._ensure_readable_empty(df, target)
         else:
             df.write.mode("overwrite").parquet(target)
+        # footer-only stats pass BEFORE the commit: a reader resolving
+        # the new pointer immediately gets file skipping
+        self._write_manifest_stats(dirname, self._collect_file_stats(target))
         self._commit(
             dirname,
             version,
@@ -775,6 +958,14 @@ class VersionedTable:
                 except OSError:
                     shutil.copy2(src, dst)
         self._ensure_readable_empty(changed_df, target)
+        # carried-over (hard-linked) files inherit their stats entry from
+        # the previous manifest — the stats pass stays O(changed files)
+        prev_stats = (self._read_manifest(os.path.basename(prev)) or {}).get(
+            "file_stats"
+        )
+        self._write_manifest_stats(
+            dirname, self._collect_file_stats(target, prev_stats)
+        )
         self._commit(
             dirname,
             version,
@@ -936,7 +1127,7 @@ class VersionedTable:
             refs = set()
             for d in frontier:
                 man = self._read_manifest(d)
-                if man:
+                if man and "base" in man:
                     refs.update([man["base"], *man["chain"]])
             frontier = [d for d in refs if d not in kept]
             kept |= refs
@@ -1119,6 +1310,7 @@ def run_cdc_stream(
     compact_every: int | None = None,
     mode: str = "cow",
     fold_every: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> VersionedTable:
     """Drain the change-log files currently in ``source_dir`` into the
     versioned table at ``table_path`` (``availableNow`` trigger — call
@@ -1126,7 +1318,12 @@ def run_cdc_stream(
     batch is re-read and any half-applied batch is replayed, which the
     idempotent merge absorbs). Pass ``bucket_cols``/``num_buckets`` to
     lay the table out for the partition-pruned incremental publish."""
-    table = VersionedTable(table_path, bucket_cols=bucket_cols, num_buckets=num_buckets)
+    table = VersionedTable(
+        table_path,
+        bucket_cols=bucket_cols,
+        num_buckets=num_buckets,
+        stats_cols=stats_cols,
+    )
     cp = checkpoint or os.path.join(table_path, "_checkpoint")
     q = (
         spark.readStream.schema(schema)

