@@ -1291,6 +1291,61 @@ def cdc_merge_sink(
     return sink
 
 
+#: The schema `spark.readStream.format("kafka")` emits — the record
+#: shape every bus adapter (and the kafka_file test replay) produces.
+KAFKA_RECORD_DDL = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_changes(raw: DataFrame, schema) -> DataFrame:
+    """Kafka-record-shaped change feed (binary ``key``/``value`` + topic
+    metadata) → change-log records: JSON-decode ``value`` against the
+    CDC schema. Shared by the real Kafka branch of
+    :func:`read_changes_stream_config` and by tests replaying a
+    kafka-shaped file stream — the same executable-source-swap pattern
+    as ``streaming/windows.parse_kafka_events``: the merge sink consumes
+    only this function's output schema, never the source."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("c")
+    ).select("c.*")
+
+
+def read_changes_stream_config(spark: SparkSession, conf: dict, schema) -> DataFrame:
+    """Config-driven change-feed source selector — the production entry
+    point where the feed source is deployment config, not code.
+
+    ``{"source": "file", "dir": ...}`` streams change-log parquet files
+    (tests / backfill); ``{"source": "kafka", "bootstrap_servers": ...,
+    "topic": ...}`` builds the standard Kafka reader (spark-sql-kafka
+    connector on the classpath) decoded by :func:`parse_kafka_changes`;
+    ``{"source": "kafka_file", "dir": ...}`` replays kafka-record-SHAPED
+    parquet (a topic dump / the test mock) through the SAME decode path
+    as the real bus. All branches emit the caller's CDC schema, so
+    :func:`run_cdc_stream`'s merge sink is source-agnostic by
+    construction."""
+    source = conf.get("source", "file")
+    if source == "file":
+        return spark.readStream.schema(schema).parquet(conf["dir"])
+    if source == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", conf["bootstrap_servers"])
+            .option("subscribe", conf["topic"])
+            .option("startingOffsets", conf.get("starting_offsets", "earliest"))
+            .load()
+        )
+        return parse_kafka_changes(raw, schema)
+    if source == "kafka_file":
+        raw = spark.readStream.schema(KAFKA_RECORD_DDL).parquet(conf["dir"])
+        return parse_kafka_changes(raw, schema)
+    raise ValueError(
+        f"unknown CDC source {source!r}; expected 'file', 'kafka', or "
+        "'kafka_file'"
+    )
+
+
 def run_cdc_stream(
     spark: SparkSession,
     source_dir: str,
@@ -1311,13 +1366,18 @@ def run_cdc_stream(
     mode: str = "cow",
     fold_every: int | None = None,
     stats_cols: list[str] | None = None,
+    source_conf: dict | None = None,
 ) -> VersionedTable:
-    """Drain the change-log files currently in ``source_dir`` into the
-    versioned table at ``table_path`` (``availableNow`` trigger — call
-    again after staging more files; the shared checkpoint guarantees no
-    batch is re-read and any half-applied batch is replayed, which the
-    idempotent merge absorbs). Pass ``bucket_cols``/``num_buckets`` to
-    lay the table out for the partition-pruned incremental publish."""
+    """Drain the change feed into the versioned table at ``table_path``
+    (``availableNow`` trigger — call again after more data arrives; the
+    shared checkpoint guarantees no batch is re-read and any
+    half-applied batch is replayed, which the idempotent merge absorbs).
+    The feed arrives from ``source_dir`` (change-log parquet files) or,
+    with ``source_conf``, from any :func:`read_changes_stream_config`
+    source — a Kafka topic swaps in as deployment config without
+    touching the merge sink (pass ``source_dir=None`` then). Pass
+    ``bucket_cols``/``num_buckets`` to lay the table out for the
+    partition-pruned incremental publish."""
     table = VersionedTable(
         table_path,
         bucket_cols=bucket_cols,
@@ -1325,9 +1385,9 @@ def run_cdc_stream(
         stats_cols=stats_cols,
     )
     cp = checkpoint or os.path.join(table_path, "_checkpoint")
+    conf = source_conf or {"source": "file", "dir": source_dir}
     q = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
+        read_changes_stream_config(spark, conf, schema)
         .writeStream.foreachBatch(
             cdc_merge_sink(
                 spark,
