@@ -85,6 +85,17 @@ _COMMIT_MARKER = "_COMMITTED"
 # parent state: the empty table)
 _UNSET = object()
 
+#: Default merge-on-read re-base interval (``cdc_merge_sink``
+#: ``fold_every=None`` in mode='mor' resolves to this; pass 0 to never
+#: fold). Set from the MEASURED knee of the chain-length read sweep in
+#: tools/cdcbench.py (SCALEBENCH_CDC.json ``mor_read_sweep`` at sf0.1):
+#: bytes scanned per read — the deterministic read-amplification
+#: metric — stay within 1.5x of the chain-1 read through 16 chained
+#: deltas on BOTH layouts (1.10x bucketed / 1.12x flat at 16) but the
+#: flat layout crosses it at 64 (1.51x; wall-clock 6-7x on both) — the
+#: binding knee, so the sink folds at 16 by default.
+FOLD_EVERY_DEFAULT = 16
+
 
 class ConcurrentWriterError(RuntimeError):
     """A second writer published to this VersionedTable; the losing
@@ -1167,7 +1178,12 @@ def cdc_merge_sink(
     bucket rewritten) and defers the merge to readers;
     ``fold_every=n`` re-bases automatically once the chain reaches n
     deltas (on a bucketed table the fold itself is the partition-pruned
-    incremental publish). Same exactly-once-effect guarantees: a
+    incremental publish); ``None`` resolves to
+    :data:`FOLD_EVERY_DEFAULT` (= 16, the measured knee of the
+    chain-length read sweep — SCALEBENCH_CDC.json ``mor_read_sweep``:
+    bytes scanned per read stay within 1.5x of the chain-1 read
+    through 16 deltas and climb past it); ``0`` never folds
+    (callers own re-basing). Same exactly-once-effect guarantees: a
     replayed batch REPLACES its own chain entry. Schema evolution is
     cow-only (a MOR chain must keep one schema); mor+evolve raises.
 
@@ -1193,6 +1209,9 @@ def cdc_merge_sink(
         raise ValueError(f"null_key_policy must be error|drop, got {null_key_policy!r}")
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be cow|mor, got {mode!r}")
+    if mode == "mor" and fold_every is None:
+        # measured knee (SCALEBENCH_CDC mor_read_sweep); 0 = never fold
+        fold_every = FOLD_EVERY_DEFAULT
     if mode == "mor" and evolve:
         raise ValueError(
             "mode='mor' cannot evolve schemas mid-chain: fold first, then "
