@@ -774,3 +774,68 @@ def test_reader_vs_vacuum_covered_retention_completes(spark, tmp_path, layout):
         t.publish(t.read(spark).withColumn("v", F.lit("x2")), 2)
     t.vacuum(keep=3)  # covers the reader's snapshot
     assert _reader_outcome(snap, want) == "snapshot"
+
+
+# -- round-11: CROSS-PROCESS commit race (the flock is kernel-level) ---------
+
+
+def _race_commit_child(path, barrier, q, idx):
+    """Child process: resolve the same parent state, stage a version
+    directory, rendezvous, then race the commit. Pure python + os ops —
+    no SparkSession in the child (the commit protocol is driver-side
+    filesystem code by design)."""
+    from ncpi_whistler_spark.streaming.cdc import (
+        ConcurrentWriterError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(path)
+    t._capture_parent()  # both children bind the SAME parent state
+    t._acquire_lease()
+    d = f"v=1-{idx + 10}-proc{idx}"
+    os.makedirs(os.path.join(path, d), exist_ok=True)
+    with open(os.path.join(path, d, "part-0.parquet"), "wb") as fh:
+        fh.write(b"\x00")
+    barrier.wait()
+    try:
+        t._commit(d, 1)
+        q.put((idx, "committed", d))
+    except ConcurrentWriterError:
+        q.put((idx, "lost", d))
+    except Exception as e:  # pragma: no cover - diagnostic
+        q.put((idx, f"error:{type(e).__name__}", d))
+
+
+def test_cross_process_commit_race_exactly_one_wins(spark, tmp_path):
+    """The commit CAS + lease must hold across OS PROCESSES (the flock
+    and the atomic pointer swap are kernel-level, not in-process locks):
+    two writers in separate processes binding the same parent state and
+    racing the commit — exactly one succeeds, the loser raises
+    ConcurrentWriterError, the loser's directory stays uncommitted, and
+    the pointer names the winner's directory."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "xproc")
+    VersionedTable(path).publish(
+        spark.createDataFrame([(1, "a")], "k int, v string"), 0
+    )
+    ctx = mp.get_context("spawn")  # clean children (no inherited JVM)
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_commit_child, args=(path, barrier, q, i))
+        for i in range(2)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in range(2)]
+    for p in procs:
+        p.join(timeout=120)
+    outcomes = sorted(r[1] for r in results)
+    assert outcomes == ["committed", "lost"], results
+    winner_dir = next(d for _, s, d in results if s == "committed")
+    loser_dir = next(d for _, s, d in results if s == "lost")
+    t = VersionedTable(path)
+    assert os.path.basename(t.current_dir()) == winner_dir
+    assert t._is_committed(winner_dir)
+    assert not t._is_committed(loser_dir)  # invisible, vacuum reclaims it
