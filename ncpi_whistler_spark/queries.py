@@ -4910,6 +4910,51 @@ def q108_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_idx", "width", "height", "pix_sum")
 
 
+@query(
+    "q110_stats_pruned_read",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= (SELECT (MAX(o_orderkey) * 5) // 100 FROM orders)
+    """,
+)
+def q110_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest file-skipping read (round 11, streaming/cdc.py): orders
+    published into a VersionedTable with declared stats_cols and a
+    range-clustered layout, then read back through
+    ``read(where={o_orderkey: (None, hi)})`` — the manifest's per-file
+    min/max (recorded from parquet footers at publish) drop every file
+    whose range cannot match BEFORE the scan, and the exact row
+    predicate applies after. The oracle is the plain row filter, so a
+    pruning bug that drops a file containing in-range rows (or fails to
+    re-apply the predicate) hash-fails. The I/O claim itself (16→1
+    files, 93.7% bytes-read reduction at sf0.1) is measured separately
+    in SCALEBENCH_CDC.json ``file_skipping``; this query pins the
+    CORRECTNESS half. Eager table build like q107; per-(sf,pid) workdir
+    wiped at call start."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    hi = (base.agg(F.max("o_orderkey")).first()[0] * 5) // 100
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"q110_skip_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = VersionedTable(
+        os.path.join(workdir, "table"), stats_cols=["o_orderkey"]
+    )
+    table.publish(base.repartitionByRange(16, "o_orderkey"), 0)
+    return table.read(spark, where={"o_orderkey": (None, int(hi))})
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #
