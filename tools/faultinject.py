@@ -777,45 +777,69 @@ def run_exec_kill(spark, sf_dir: str) -> tuple[dict, bool]:
 
     def _run(name: str, build) -> None:
         nonlocal ok
-        clean_tag, inj_tag = f"{name}.clean", f"{name}.inj"
+        clean_tag = f"{name}.clean"
         want = _canon(build(clean_tag, False))
-        got = _canon(build(inj_tag, True))
-        flag = os.path.join(marker_dir, f"{inj_tag}.fired")
-        fired = os.path.exists(flag)
-        killed_jvm_dead = False
-        if fired:
-            with open(flag) as fh:
-                pid = int(fh.read().strip())
-            killed_jvm_dead = not os.path.exists(f"/proc/{pid}")
         clean_counts = _map_exec_counts(marker_dir, clean_tag)
-        inj_counts = _map_exec_counts(marker_dir, inj_tag)
-        # DIFFERENTIAL evidence: the clean run establishes the plan's
-        # natural per-partition execution count (a plan that scans its
-        # input twice legitimately runs each map task twice); only an
-        # INJECTED count strictly above the clean count proves the lost
-        # shuffle output forced stage re-execution.
-        reexec = sorted(
-            p
-            for p, c in inj_counts.items()
-            if c > clean_counts.get(p, 0)
-        )
-        entry = {
-            "match": want == got,
-            "fired": fired,
-            "killed_jvm_dead": killed_jvm_dead,
-            "clean_map_execs": clean_counts,
-            "injected_map_execs": inj_counts,
-            # injected-run executions beyond the plan's natural count
-            "reexecuted_map_partitions": reexec,
-            "rows": len(want),
-        }
-        entry["ok"] = (
-            entry["match"]
-            and fired
-            and killed_jvm_dead
-            and bool(clean_counts)
-            and bool(reexec)
-        )
+        entry: dict = {}
+        # The kill is real but its PLACEMENT is scheduler-dependent: if
+        # the victim executor happens to hold none of the map outputs the
+        # surviving tasks need (e.g. every map task of a single-wave
+        # stage landed on the other executor), the loss is VACUOUS — the
+        # query completes with zero re-execution and the gate has no
+        # stage-re-exec evidence to grade. That is a property of the
+        # draw, not of the engine; re-arm with a fresh tag and draw
+        # again (bounded), exactly like any timing-dependent fault
+        # harness. A genuine determinism failure (mismatch) never
+        # retries.
+        for attempt in range(3):
+            inj_tag = f"{name}.inj" if attempt == 0 else f"{name}.inj{attempt}"
+            got = _canon(build(inj_tag, True))
+            flag = os.path.join(marker_dir, f"{inj_tag}.fired")
+            fired = os.path.exists(flag)
+            killed_jvm_dead = False
+            if fired:
+                with open(flag) as fh:
+                    pid = int(fh.read().strip())
+                killed_jvm_dead = not os.path.exists(f"/proc/{pid}")
+            inj_counts = _map_exec_counts(marker_dir, inj_tag)
+            # DIFFERENTIAL evidence: the clean run establishes the plan's
+            # natural per-partition execution count (a plan that scans its
+            # input twice legitimately runs each map task twice); only an
+            # INJECTED count strictly above the clean count proves the lost
+            # shuffle output forced stage re-execution.
+            reexec = sorted(
+                p
+                for p, c in inj_counts.items()
+                if c > clean_counts.get(p, 0)
+            )
+            entry = {
+                "match": want == got,
+                "fired": fired,
+                "killed_jvm_dead": killed_jvm_dead,
+                "clean_map_execs": clean_counts,
+                "injected_map_execs": inj_counts,
+                # injected-run executions beyond the plan's natural count
+                "reexecuted_map_partitions": reexec,
+                "rows": len(want),
+                "kill_draws": attempt + 1,
+            }
+            entry["ok"] = (
+                entry["match"]
+                and fired
+                and killed_jvm_dead
+                and bool(clean_counts)
+                and bool(reexec)
+            )
+            vacuous_kill = (
+                entry["match"]
+                and fired
+                and killed_jvm_dead
+                and bool(clean_counts)
+                and not reexec
+            )
+            if entry["ok"] or not vacuous_kill:
+                break
+            _wait_for_executors(spark, 2)  # let the worker respawn the JVM
         report[name] = entry
         ok = ok and entry["ok"]
 
