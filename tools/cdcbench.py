@@ -247,6 +247,21 @@ def _incremental_publish_claim(spark, base: DataFrame, merge_upsert) -> dict:
         delta.unpersist()
 
         rewrite_fraction = new_bytes / max(total_bytes, 1)
+        # the per-publish ops metrics log must AGREE with the
+        # inode-derived ground truth computed above — the observability
+        # a long-running stream trusts is itself verified here
+        mrow = next(
+            r
+            for r in table.metrics(spark).collect()
+            if r["version"] == 0 and r["mode"] == "incremental"
+        )
+        n_bucket_dirs = len({f.split("/", 1)[0] for f in new_files})
+        metrics_agree = (
+            mrow["bytes_new"] == new_bytes
+            and mrow["bytes_linked"] == linked_bytes
+            and mrow["buckets_rewritten"] <= len(CHANGED_BUCKETS)
+            and mrow["buckets_rewritten"] + mrow["buckets_linked"] == n_bucket_dirs
+        )
         out = {
             "num_buckets": N_BUCKETS,
             "changed_buckets": len(CHANGED_BUCKETS),
@@ -258,6 +273,7 @@ def _incremental_publish_claim(spark, base: DataFrame, merge_upsert) -> dict:
             "rewrite_fraction_of_version": round(rewrite_fraction, 4),
             "bucket_fraction": round(len(CHANGED_BUCKETS) / N_BUCKETS, 4),
             "untouched_bucket_new_files": mislinked,
+            "metrics_log_agrees_with_inode_truth": metrics_agree,
             "hash_equal": inc_h == dir_h and inc_n == dir_n,
             "rows_out": inc_n,
         }
@@ -272,6 +288,7 @@ def _incremental_publish_claim(spark, base: DataFrame, merge_upsert) -> dict:
             and not mislinked
             and out["hash_equal"]
             and linked_bytes > 0
+            and metrics_agree
         )
         return out
     finally:
