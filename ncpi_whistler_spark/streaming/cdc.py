@@ -662,6 +662,65 @@ class VersionedTable:
             df.where(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
         )
 
+    def lookup(self, spark: SparkSession, keys: list) -> DataFrame | None:
+        """Point lookups by bucket key — the READ-side payoff of the
+        bucket layout, symmetric with the write-side pruning: the
+        requested key values are hashed to their buckets with the same
+        ``pmod(hash(bucket_cols), N)`` expression the publisher used, so
+        the scan touches only those bucket partitions (at 100 TB: O(1)
+        files per key instead of a full-table scan — the hash-layout
+        half of what an index gives you). ``keys`` is a list of scalars
+        (single bucket column) or tuples (composite). Exact: the
+        bucket-pruned subset is then semi-joined to the requested keys.
+        On a live merge-on-read chain this falls back to the resolved
+        :meth:`read` view (no bucket pruning — deltas are not
+        bucketed — but always correct); fold to restore pruned lookups.
+        None before the first publish."""
+        if self.num_buckets is None:
+            raise ValueError("lookup requires a bucketed table")
+        if not keys:
+            raise ValueError("lookup needs at least one key value")
+        full = self._read_pointer_full()
+        if full is None:
+            return None
+        cols = list(self.bucket_cols or [])
+        rows = [
+            tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys
+        ]
+        key_schema = (
+            spark.read.parquet(os.path.join(self.path, full[1]))
+            .select(*cols)
+            .schema
+        )
+        kdf = spark.createDataFrame(rows, key_schema)
+        if full[2]:  # live MOR chain: correct-but-unpruned fallback
+            return self.read(spark).join(
+                F.broadcast(kdf), on=cols, how="left_semi"
+            )
+        buckets = sorted(
+            r[0]
+            for r in kdf.select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        )
+        sub = self.read_buckets(spark, buckets)
+        return sub.join(F.broadcast(kdf), on=cols, how="left_semi")
+
+    def changes_since(
+        self, spark: SparkSession, version: int, op_col: str = "change_op"
+    ) -> DataFrame | None:
+        """The downstream CDF-consumer call: the I/U/D rows that turn
+        retained snapshot ``version`` into the CURRENT version — a
+        subscriber remembers the last version it applied and polls this
+        instead of re-reading the table (:meth:`diff` against the live
+        pointer). None when ``version`` is no longer retained (the
+        consumer fell behind vacuum retention — it must re-bootstrap
+        from a full read; fail-null, never a partial feed)."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        return self.diff(spark, version, cur, op_col=op_col)
+
     def versions(self) -> list[int]:
         """Retained (committed, readable) version ids, ascending."""
         return sorted({v for v, _, _ in self._committed_dirs()})

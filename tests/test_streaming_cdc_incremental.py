@@ -839,3 +839,96 @@ def test_cross_process_commit_race_exactly_one_wins(spark, tmp_path):
     assert os.path.basename(t.current_dir()) == winner_dir
     assert t._is_committed(winner_dir)
     assert not t._is_committed(loser_dir)  # invisible, vacuum reclaims it
+
+
+# -- round-11: key-based point lookup + changes_since -------------------------
+
+
+def test_lookup_bucket_pruned_and_exact(spark, tmp_path):
+    """lookup() hashes the requested keys to their buckets with the
+    publisher's own bucket expression, scans only those partitions
+    (PartitionFilters in the physical plan), and semi-joins to the exact
+    keys — the read-side payoff of the bucket layout."""
+    path = str(tmp_path / "lookup")
+    t = VersionedTable(path, bucket_cols=["k"], num_buckets=8)
+    t.publish(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(64)], "k int, v string"
+        ),
+        0,
+    )
+    out = t.lookup(spark, [5, 17, 42])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [(5, "v5"), (17, "v17"), (42, "v42")]
+    # missing keys return nothing (semi join), never nulls
+    assert t.lookup(spark, [9999]).count() == 0
+    with pytest.raises(ValueError):
+        t.lookup(spark, [])
+
+
+def test_lookup_on_live_mor_chain_is_exact(spark, tmp_path):
+    """On a live merge-on-read chain lookup() falls back to the resolved
+    read view — unpruned but always correct (a delta update must win)."""
+    path = str(tmp_path / "lookup_mor")
+    t = VersionedTable(path, bucket_cols=["k"], num_buckets=8)
+    t.publish(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(16)], "k int, v string"
+        ),
+        0,
+    )
+    t.set_merge_spec(["k"], "__seq", "__op")
+    t.publish_delta(
+        spark.createDataFrame(
+            [(3, "updated", 1, "U"), (5, "x", 1, "D")],
+            "k int, v string, __seq int, __op string",
+        ),
+        1,
+    )
+    got = {r["k"]: r["v"] for r in t.lookup(spark, [3, 5, 7]).collect()}
+    assert got == {3: "updated", 7: "v7"}  # update wins, delete gone
+
+
+def test_changes_since_feeds_a_downstream_consumer(spark, tmp_path):
+    """changes_since(v) = the I/U/D feed from retained snapshot v to the
+    live version; a consumer that fell behind vacuum retention gets
+    None (re-bootstrap), never a partial feed."""
+    path = str(tmp_path / "since")
+    t = VersionedTable(path)
+    t.set_merge_spec(["k"], "__seq", "__op")
+    t.publish(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"), 0
+    )
+    t.publish(
+        spark.createDataFrame([(1, "a2"), (2, "b"), (4, "d")], "k int, v string"), 1
+    )
+    t.publish(
+        spark.createDataFrame([(1, "a3"), (2, "b"), (4, "d")], "k int, v string"), 2
+    )
+    feed = {
+        (r["k"], r["change_op"]): r["v"]
+        for r in t.changes_since(spark, 0).collect()
+    }
+    # effective change set v0 -> v2: 1 updated, 3 deleted, 4 inserted
+    assert feed == {(1, "U"): "a3", (3, "D"): "c", (4, "I"): "d"}
+    # applying the feed to v0 reconstructs v2 exactly
+    from ncpi_whistler_spark.operators.cdc import merge_upsert
+
+    delta = t.changes_since(spark, 0).withColumn("__seq", F.lit(1))
+    v0 = t.read(spark, version=0)
+    rebuilt = merge_upsert(
+        v0,
+        delta.withColumnRenamed("change_op", "__op"),
+        keys=["k"],
+        seq_col="__seq",
+        op_col="__op",
+        broadcast_delta=True,
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, t.read(spark).collect())
+    )
+    # fell behind retention -> None
+    t.vacuum(keep=1)
+    assert t.changes_since(spark, 0) is None
