@@ -271,3 +271,43 @@ def test_zorder_key_bijective_on_grid(spark):
     )
     n = df.select(zorder_key(["x", "y"], bits=6).alias("z")).distinct().count()
     assert n == 64 * 64
+
+
+def test_compaction_reclustering_enables_file_skipping(spark, tmp_path):
+    """The compaction -> skipping payoff chain: on a hash-scattered
+    layout every file spans the whole key range, so manifest stats can
+    prove nothing and read(where=) must scan everything; a
+    compact_versioned(sort_by=...) re-cluster gives files disjoint
+    ranges, publish regenerates the footer stats, and the SAME query
+    now prunes — layout, not the predicate, is what makes min/max
+    selective (the sort/Z-order argument, measured on the table)."""
+    from ncpi_whistler_spark.storage import compact_versioned
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable
+
+    path = str(tmp_path / "recluster")
+    t = VersionedTable(path, stats_cols=["k"])
+    # high-entropy pad so parquet cannot compress the files away (a
+    # constant pad RLE-compresses to ~nothing and compaction would
+    # coalesce to a single file, voiding the demonstration)
+    pad = F.concat(
+        *[F.md5(F.concat(F.col("id").cast("string"), F.lit(i))) for i in range(16)]
+    ).alias("pad")
+    df = spark.range(50000).select(
+        F.col("id").cast("int").alias("k"), pad
+    )
+    t.publish(df.repartition(8), 0)  # hash layout: all files span all k
+    full = t.read(spark)
+    n_files_full = len(full.inputFiles())
+    assert n_files_full >= 8
+    where = {"k": (0, 999)}
+    unclustered = t.read(spark, where=where)
+    assert len(unclustered.inputFiles()) == n_files_full  # stats can't help
+    want = sorted(r["k"] for r in unclustered.collect())
+
+    compact_versioned(spark, t, target_file_mb=1, sort_by=["k"])
+    live = t.read(spark)
+    n_files_live = len(live.inputFiles())
+    assert n_files_live > 1  # multiple right-sized files survive
+    pruned = t.read(spark, where=where)
+    assert len(pruned.inputFiles()) < n_files_live  # NOW it prunes
+    assert sorted(r["k"] for r in pruned.collect()) == want  # hash-equal
