@@ -4955,6 +4955,58 @@ def q110_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark, where={"o_orderkey": (None, int(hi))})
 
 
+@query(
+    "q111_bucket_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 997 = 1
+    """,
+)
+def q111_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup (round 11, VersionedTable.lookup):
+    orders published into a 32-bucket key-hashed layout, then a sparse
+    key set (o_orderkey % 997 = 1 — the keys any id-lookup service
+    would ask for) fetched back through lookup(), which hashes each
+    requested key with the publisher's own bucket expression, scans
+    ONLY those __bucket partitions (PartitionFilters), and broadcast-
+    semi-joins to the exact keys. The oracle is the plain row filter,
+    so a lookup that misses a key (wrong bucket computed), returns a
+    neighbor (semi-join bug), or reads a stale version hash-fails.
+    The key list is driver-collected here only to exercise the API's
+    list-of-values form — it is the sparse lookup set by construction
+    (bounded by selectivity, not table size). Eager table build like
+    q107/q110; per-(sf,pid) workdir wiped at call start."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keys = [
+        r[0]
+        for r in base.where(F.col("o_orderkey") % 997 == 1)
+        .select("o_orderkey")
+        .collect()
+    ]
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"q111_lkp_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = VersionedTable(
+        os.path.join(workdir, "table"),
+        bucket_cols=["o_orderkey"],
+        num_buckets=32,
+    )
+    table.publish(base, 0)
+    return table.lookup(spark, keys)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #
