@@ -4942,7 +4942,8 @@ def q110_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    hi = (base.agg(F.max("o_orderkey")).first()[0] * 5) // 100
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    hi = 0 if max_key is None else (max_key * 5) // 100  # empty-input total
     workdir = os.path.join(
         tempfile.gettempdir(),
         f"q110_skip_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
@@ -4993,6 +4994,8 @@ def q111_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .collect()
     ]
+    if not keys:  # empty-input totality: no keys to look up, empty result
+        return base.limit(0)
     workdir = os.path.join(
         tempfile.gettempdir(),
         f"q111_lkp_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
