@@ -161,6 +161,7 @@ def table_diff(
     keys: list[str],
     op_col: str = "change_op",
     compare_cols: list[str] | None = None,
+    pre_col: str | None = None,
 ) -> DataFrame:
     """Change feed between two snapshots of one table — the OUTBOUND
     direction of CDC (merge_upsert applies a feed; this derives one):
@@ -182,6 +183,12 @@ def table_diff(
     snapshots live in identically bucketed layouts the exchange drops
     entirely (storage.write_bucketed). The reference has no diff/export
     path at all (wstlr re-extracts; nothing consumes table history).
+
+    ``pre_col`` additionally emits the OLD payload as a struct column
+    (NULL on inserts) — the pre-image a stored change feed needs so
+    multiple per-publish feeds can later be netted per key without
+    re-reading either snapshot (streaming/cdc.VersionedTable
+    ``changes_since``).
     """
     payload = compare_cols or [c for c in new.columns if c not in keys]
     o = old.select(*keys, F.struct(*[F.col(c) for c in payload]).alias("__old"))
@@ -196,8 +203,9 @@ def table_diff(
     row = F.when(F.col(op_col) == F.lit("D"), F.col("__old")).otherwise(
         F.col("__new")
     )
-    return j.select(*keys, row.alias("__row"), F.col(op_col)).select(
-        *keys, "__row.*", op_col
+    tail = [F.col("__old").alias(pre_col)] if pre_col else []
+    return j.select(*keys, row.alias("__row"), F.col(op_col), *tail).select(
+        *keys, "__row.*", op_col, *([pre_col] if pre_col else [])
     )
 
 

@@ -5010,6 +5010,115 @@ def q111_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.lookup(spark, keys)
 
 
+@query(
+    "q112_cdf_stored_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+    v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE
+               WHEN o_orderkey % 3 = 0 THEN o_totalprice
+               WHEN o_orderkey % 5 = 0 AND o_orderkey % 13 = 0 THEN o_totalprice
+               WHEN o_orderkey % 5 = 0 THEN o_totalprice + 2
+               WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 = 0 THEN o_totalprice * 3
+               ELSE o_totalprice
+             END AS o_totalprice
+      FROM base
+      WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+                 AND o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)
+    )
+    SELECT COALESCE(v2.o_orderkey, v0.o_orderkey) AS o_orderkey,
+           CASE WHEN v2.o_orderkey IS NULL THEN v0.o_custkey
+                ELSE v2.o_custkey END AS o_custkey,
+           CASE WHEN v2.o_orderkey IS NULL THEN v0.o_totalprice
+                ELSE v2.o_totalprice END AS o_totalprice,
+           CASE WHEN v0.o_orderkey IS NULL THEN 'I'
+                WHEN v2.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_op
+    FROM v0 FULL OUTER JOIN v2 ON v0.o_orderkey = v2.o_orderkey
+    WHERE v0.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v0.o_custkey IS DISTINCT FROM v2.o_custkey
+       OR v0.o_totalprice IS DISTINCT FROM v2.o_totalprice
+    """,
+)
+def q112_cdf_stored_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored change feed / O(changes) consumer poll (round 12,
+    streaming/cdc.py ``_write_feed``/``changes_since``): three versions
+    of an orders-derived table are published WITH write-time feeds
+    (inserts of the %3 keys, a +1-then-+2 double update on %5 keys, a
+    revert to the original price on %5∧%13 keys — the A→B→A corner
+    that must NET TO NOTHING, a delete of %7 keys with a %11 subset
+    re-inserted at 3× price — D-then-I netting to U), then every
+    pre-live SNAPSHOT is vacuumed away and ``changes_since(0)`` is
+    served purely from the stored feeds (the snapshot-diff fallback is
+    IMPOSSIBLE here — read(version=0) returns None). The oracle is the
+    plain SQL diff of the v0 and v2 states, so a netting bug (ghost
+    A→B→A rows, wrong pre-image on deletes, mis-ordered chain walk)
+    hash-fails. Eager table build like q107/q110/q111; per-(sf,pid)
+    workdir wiped at call start."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.operators.cdc import table_diff
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    v0 = base.where(k % 3 != 0)
+    # batch 1: insert %3 keys, +1 on %5 keys, delete %5'∧%7 keys
+    v1 = (
+        base.withColumn(
+            "o_totalprice",
+            F.when(k % 3 == 0, F.col("o_totalprice"))
+            .when(k % 5 == 0, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")),
+        ).where(~((k % 3 != 0) & (k % 5 != 0) & (k % 7 == 0)))
+    )
+    # batch 2: revert %5∧%13, push %5∧¬%13 to +2, re-insert %7∧%11 at 3x
+    v2 = (
+        base.withColumn(
+            "o_totalprice",
+            F.when(k % 3 == 0, F.col("o_totalprice"))
+            .when((k % 5 == 0) & (k % 13 == 0), F.col("o_totalprice"))
+            .when(k % 5 == 0, F.col("o_totalprice") + 2)
+            .when((k % 7 == 0) & (k % 11 == 0), F.col("o_totalprice") * 3)
+            .otherwise(F.col("o_totalprice")),
+        ).where(
+            ~((k % 3 != 0) & (k % 5 != 0) & (k % 7 == 0) & (k % 11 != 0))
+        )
+    )
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"q112_cdf_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = VersionedTable(os.path.join(workdir, "table"))
+    table.set_merge_spec(["o_orderkey"], "__seq", None)
+    # bootstrap stores an all-I feed too (as the CDC sink does): the
+    # feed chain must identify version 0 after its snapshot is vacuumed
+    table.publish(
+        v0, 0, feed=table_diff(v0.limit(0), v0, keys=["o_orderkey"], pre_col="__pre")
+    )
+    table.publish(
+        v1, 1, feed=table_diff(v0, v1, keys=["o_orderkey"], pre_col="__pre")
+    )
+    table.publish(
+        v2, 2, feed=table_diff(v1, v2, keys=["o_orderkey"], pre_col="__pre")
+    )
+    table.vacuum(keep=1)  # v0/v1 snapshots GONE: only the feed path can serve
+    return table.changes_since(spark, 0)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #
@@ -5079,10 +5188,27 @@ DRIVER_QUERIES = [
                                   # verified in REGISTRY.)
     "q108_video_frame_sample",    # RIFF/AVI decode + frame sampling
     "q109_table_diff",            # change-data-feed OUT (2.13f)
+                                  # (r12 window rotation, judge ask #2:
+                                  # q110 manifest file-skipping read +
+                                  # q111 bucket point lookup rotate IN —
+                                  # the two r11 additions without
+                                  # independent driver evidence; q25
+                                  # exact cosine top-k OUT: per-group
+                                  # top-k + cosine ranking evidence
+                                  # stays via q29 LSH top-k and q58 IVF
+                                  # top-k, which compute the same ranked
+                                  # cosine result through the scale
+                                  # paths; q84 explicit-HLL OUT: the
+                                  # sketch-estimate family stays driver-
+                                  # evidenced via q98 Count-Min heavy
+                                  # hitters + q103 histogram quantiles.
+                                  # Both remain bench+parity-verified in
+                                  # REGISTRY.)
+    "q110_stats_pruned_read",     # manifest file skipping (2.13i)
+    "q111_bucket_point_lookup",   # bucket-pruned point lookup (2.13l)
     "q22_quality_buckets",        # quality scoring
     "q23_exact_dedup",            # A5 exact dedup
     "q24_ngram_jaccard",          # n-gram Jaccard pairs
-    "q25_embedding_topk",         # exact ANN top-k
     "q26_embedding_neardup",      # embedding near-dup
     "q27_minhash_lsh",            # MinHash LSH
     "q28_simhash_neardup",        # SimHash
@@ -5121,7 +5247,6 @@ DRIVER_QUERIES = [
     "q58_ivf_topk",               # IVF ANN
     "q83_curation_funnel",        # quality->repetition->dedup funnel
     "q63_deterministic_splits",   # train/val/test splits
-    "q84_hll_explicit",           # HLL approx-distinct (oracle-checkable)
     "q65_token_chunks",           # training-window chunking
     "q85_events_hourly_stream",   # structured streaming drain (§2.10)
     "q68_repetition_filter",      # Gopher repetition filter

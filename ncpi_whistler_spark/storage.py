@@ -229,8 +229,10 @@ def compact_versioned(
             ).drop(BUCKET_COL)
         else:
             compacted = df
-        # publish() recomputes the bucket column and re-partitions by it
-        table.publish(compacted, version)
+        # publish() recomputes the bucket column and re-partitions by it;
+        # feed="empty" because compaction changes layout, not content —
+        # the stored-feed chain stays linked at zero rows
+        table.publish(compacted, version, feed="empty")
     else:
         files = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
         total_bytes = sum(os.path.getsize(f) for f in files)
@@ -240,7 +242,7 @@ def compact_versioned(
             df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
         else:
             df = df.coalesce(n) if n < len(files) else df.repartition(n)
-        table.publish(df, version)
+        table.publish(df, version, feed="empty")
     new_dir = table.current_dir()
     return len(glob.glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True))
 
