@@ -523,3 +523,98 @@ def test_kafka_branch_integration(spark):
         "k int, v string, __seq int, __op string",
     )
     assert df.isStreaming
+
+
+def test_cas_losing_publish_leaves_feed_uncommitted(spark, tmp_path):
+    """A CAS-losing publish's feed dir stays UNCOMMITTED — invisible to
+    changes_since (which would otherwise net a lost update into the
+    feed) — and vacuum reclaims it."""
+    path = str(tmp_path / "feedcas")
+    t0 = VersionedTable(path)
+    t0.set_merge_spec(["k"], "__seq", None)
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    t0.publish(base, 0, feed=table_diff(base.limit(0), base, keys=["k"], pre_col="__pre"))
+    a, b = VersionedTable(path), VersionedTable(path)
+    df_a = a.read(spark).withColumn("v", F.lit("A"))
+    df_b = b.read(spark).withColumn("v", F.lit("B"))
+    a.publish(df_a, 1, feed=table_diff(base, df_a, keys=["k"], pre_col="__pre"))
+    with pytest.raises(ConcurrentWriterError):
+        b.publish(df_b, 2, feed=table_diff(base, df_b, keys=["k"], pre_col="__pre"))
+    fresh = VersionedTable(path)
+    # the loser's feed exists on disk but is not committed
+    fdirs = os.listdir(os.path.join(path, "_changes"))
+    assert any(d.startswith("c=2-") for d in fdirs)
+    assert {m["version"] for m in fresh._committed_feeds()} == {0, 1}
+    # the poll reflects ONLY the winner
+    got = {(r["k"], r["change_op"]): r["v"] for r in fresh.changes_since(spark, 0).collect()}
+    assert got == {(1, "U"): "A"}
+    fresh.vacuum(keep=10)
+    assert not any(
+        d.startswith("c=2-") for d in os.listdir(os.path.join(path, "_changes"))
+    )
+
+
+def test_changes_since_feed_path_over_live_mor_chain(spark, tmp_path):
+    """A consumer polls while a merge-on-read chain is LIVE: the feed
+    chain's head is the last delta's pubseq, so the walk terminates at
+    the live (unfolded) state and the netted feed matches the resolved
+    snapshot diff."""
+    path = str(tmp_path / "feedlivemor")
+    table = VersionedTable(path, bucket_cols=["k"], num_buckets=N_BUCKETS)
+    sink = cdc_merge_sink(
+        spark, table, keys=["k"], seq_col="__seq", op_col="__op",
+        mode="mor", fold_every=0,
+    )
+    for i, b in enumerate(_batches(spark)):
+        sink(b, i)
+    assert table.current_chain()  # the chain really is live
+    expected = _sorted(
+        table_diff(table.read(spark, version=0), table.read(spark), keys=["k"])
+    )
+    out = table._changes_from_feeds(
+        spark, 0, table._read_pointer_full(), "change_op"
+    )
+    assert out is not None  # served from feeds, not the fallback
+    assert _sorted(out) == expected
+
+
+def test_fuzz_changes_since_nets_exactly(spark, tmp_path):
+    """Property fuzz for the netting algebra: random I/U/D histories
+    through the real sink, then for EVERY retained version the stored-
+    feed poll must equal the snapshot diff exactly — reverts, delete/
+    re-insert cycles, repeated updates, keys born and killed mid-
+    history, all of it."""
+    import random
+
+    for seed in (7, 23, 91):
+        rnd = random.Random(seed)
+        path = str(tmp_path / f"fuzz{seed}")
+        table = VersionedTable(path, bucket_cols=["k"], num_buckets=4)
+        sink = cdc_merge_sink(
+            spark, table, keys=["k"], seq_col="__seq", op_col="__op"
+        )
+        live: dict[int, tuple] = {}
+        n_batches = 4
+        for b in range(n_batches):
+            rows = []
+            for k in rnd.sample(range(1, 15), rnd.randint(1, 8)):
+                if k in live and rnd.random() < 0.3:
+                    rows.append((k, "x", 0.0, b + 1, "D"))
+                    live.pop(k, None)
+                else:
+                    # rnd.choice of a small value pool makes A->B->A
+                    # reverts likely across batches
+                    v = rnd.choice(["p", "q", "r"])
+                    amt = float(rnd.randint(0, 2))
+                    rows.append((k, v, amt, b + 1, "U"))
+                    live[k] = (v, amt)
+            sink(spark.createDataFrame(rows, SCHEMA), b)
+        versions = table.versions()
+        cur = table._read_pointer_full()
+        for v in versions[:-1]:
+            out = table._changes_from_feeds(spark, v, cur, "change_op")
+            assert out is not None, f"seed {seed}: feed chain broke at v{v}"
+            expected = table_diff(
+                table.read(spark, version=v), table.read(spark), keys=["k"]
+            )
+            assert _sorted(out) == _sorted(expected), f"seed {seed} v{v}"
