@@ -241,6 +241,21 @@ class VersionedTable:
         if existing is None:
             self._update_meta(merge_spec=spec)
 
+    def rebase_reset(self) -> None:
+        """Accept that another live writer exists and RE-SERIALIZE
+        against it instead of dying: forget the held lease (whose
+        takeover detection would otherwise fail this writer's next
+        publish loud) while leaving the stale CAS parent in place — the
+        caller must still rebuild its merge from a ``read(capture=True)``
+        re-bind before publishing again. This is the optimistic-RETRY
+        half of the commit protocol (what Delta/Iceberg do on a commit
+        conflict): the flock-CAS keeps serializing every commit; a
+        loser re-bases its still-pinned batch delta onto the winner's
+        state and tries again. Used by ``cdc_merge_sink(cas_retries=n)``;
+        calling it without then re-binding leaves the writer poisoned
+        (by design)."""
+        self._held_lease = False
+
     @property
     def _lease(self) -> str:
         return os.path.join(self.path, "_LEASE")
@@ -1892,6 +1907,7 @@ def cdc_merge_sink(
     feed_keep: int | None = None,
     fold_bytes_frac: float | None = None,
     compact_trigger: dict | None = None,
+    cas_retries: int = 0,
 ):
     """foreachBatch callable: merge each micro-batch of the change log
     into ``table``. The batch delta is always broadcast (a micro-batch
@@ -1954,6 +1970,20 @@ def cdc_merge_sink(
     and ``compact_trigger={"max_small_files": n, "small_file_mb": m}``
     compacts when the last publish wrote more than n files averaging
     under m MB (:meth:`VersionedTable.compaction_needed`).
+
+    ``cas_retries=n`` upgrades a commit CONFLICT from fail-loud to
+    optimistic retry-with-rebase (the other half of the Delta/Iceberg
+    commit protocol): a sink that loses the CAS race re-reads the
+    winner's state (``read(capture=True)``), re-derives its merge from
+    the pinned batch winners, and republishes — concurrent writers
+    SERIALIZE instead of one dying, and the loser's feed is recomputed
+    against the state it actually commits over. Correct because the
+    compacted batch is base-independent and the per-key cross-batch
+    seq-monotonicity contract already makes merge application
+    order-insensitive between non-overlapping writers; overlapping
+    keys serialize by commit order, same as MERGE under any
+    transactional table format. Default 0 = strict single-writer
+    fail-loud (unchanged behavior).
     """
     if null_key_policy not in ("error", "drop"):
         raise ValueError(f"null_key_policy must be error|drop, got {null_key_policy!r}")
@@ -1995,22 +2025,6 @@ def cdc_merge_sink(
                     "effect. Fix the feed or use null_key_policy='drop'."
                 )
 
-        base = table.read(s)
-        if base is None:
-            drop = {seq_col} | ({op_col} if op_col else set())
-            base_cols = [c for c in mb.columns if c not in drop]
-            base = mb.select(*base_cols).where(F.lit(False))
-        kw = dict(
-            keys=keys,
-            seq_col=seq_col,
-            op_col=op_col,
-            delete_op=delete_op,
-            broadcast_delta=True,
-            evolve=evolve,
-        )
-        widening = evolve and any(
-            c not in set(base.columns) | {seq_col, op_col} for c in mb.columns
-        )
         # persist the merge spec up front: stored-feed netting and any
         # reader-side MOR fold need it, regardless of publish mode
         table.set_merge_spec(keys, seq_col, op_col, delete_op)
@@ -2024,67 +2038,110 @@ def cdc_merge_sink(
                 op_col, delete_op,
             )
 
-        if mode == "mor" and table.current_dir() is not None:
-            # merge-on-READ: compact, publish the delta alone, re-base
-            # only when chain length or byte pressure warrants it
-            latest = latest_change_per_key(mb, keys, seq_col).localCheckpoint(
-                eager=True
+        # the compacted batch is base-INDEPENDENT: pin it once and every
+        # rebase retry reuses the same winners (and the null check)
+        memo: dict = {}
+
+        def _latest() -> DataFrame:
+            if "df" not in memo:
+                memo["df"] = latest_change_per_key(
+                    mb, keys, seq_col
+                ).localCheckpoint(eager=True)
+                _reject_null_keys(memo["df"])
+            return memo["df"]
+
+        def _apply(rebase: bool) -> None:
+            base = table.read(s, capture=True if rebase else None)
+            if base is None:
+                drop = {seq_col} | ({op_col} if op_col else set())
+                base_cols = [c for c in mb.columns if c not in drop]
+                base = mb.select(*base_cols).where(F.lit(False))
+            kw = dict(
+                keys=keys,
+                seq_col=seq_col,
+                op_col=op_col,
+                delete_op=delete_op,
+                broadcast_delta=True,
+                evolve=evolve,
             )
-            _reject_null_keys(latest)
-            feed = (
-                _feed_for(latest, table._pre_images(s, latest, keys))
-                if store_feed
-                else None
+            widening = evolve and any(
+                c not in set(base.columns) | {seq_col, op_col}
+                for c in mb.columns
             )
-            table.publish_delta(latest, int(batch_id), feed=feed)
-            if (fold_every and len(table.current_chain()) >= fold_every) or (
-                fold_bytes_frac is not None
-                and table.chain_pressure() >= fold_bytes_frac
-            ):
-                table.fold(s)
-        elif (
-            table.num_buckets is not None
-            and table.current_dir() is not None
-            and not widening
-        ):
-            if table.current_chain():
-                table.fold(s)  # a cow publish must not strand MOR deltas
-            # Compact ONCE, pin the (micro-batch-sized) winners, and
-            # derive the changed-bucket set from them; the same frame
-            # feeds the merge (re-compacting an already-compacted delta
-            # is a no-op on |keys| rows) and the null check.
-            latest = latest_change_per_key(mb, keys, seq_col).localCheckpoint(
-                eager=True
-            )
-            _reject_null_keys(latest)
-            changed = sorted(
-                r[0]
-                for r in latest.select(
-                    table._bucket_expr().alias("b")
-                ).distinct().collect()
-            )
-            base_sub = table.read_buckets(s, changed)
-            merged_sub = merge_upsert(base_sub, latest, **kw)
-            feed = None
-            if store_feed:
-                # pre-images: one broadcast-semi pass over the changed
-                # buckets the merge reads anyway — no extra shuffle
-                pre = base_sub.join(
-                    F.broadcast(latest.select(*keys)), on=keys, how="left_semi"
+            if mode == "mor" and table.current_dir() is not None:
+                # merge-on-READ: compact, publish the delta alone,
+                # re-base only when chain length or byte pressure says so
+                latest = _latest()
+                feed = (
+                    _feed_for(latest, table._pre_images(s, latest, keys))
+                    if store_feed
+                    else None
                 )
-                feed = _feed_for(latest, pre)
-            table.publish_incremental(
-                merged_sub, int(batch_id), changed, feed=feed
-            )
-        else:
-            _reject_null_keys(mb)
-            merged = merge_upsert(base, mb, **kw)
-            feed = None
-            if store_feed and not widening:
-                # full-publish regime (bootstrap / unbucketed): the
-                # publish is O(base) already, so the snapshot diff is too
-                feed = table_diff(base, merged, keys=keys, pre_col="__pre")
-            table.publish(merged, int(batch_id), feed=feed)
+                table.publish_delta(latest, int(batch_id), feed=feed)
+                if (fold_every and len(table.current_chain()) >= fold_every) or (
+                    fold_bytes_frac is not None
+                    and table.chain_pressure() >= fold_bytes_frac
+                ):
+                    table.fold(s)
+            elif (
+                table.num_buckets is not None
+                and table.current_dir() is not None
+                and not widening
+            ):
+                if table.current_chain():
+                    table.fold(s)  # a cow publish must not strand MOR deltas
+                # Compact ONCE, pin the (micro-batch-sized) winners, and
+                # derive the changed-bucket set from them; the same frame
+                # feeds the merge (re-compacting an already-compacted
+                # delta is a no-op on |keys| rows) and the null check.
+                latest = _latest()
+                changed = sorted(
+                    r[0]
+                    for r in latest.select(
+                        table._bucket_expr().alias("b")
+                    ).distinct().collect()
+                )
+                base_sub = table.read_buckets(s, changed)
+                merged_sub = merge_upsert(base_sub, latest, **kw)
+                feed = None
+                if store_feed:
+                    # pre-images: one broadcast-semi pass over the changed
+                    # buckets the merge reads anyway — no extra shuffle
+                    pre = base_sub.join(
+                        F.broadcast(latest.select(*keys)),
+                        on=keys,
+                        how="left_semi",
+                    )
+                    feed = _feed_for(latest, pre)
+                table.publish_incremental(
+                    merged_sub, int(batch_id), changed, feed=feed
+                )
+            else:
+                _reject_null_keys(mb)
+                merged = merge_upsert(base, mb, **kw)
+                feed = None
+                if store_feed and not widening:
+                    # full-publish regime (bootstrap / unbucketed): the
+                    # publish is O(base) already, so the snapshot diff
+                    # is too
+                    feed = table_diff(base, merged, keys=keys, pre_col="__pre")
+                table.publish(merged, int(batch_id), feed=feed)
+
+        # optimistic retry-with-rebase (Delta/Iceberg commit-conflict
+        # semantics): a CAS loser re-reads the winner's state, re-merges
+        # its pinned batch delta, and tries again — every retry is a
+        # FULL re-derivation from a fresh capture=True bind, so the
+        # lost-update guarantee is untouched; cas_retries=0 (default)
+        # keeps strict single-writer fail-loud behavior.
+        attempts = max(0, int(cas_retries)) + 1
+        for att in range(attempts):
+            try:
+                _apply(rebase=att > 0)
+                break
+            except ConcurrentWriterError:
+                if att + 1 >= attempts:
+                    raise
+                table.rebase_reset()
         if compact_every and (int(batch_id) + 1) % compact_every == 0:
             from ncpi_whistler_spark.storage import compact_versioned
 
@@ -2196,6 +2253,7 @@ def run_cdc_stream(
     feed_keep: int | None = None,
     fold_bytes_frac: float | None = None,
     compact_trigger: dict | None = None,
+    cas_retries: int = 0,
 ) -> VersionedTable:
     """Drain the change feed into the versioned table at ``table_path``
     (``availableNow`` trigger — call again after more data arrives; the
@@ -2235,6 +2293,7 @@ def run_cdc_stream(
                 feed_keep=feed_keep,
                 fold_bytes_frac=fold_bytes_frac,
                 compact_trigger=compact_trigger,
+                cas_retries=cas_retries,
             )
         )
         .option("checkpointLocation", cp)

@@ -618,3 +618,119 @@ def test_fuzz_changes_since_nets_exactly(spark, tmp_path):
                 table.read(spark, version=v), table.read(spark), keys=["k"]
             )
             assert _sorted(out) == _sorted(expected), f"seed {seed} v{v}"
+
+
+# -- round-12: optimistic retry-with-rebase (cas_retries) -------------------
+
+
+def _race_delta(spark, k, val, seq):
+    return spark.createDataFrame([(k, val, 0.0, seq, "U")], SCHEMA)
+
+
+def test_cas_retry_rebases_and_serializes(spark, tmp_path, monkeypatch):
+    """A TRUE mid-batch race: writer A commits between B's base read and
+    B's pointer swap (injected inside B's publish, before the flock).
+    With cas_retries, B's sink loses the CAS, re-binds the winner's
+    state, re-merges its pinned batch, and commits — BOTH writers'
+    updates survive, serialized, and the stored-feed chain stays intact
+    across the rebase (changes_since works with all old snapshots
+    vacuumed)."""
+    path = str(tmp_path / "rebase")
+    boot = spark.createDataFrame(
+        [(i, f"v{i}", float(i), 1, "I") for i in range(1, 21)], SCHEMA
+    )
+    b_table = VersionedTable(path, bucket_cols=["k"], num_buckets=4)
+    sink_b = cdc_merge_sink(
+        spark, b_table, keys=["k"], seq_col="__seq", op_col="__op",
+        cas_retries=2,
+    )
+    sink_b(boot, 0)
+
+    orig = VersionedTable._next_pubseq
+    fired = {"done": False}
+
+    def hook(self):
+        if self is b_table and not fired["done"]:
+            fired["done"] = True  # A wins exactly one race
+            a = VersionedTable(path)
+            old = a.read(spark, capture=True)
+            new = old.withColumn(
+                "v", F.when(F.col("k") == 1, F.lit("A")).otherwise(F.col("v"))
+            )
+            a.publish(
+                new, 90, feed=table_diff(old, new, keys=["k"], pre_col="__pre")
+            )
+            b_table.rebase_reset()  # B accepts A's lease takeover
+        return orig(self)
+
+    monkeypatch.setattr(VersionedTable, "_next_pubseq", hook)
+    sink_b(_race_delta(spark, 2, "B", 2), 1)  # loses once, rebases, wins
+    monkeypatch.setattr(VersionedTable, "_next_pubseq", orig)
+
+    fresh = VersionedTable(path)
+    rows = {r["k"]: r["v"] for r in fresh.read(spark).collect()}
+    assert rows[1] == "A" and rows[2] == "B"  # both writers survived
+    # the loser's UNCOMMITTED directory (first attempt) is vacuum food
+    expected = _sorted(
+        table_diff(fresh.read(spark, version=0), fresh.read(spark), keys=["k"])
+    )
+    fresh.vacuum(keep=1)  # snapshots gone: only the feed chain can serve
+    out = fresh.changes_since(spark, 0)
+    assert out is not None and _sorted(out) == expected
+
+
+def test_cas_retry_exhaustion_fails_loud(spark, tmp_path, monkeypatch):
+    """When every retry ALSO loses the race (a pathological writer
+    storm), the sink still fails loud after cas_retries attempts — the
+    retry loop can never silently drop an update."""
+    path = str(tmp_path / "rebase_exhaust")
+    boot = spark.createDataFrame(
+        [(i, f"v{i}", float(i), 1, "I") for i in range(1, 11)], SCHEMA
+    )
+    b_table = VersionedTable(path, bucket_cols=["k"], num_buckets=4)
+    sink_b = cdc_merge_sink(
+        spark, b_table, keys=["k"], seq_col="__seq", op_col="__op",
+        cas_retries=1,
+    )
+    sink_b(boot, 0)
+
+    orig = VersionedTable._next_pubseq
+    state = {"n": 0}
+
+    def hook(self):
+        if self is b_table:
+            state["n"] += 1
+            a = VersionedTable(path)
+            new = a.read(spark, capture=True).withColumn(
+                "amt", F.col("amt") + 1
+            )
+            a.publish(new, 90 + state["n"])
+            b_table.rebase_reset()
+        return orig(self)
+
+    monkeypatch.setattr(VersionedTable, "_next_pubseq", hook)
+    with pytest.raises(ConcurrentWriterError):
+        sink_b(_race_delta(spark, 2, "B", 2), 1)
+    monkeypatch.setattr(VersionedTable, "_next_pubseq", orig)
+    # A's last update is intact; B's never became visible
+    rows = {r["k"]: r["v"] for r in VersionedTable(path).read(spark).collect()}
+    assert rows[2] == "v2"
+
+
+def test_cas_retries_zero_keeps_fail_loud_default(spark, tmp_path):
+    """Default cas_retries=0: the stale-bound writer still dies on the
+    first conflict (the r11 strict single-writer contract)."""
+    path = str(tmp_path / "rebase_off")
+    boot = spark.createDataFrame(
+        [(i, f"v{i}", float(i), 1, "I") for i in range(1, 11)], SCHEMA
+    )
+    b_table = VersionedTable(path, bucket_cols=["k"], num_buckets=4)
+    sink_b = cdc_merge_sink(
+        spark, b_table, keys=["k"], seq_col="__seq", op_col="__op"
+    )
+    sink_b(boot, 0)
+    b_table.read(spark)  # binds the CAS parent to the current state
+    a = VersionedTable(path)
+    a.publish(a.read(spark, capture=True).withColumn("v", F.lit("A")), 90)
+    with pytest.raises(ConcurrentWriterError):
+        sink_b(_race_delta(spark, 2, "B", 2), 1)
