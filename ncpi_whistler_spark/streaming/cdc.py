@@ -886,17 +886,24 @@ class VersionedTable:
         return p[1] if p else 0
 
     def _write_feed(self, dirname: str, version: int, feed) -> str:
-        """Persist one publish's compacted I/U/D feed into
-        ``_changes/c=<same triple as the version dir>`` BEFORE the
-        commit, recording {version, pubseq, parent_pubseq} so feeds form
-        an unbroken chain keyed by publish sequence (parent = the state
+        """Persist one publish's compacted I/U/D feed BEFORE the commit,
+        recording {version, pubseq, parent_pubseq} so feeds form an
+        unbroken chain keyed by publish sequence (parent = the state
         this writer CAS-captured, i.e. exactly what the feed diffs
         from). ``feed`` is a DataFrame in :func:`table_diff` shape with
         a ``__pre`` pre-image struct, or the string ``"empty"`` for
         publishes that change layout but not content (fold, compaction)
-        — those keep the chain linked at zero rows. The feed becomes
-        readable only once :meth:`_commit` marks it (a CAS-losing
-        publish leaves an uncommitted feed dir for vacuum)."""
+        — those keep the chain linked at zero rows. Rows are stamped
+        with ``__version``/``__pubseq`` so consumers (including the
+        :func:`feed_stream` streaming source) get cross-publish
+        ordering and a ready-made merge seq without re-deriving it.
+
+        The feed is STAGED under a dot-prefixed directory (invisible to
+        Spark file listings and to :meth:`_committed_feeds`) and
+        atomically renamed into ``_changes/c=<triple>`` by
+        :meth:`_commit` AFTER the pointer swap — so a file STREAM over
+        ``_changes/c=*`` can never observe a CAS-losing or torn feed;
+        the stage dir of an aborted publish is vacuum food."""
         import json
 
         parsed = self._parse_dirname(dirname)
@@ -906,7 +913,7 @@ class VersionedTable:
             self._parse_pointer(raw) if isinstance(raw, str) else None
         )
         parent_pubseq = self._state_pubseq(parent_full) if parent_full else 0
-        fdir = os.path.join(self._changes_dir, "c=" + dirname[2:])
+        stage = os.path.join(self._changes_dir, ".stage-" + dirname[2:])
         meta = {
             "version": int(version),
             "pubseq": int(pubseq),
@@ -914,23 +921,35 @@ class VersionedTable:
             "empty": feed == "empty",
         }
         if feed == "empty":
-            os.makedirs(fdir, exist_ok=True)
+            os.makedirs(stage, exist_ok=True)
         else:
-            feed.write.mode("overwrite").parquet(fdir)
+            feed = feed.withColumn("__version", F.lit(int(version))).withColumn(
+                "__pubseq", F.lit(int(pubseq))
+            )
+            feed.write.mode("overwrite").parquet(stage)
             files = [
                 f
-                for f in os.listdir(fdir)
+                for f in os.listdir(stage)
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
             ]
             if not files:  # 0-row write may materialize no data files
                 meta["empty"] = True
             else:
-                meta["columns"] = [c for c in feed.columns if c != "__pre"]
-        tmp = os.path.join(fdir, "_FEEDMETA.tmp")
+                meta["columns"] = [
+                    c
+                    for c in feed.columns
+                    if c not in ("__pre", "__version", "__pubseq")
+                ]
+        tmp = os.path.join(stage, "_FEEDMETA.tmp")
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
-        os.replace(tmp, os.path.join(fdir, "_FEEDMETA"))
-        return os.path.basename(fdir)
+        os.replace(tmp, os.path.join(stage, "_FEEDMETA"))
+        # the commit marker travels INSIDE the staged dir: after the
+        # atomic rename the feed is committed-by-construction, and the
+        # marker keeps _committed_feeds' check uniform
+        with open(os.path.join(stage, _COMMIT_MARKER), "w") as fh:
+            fh.write(self._token)
+        return os.path.basename(stage)
 
     def _committed_feeds(self) -> list[dict]:
         import json
@@ -957,9 +976,10 @@ class VersionedTable:
     def stored_feed(self, spark: SparkSession, version: int) -> DataFrame | None:
         """The change feed stored at publish time for ``version`` (the
         winning — highest-pubseq — committed publish of that id):
-        :func:`table_diff` shape plus the ``__pre`` pre-image struct.
-        None when that publish stored no feed or stored the empty
-        marker (fold/compaction)."""
+        :func:`table_diff` shape plus the ``__pre`` pre-image struct
+        and the ``__version``/``__pubseq`` publish stamps. None when
+        that publish stored no feed or stored the empty marker
+        (fold/compaction)."""
         cands = [m for m in self._committed_feeds() if m["version"] == version]
         if not cands:
             return None
@@ -1024,14 +1044,16 @@ class VersionedTable:
         pay = [
             c
             for c in cols_meta
-            if c not in set(keys) | {"change_op", "__pre", "__feed_seq"}
+            if c
+            not in set(keys) | {"change_op", "__pre", "__version", "__pubseq"}
         ]
         if not pay:
             return None
+        # every stored feed row is stamped with its publish sequence
+        # (__pubseq) at write time — the netting order needs no join-
+        # time bookkeeping and streaming consumers get it for free
         dfs = [
-            spark.read.parquet(
-                os.path.join(self._changes_dir, m["dirname"])
-            ).withColumn("__feed_seq", F.lit(int(m["pubseq"])))
+            spark.read.parquet(os.path.join(self._changes_dir, m["dirname"]))
             for m in non_empty
         ]
         feed = functools.reduce(DataFrame.unionByName, dfs)
@@ -1039,14 +1061,14 @@ class VersionedTable:
             F.struct(
                 F.col("change_op").alias("op"), F.col("__pre").alias("pre")
             ),
-            F.col("__feed_seq"),
+            F.col("__pubseq"),
         ).alias("__f")
         last = F.max_by(
             F.struct(
                 F.col("change_op").alias("op"),
                 F.struct(*[F.col(c) for c in pay]).alias("row"),
             ),
-            F.col("__feed_seq"),
+            F.col("__pubseq"),
         ).alias("__l")
         g = feed.groupBy(*[F.col(k) for k in keys]).agg(first, last)
         fop, lop = F.col("__f.op"), F.col("__l.op")
@@ -1398,18 +1420,22 @@ class VersionedTable:
                     fh.write("\n".join(lines) + "\n")
                 os.replace(tmp, self._pointer)  # atomic on POSIX
                 if feed_dirname is not None:
-                    # marking the stored feed readable is best-effort: the
-                    # publish IS committed once the pointer swapped; an
-                    # unmarked feed only breaks the feed chain, which
-                    # changes_since detects and falls back on
+                    # publishing the stored feed = ONE atomic dir rename
+                    # out of the dot-prefixed stage, so feed consumers
+                    # (including streaming ones listing _changes/c=*)
+                    # can never observe a torn or CAS-losing feed.
+                    # Best-effort: the publish IS committed once the
+                    # pointer swapped; a lost rename only breaks the
+                    # feed chain, which changes_since detects and falls
+                    # back on.
                     try:
-                        with open(
+                        os.rename(
+                            os.path.join(self._changes_dir, feed_dirname),
                             os.path.join(
-                                self._changes_dir, feed_dirname, _COMMIT_MARKER
+                                self._changes_dir,
+                                "c=" + feed_dirname[len(".stage-"):],
                             ),
-                            "w",
-                        ) as fh:
-                            fh.write(self._token)
+                        )
                     except OSError:
                         pass
             except BaseException:
@@ -1793,6 +1819,12 @@ class VersionedTable:
         removed = []
         kept_feeds = []
         for n in os.listdir(fd):
+            if n.startswith(".stage-"):
+                # an aborted publish's staged feed (CAS loser / crash
+                # before the commit rename) — never visible to readers
+                shutil.rmtree(os.path.join(fd, n), ignore_errors=True)
+                removed.append(os.path.join("_changes", n))
+                continue
             if not n.startswith("c="):
                 continue
             if not os.path.exists(os.path.join(fd, n, _COMMIT_MARKER)):
@@ -2175,6 +2207,48 @@ def parse_kafka_changes(raw: DataFrame, schema) -> DataFrame:
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("c")
     ).select("c.*")
+
+
+def feed_stream(
+    spark: SparkSession, table: VersionedTable, drop_pre: bool = True
+) -> DataFrame:
+    """Structured-streaming SOURCE over a VersionedTable's stored change
+    feed — the engine's equivalent of a table format's streaming change
+    feed (Delta's ``readChangeFeed`` in streaming mode): each committed
+    publish's compacted I/U/D rows arrive as newly-listed files, stamped
+    with ``__version``/``__pubseq`` so a downstream pipeline can window,
+    order, or ``merge_upsert(seq_col="__pubseq")`` them directly.
+
+    Safe by construction: a feed becomes visible ONLY via the commit's
+    atomic directory rename out of a dot-prefixed stage, so this stream
+    can never observe a torn or CAS-losing feed — no marker checks
+    needed in the consumer. ``recursiveFileLookup`` disables partition
+    discovery (the ``c=`` dirnames would otherwise be inferred as a
+    partition column) and Spark's hidden-file filter skips the staged
+    and meta entries. Schema is taken from an existing committed
+    non-empty feed (bootstrap the table through the sink first). The
+    ``__pre`` pre-image struct is dropped by default — appliers need
+    only post-image + op; pass ``drop_pre=False`` for audit consumers.
+
+    Retention contract: vacuum's ``feed_keep`` must out-last the
+    slowest stream consumer exactly as version retention must out-last
+    the slowest snapshot reader."""
+    non_empty = [m for m in table._committed_feeds() if not m.get("empty")]
+    if not non_empty:
+        raise ValueError(
+            f"VersionedTable at {table.path} has no committed non-empty "
+            "stored feed to infer the stream schema from; publish through "
+            "cdc_merge_sink (store_feed=True, the default) first"
+        )
+    sample = spark.read.parquet(
+        os.path.join(table._changes_dir, non_empty[0]["dirname"])
+    )
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(table._changes_dir)
+    )
+    return stream.drop("__pre") if drop_pre else stream
 
 
 def kafka_source_options(conf: dict) -> dict:

@@ -541,16 +541,18 @@ def test_cas_losing_publish_leaves_feed_uncommitted(spark, tmp_path):
     with pytest.raises(ConcurrentWriterError):
         b.publish(df_b, 2, feed=table_diff(base, df_b, keys=["k"], pre_col="__pre"))
     fresh = VersionedTable(path)
-    # the loser's feed exists on disk but is not committed
+    # the loser's feed never left the dot-prefixed stage (invisible to
+    # readers AND to any file stream listing _changes)
     fdirs = os.listdir(os.path.join(path, "_changes"))
-    assert any(d.startswith("c=2-") for d in fdirs)
+    assert any(d.startswith(".stage-2-") for d in fdirs)
+    assert not any(d.startswith("c=2-") for d in fdirs)
     assert {m["version"] for m in fresh._committed_feeds()} == {0, 1}
     # the poll reflects ONLY the winner
     got = {(r["k"], r["change_op"]): r["v"] for r in fresh.changes_since(spark, 0).collect()}
     assert got == {(1, "U"): "A"}
     fresh.vacuum(keep=10)
     assert not any(
-        d.startswith("c=2-") for d in os.listdir(os.path.join(path, "_changes"))
+        d.startswith(".stage-") for d in os.listdir(os.path.join(path, "_changes"))
     )
 
 
@@ -734,3 +736,70 @@ def test_cas_retries_zero_keeps_fail_loud_default(spark, tmp_path):
     a.publish(a.read(spark, capture=True).withColumn("v", F.lit("A")), 90)
     with pytest.raises(ConcurrentWriterError):
         sink_b(_race_delta(spark, 2, "B", 2), 1)
+
+
+# -- round-12: streaming CDF consumer (feed_stream) --------------------------
+
+
+def test_feed_stream_consumes_committed_changes_incrementally(spark, tmp_path):
+    """feed_stream is a Structured Streaming source over the stored
+    feed: a drain picks up every committed publish's I/U/D rows exactly
+    once (checkpointed file source), a later publish arrives on the
+    next drain without re-delivering history, and a CAS-losing writer's
+    staged feed is never observed."""
+    from ncpi_whistler_spark.streaming.cdc import feed_stream
+
+    path = str(tmp_path / "cdfstream")
+    table, sink = _apply_batches(
+        spark, path, bucket_cols=["k"], num_buckets=N_BUCKETS
+    )
+    out_dir = str(tmp_path / "consumer_out")
+    cp = str(tmp_path / "consumer_cp")
+
+    def drain():
+        q = (
+            feed_stream(spark, table)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+
+    # plant a CAS-loser's staged feed: it must never reach the consumer
+    a, b = VersionedTable(path), VersionedTable(path)
+    df_a = a.read(spark, capture=True)
+    df_b = b.read(spark, capture=True).withColumn("v", F.lit("LOST"))
+    a.publish(df_a.withColumn("v", F.upper(F.col("v"))), 50,
+              feed=table_diff(df_a, df_a.withColumn("v", F.upper(F.col("v"))),
+                              keys=["k"], pre_col="__pre"))
+    with pytest.raises(ConcurrentWriterError):
+        b.publish(df_b, 51, feed=table_diff(df_a, df_b, keys=["k"], pre_col="__pre"))
+
+    drain()
+    got = spark.read.parquet(out_dir)
+    assert got.where(F.col("v") == "LOST").count() == 0  # loser invisible
+    # exactly the union of the committed stored feeds (post-image + op)
+    expected = []
+    for ver in (0, 1, 2, 50):
+        sf = table.stored_feed(spark, ver)
+        if sf is not None:
+            expected += _sorted(sf.drop("__pre"))
+    assert _sorted(got) == sorted(expected)
+    n_first = got.count()
+    # a new publish arrives incrementally — no re-delivery of history
+    more = spark.createDataFrame([(2, "later", 9.9, 9, "U")], SCHEMA)
+    fresh_sink = cdc_merge_sink(
+        spark, VersionedTable(path), keys=["k"], seq_col="__seq",
+        op_col="__op",
+    )
+    fresh_sink(more, 60)
+    drain()
+    got2 = spark.read.parquet(out_dir)
+    new_rows = _sorted(got2.where(F.col("__version") == 60))
+    assert len(new_rows) == 1 and new_rows[0][1] == "later"
+    assert got2.count() == n_first + 1  # history delivered exactly once
+    # ordering/merge stamps are usable directly by a consumer
+    assert {"__version", "__pubseq"} <= set(got2.columns)
