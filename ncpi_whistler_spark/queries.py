@@ -5119,6 +5119,117 @@ def q112_cdf_stored_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.changes_since(spark, 0)
 
 
+@query(
+    "q113_cdf_stream_mirror",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE
+             WHEN o_orderkey % 3 = 0 THEN o_totalprice
+             WHEN o_orderkey % 5 = 0 AND o_orderkey % 13 = 0 THEN o_totalprice
+             WHEN o_orderkey % 5 = 0 THEN o_totalprice + 2
+             WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 = 0 THEN o_totalprice * 3
+             ELSE o_totalprice
+           END AS o_totalprice
+    FROM base
+    WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+               AND o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)
+    """,
+)
+def q113_cdf_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF producer→consumer loop (round 12,
+    streaming/cdc.feed_stream): table A goes through the same three
+    feed-publishing versions as q112, then table B subscribes to A's
+    stored feed as a Structured Streaming SOURCE (committed feeds only
+    — the commit's atomic rename is what the stream lists) and applies
+    it through its own cdc_merge_sink keyed on the write-time
+    ``__pubseq`` stamp. The returned result is TABLE B — so the oracle
+    (A's final state in plain SQL) hash-fails if the stream delivers a
+    torn/uncommitted feed, misses one, double-applies history, or the
+    stamps mis-order the merge. Eager build like q107/q112;
+    per-(sf,pid) workdir wiped at call start."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.operators.cdc import table_diff
+    from ncpi_whistler_spark.streaming.cdc import (
+        VersionedTable,
+        cdc_merge_sink,
+        feed_stream,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    v0 = base.where(k % 3 != 0)
+    v1 = (
+        base.withColumn(
+            "o_totalprice",
+            F.when(k % 3 == 0, F.col("o_totalprice"))
+            .when(k % 5 == 0, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")),
+        ).where(~((k % 3 != 0) & (k % 5 != 0) & (k % 7 == 0)))
+    )
+    v2 = (
+        base.withColumn(
+            "o_totalprice",
+            F.when(k % 3 == 0, F.col("o_totalprice"))
+            .when((k % 5 == 0) & (k % 13 == 0), F.col("o_totalprice"))
+            .when(k % 5 == 0, F.col("o_totalprice") + 2)
+            .when((k % 7 == 0) & (k % 11 == 0), F.col("o_totalprice") * 3)
+            .otherwise(F.col("o_totalprice")),
+        ).where(
+            ~((k % 3 != 0) & (k % 5 != 0) & (k % 7 == 0) & (k % 11 != 0))
+        )
+    )
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"q113_mir_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    a = VersionedTable(os.path.join(workdir, "a"))
+    a.set_merge_spec(["o_orderkey"], "__seq", None)
+    a.publish(
+        v0, 0, feed=table_diff(v0.limit(0), v0, keys=["o_orderkey"], pre_col="__pre")
+    )
+    a.publish(
+        v1, 1, feed=table_diff(v0, v1, keys=["o_orderkey"], pre_col="__pre")
+    )
+    a.publish(
+        v2, 2, feed=table_diff(v1, v2, keys=["o_orderkey"], pre_col="__pre")
+    )
+    if not any(not m.get("empty") for m in a._committed_feeds()):
+        return v2.limit(0)  # empty-input totality: nothing ever changed
+    b = VersionedTable(os.path.join(workdir, "b"))
+    q = (
+        feed_stream(spark, a)
+        .drop("__version")
+        .writeStream.foreachBatch(
+            cdc_merge_sink(
+                spark, b, keys=["o_orderkey"], seq_col="__pubseq",
+                op_col="change_op",
+            )
+        )
+        .option("checkpointLocation", os.path.join(workdir, "cp"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q113: feed stream did not drain within 300 s")
+    q.stop()
+    return b.read(spark)
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #

@@ -803,3 +803,47 @@ def test_feed_stream_consumes_committed_changes_incrementally(spark, tmp_path):
     assert got2.count() == n_first + 1  # history delivered exactly once
     # ordering/merge stamps are usable directly by a consumer
     assert {"__version", "__pubseq"} <= set(got2.columns)
+
+
+def test_downstream_table_mirrors_source_via_feed_stream(spark, tmp_path):
+    """The full CDC producer->consumer loop: table B subscribes to
+    table A's stored feed with feed_stream and applies it through its
+    own cdc_merge_sink (op=change_op, seq=__pubseq) — after draining, B
+    is byte-identical to A, across updates, deletes, re-inserts, and a
+    later incremental publish."""
+    from ncpi_whistler_spark.streaming.cdc import feed_stream, run_cdc_stream
+
+    path_a = str(tmp_path / "src_table")
+    table_a, sink_a = _apply_batches(
+        spark, path_a, bucket_cols=["k"], num_buckets=N_BUCKETS
+    )
+    path_b = str(tmp_path / "mirror_table")
+    table_b = VersionedTable(path_b, bucket_cols=["k"], num_buckets=N_BUCKETS)
+    cp = str(tmp_path / "mirror_cp")
+
+    def mirror():
+        q = (
+            feed_stream(spark, table_a)
+            .drop("__version")  # metadata stamp; __pubseq is the merge seq
+            .writeStream.foreachBatch(
+                cdc_merge_sink(
+                    spark, table_b, keys=["k"], seq_col="__pubseq",
+                    op_col="change_op",
+                )
+            )
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+
+    mirror()
+    assert _sorted(table_b.read(spark)) == _sorted(table_a.read(spark))
+    # a later change on A flows through on the next drain
+    sink_a(spark.createDataFrame([(2, "flow", 1.5, 9, "U"), (4, "x", 0.0, 9, "D")], SCHEMA), 5)
+    mirror()
+    assert _sorted(table_b.read(spark)) == _sorted(table_a.read(spark))
+    rows = {r["k"]: r["v"] for r in table_b.read(spark).collect()}
+    assert rows[2] == "flow" and 4 not in rows
