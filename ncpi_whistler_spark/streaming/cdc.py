@@ -1731,6 +1731,7 @@ class VersionedTable:
         keep: int = 2,
         keep_age_s: float | None = None,
         feed_keep: int | None = None,
+        feed_keep_age_s: float | None = None,
     ) -> list[str]:
         """Remove unreferenced version directories: every UNCOMMITTED
         orphan goes first, then superseded committed versions beyond the
@@ -1757,8 +1758,11 @@ class VersionedTable:
         with ``feed_keep`` set only the newest N committed stored feeds
         survive — consumers polling further back than that fall back to
         snapshot diffs (bounded by version retention) or re-bootstrap.
-        Uncommitted feed orphans (CAS losers, crashes) are always
-        removed."""
+        ``feed_keep_age_s`` is the age-based twin (mirroring
+        ``keep_age_s``): feeds younger than the horizon survive a
+        publish burst regardless of ``feed_keep``, so a poll/stream
+        consumer with a bounded lag always finds its chain. Uncommitted
+        feed orphans (CAS losers, crashes) are always removed."""
         import time
 
         ptr = self._read_pointer_full()
@@ -1804,15 +1808,20 @@ class VersionedTable:
                 continue
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             removed.append(d)
-        removed += self._vacuum_feeds(feed_keep)
+        removed += self._vacuum_feeds(feed_keep, feed_keep_age_s)
         self._rollup_metrics()
         return removed
 
-    def _vacuum_feeds(self, feed_keep: int | None) -> list[str]:
+    def _vacuum_feeds(
+        self, feed_keep: int | None, feed_keep_age_s: float | None = None
+    ) -> list[str]:
         """Feed-log retention: drop uncommitted feed orphans always, and
         — with ``feed_keep`` — committed feeds beyond the newest N (by
-        pubseq). Never called mid-publish (single-writer housekeeping,
-        same contract as version-dir vacuum)."""
+        pubseq), except any younger than ``feed_keep_age_s``. Never
+        called mid-publish (single-writer housekeeping, same contract
+        as version-dir vacuum)."""
+        import time
+
         fd = self._changes_dir
         if not os.path.isdir(fd):
             return []
@@ -1834,8 +1843,22 @@ class VersionedTable:
             p = self._parse_dirname("v=" + n[2:])
             kept_feeds.append((p[1] if p else 0, n))
         if feed_keep is not None:
+            horizon = (
+                time.time() - feed_keep_age_s
+                if feed_keep_age_s is not None
+                else None
+            )
             kept_feeds.sort(reverse=True)
             for _, n in kept_feeds[max(feed_keep, 0):]:
+                if horizon is not None:
+                    try:
+                        if (
+                            os.path.getmtime(os.path.join(fd, n, _COMMIT_MARKER))
+                            >= horizon
+                        ):
+                            continue  # young enough: a lagging consumer may need it
+                    except OSError:
+                        pass
                 shutil.rmtree(os.path.join(fd, n), ignore_errors=True)
                 removed.append(os.path.join("_changes", n))
         return removed
@@ -2240,8 +2263,13 @@ def feed_stream(
             "stored feed to infer the stream schema from; publish through "
             "cdc_merge_sink (store_feed=True, the default) first"
         )
+    # the NEWEST feed carries the current schema: after a widening (the
+    # sink skips the widening publish's feed, then resumes with the new
+    # columns) older feed files simply read NULL for the added columns —
+    # sampling an old feed instead would silently DROP them
+    newest = max(non_empty, key=lambda m: m["pubseq"])
     sample = spark.read.parquet(
-        os.path.join(table._changes_dir, non_empty[0]["dirname"])
+        os.path.join(table._changes_dir, newest["dirname"])
     )
     stream = (
         spark.readStream.schema(sample.schema)

@@ -847,3 +847,65 @@ def test_downstream_table_mirrors_source_via_feed_stream(spark, tmp_path):
     assert _sorted(table_b.read(spark)) == _sorted(table_a.read(spark))
     rows = {r["k"]: r["v"] for r in table_b.read(spark).collect()}
     assert rows[2] == "flow" and 4 not in rows
+
+
+def test_feed_stream_uses_newest_schema_after_widening(spark, tmp_path):
+    """After a schema widening the feed log holds two generations of
+    feed schemas; feed_stream must adopt the NEWEST (old files read
+    NULL for the added column) — sampling an old feed would silently
+    drop the new column from every future change."""
+    from ncpi_whistler_spark.streaming.cdc import feed_stream
+
+    path = str(tmp_path / "widen_stream")
+    table = VersionedTable(path)
+    sink = cdc_merge_sink(
+        spark, table, keys=["k"], seq_col="__seq", op_col="__op", evolve=True
+    )
+    b0, b1, b2 = _batches(spark)
+    sink(b0, 0)
+    sink(b1.withColumn("extra", F.col("k") * 10), 1)  # widening: no feed
+    sink(b2.withColumn("extra", F.col("k") * 10), 2)  # post-widening feed
+    got = (
+        feed_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName("widen_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert got.awaitTermination(120)
+    got.stop()
+    rows = spark.sql("select * from widen_feed")
+    assert "extra" in rows.columns
+    by_ver = {
+        r["k"]: (r["extra"], r["__version"])
+        for r in rows.where(F.col("__version") == 2).collect()
+    }
+    assert by_ver and all(e is not None for e, _ in by_ver.values())
+    # pre-widening feed rows surface with NULL in the added column
+    assert all(
+        r["extra"] is None
+        for r in rows.where(F.col("__version") == 0).collect()
+    )
+
+
+def test_feed_age_retention_protects_lagging_consumer(spark, tmp_path):
+    """feed_keep_age_s mirrors keep_age_s on the feed log: under a
+    publish burst, feeds younger than the horizon survive feed_keep so
+    a consumer with bounded lag still finds its chain; aged-out feeds
+    are reclaimed by the same call."""
+    path = str(tmp_path / "feed_age")
+    table, _ = _apply_batches(
+        spark, path, bucket_cols=["k"], num_buckets=N_BUCKETS
+    )
+    expected = _sorted(table.changes_since(spark, 0))
+    # burst vacuum: count alone would trim to 0 feeds, age keeps them
+    table.vacuum(keep=10, feed_keep=0, feed_keep_age_s=3600)
+    assert {m["version"] for m in table._committed_feeds()} == {0, 1, 2}
+    assert _sorted(table.changes_since(spark, 0)) == expected
+    # age the feeds out: the same policy now reclaims them
+    fd = os.path.join(path, "_changes")
+    for n in os.listdir(fd):
+        if n.startswith("c="):
+            os.utime(os.path.join(fd, n, "_COMMITTED"), (1, 1))
+    table.vacuum(keep=10, feed_keep=0, feed_keep_age_s=3600)
+    assert table._committed_feeds() == []
