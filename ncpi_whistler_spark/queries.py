@@ -5230,6 +5230,70 @@ def q113_cdf_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.read(spark)
 
 
+@query(
+    "q114_inlist_pruned_read",
+    """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 1013 = 7 AND o_totalprice >= 1000
+    """,
+)
+def q114_inlist_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IN-list bucket pruning + stats skipping (round 12,
+    streaming/cdc.py ``_bucket_partitions_for``): orders published into
+    a 32-bucket key-hashed layout with ``stats_cols=['o_totalprice']``,
+    then a sparse key SET (o_orderkey % 1013 = 7) read back through
+    ``read(where={o_orderkey: [keys...], o_totalprice: (1000, None)})``
+    — the bucket layer maps the listed keys to exactly their
+    ``__bucket=`` partitions with the publisher's own hash expression,
+    the stats layer then drops surviving files whose recorded
+    o_totalprice range cannot reach 1000, and the exact row predicate
+    applies last. The oracle is the plain row filter, so a pruning bug
+    on EITHER layer (wrong bucket for a listed key, a stats drop of a
+    file holding a matching row, a lost conjunct) hash-fails. Eager
+    table build like q110/q111; per-(sf,pid) workdir wiped at call
+    start."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ncpi_whistler_spark.streaming.cdc import VersionedTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    keys = [
+        r[0]
+        for r in base.where(F.col("o_orderkey") % 1013 == 7)
+        .select("o_orderkey")
+        .collect()
+    ]
+    if not keys:  # empty-input totality: nothing to look up
+        return base.limit(0)
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"q114_inl_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = VersionedTable(
+        os.path.join(workdir, "table"),
+        bucket_cols=["o_orderkey"],
+        num_buckets=32,
+        stats_cols=["o_totalprice"],
+    )
+    table.publish(base, 0)
+    return table.read(
+        spark,
+        where={
+            "o_orderkey": [int(k) for k in keys],
+            "o_totalprice": (1000, None),
+        },
+    )
+
+
 # -------------------------------------------------------------------------
 # Two-tier registry:
 #
