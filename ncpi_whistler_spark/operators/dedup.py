@@ -374,14 +374,25 @@ def minhash_band_index(
     seed: int = 42,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    sig_mode: str = "arrow",
 ) -> DataFrame:
     """The persistent corpus-side dedup index: (id, band, bh) band
     entries. Write once (``.write.partitionBy("band").parquet(...)``) and
     reuse across ingest batches — at 100 TB the corpus is hashed exactly
     once, and each incoming batch joins against the stored index instead
-    of re-sketching petabytes (see dedup_against_corpus)."""
+    of re-sketching petabytes (see dedup_against_corpus).
+
+    ``sig_mode`` picks the signature builder; the default is the
+    vectorized Arrow twin (bit-identical to the expression form,
+    test-pinned) — measured faster in BOTH hash modes at sf0.1
+    (r12 A/B, min-of-3 on the cached shingle table: xxhash64 0.67 s vs
+    1.09 s, md5 0.86 s vs 1.27 s), because the 64 pmod projections per
+    shingle row collapse into one numpy broadcast multiply with a
+    per-batch partial min (guide §4.2: batch-vectorized native code
+    beats row-expression codegen for bulk arithmetic)."""
     assert num_hashes % bands == 0
-    sig = minhash_signatures(
+    builder = minhash_signatures_arrow if sig_mode == "arrow" else minhash_signatures
+    sig = builder(
         df, text_col, id_col, num_hashes, seed, shingle_n, None, hash_fn
     )
     return _sig_band_entries(sig, num_hashes, bands, hash_fn)
@@ -473,7 +484,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     hash_fn: str = "xxhash64",
-    sig_mode: str = "expr",
+    sig_mode: str = "arrow",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -610,7 +621,7 @@ def fuzzy_dedup_keep(
     shingle_n: int = 3,
     transitive: bool = False,
     hash_fn: str = "xxhash64",
-    sig_mode: str = "expr",
+    sig_mode: str = "arrow",
 ) -> DataFrame:
     """The end-to-end fuzzy-dedup pipeline: MinHash+LSH candidates →
     exact Jaccard verify on candidates only → keeper rule.
