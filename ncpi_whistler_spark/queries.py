@@ -3403,19 +3403,26 @@ def q85_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"q85_mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q85 availableNow drain did not finish within 300 s; refusing "
-            "to hash a partially-filled memory table"
+    # windowed-agg state partitioning sized from the events fixture
+    # (streaming/tuning.py): fresh checkpoint per call, so the adaptive
+    # count applies; at production volume it resolves to the session
+    # parallelism unchanged.
+    from ncpi_whistler_spark.streaming.tuning import dir_bytes, stream_partitions
+
+    with stream_partitions(spark, dir_bytes(f"{sf_dir}/events.parquet") or dir_bytes(sf_dir)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q85 availableNow drain did not finish within 300 s; refusing "
+                "to hash a partially-filled memory table"
+            )
     return spark.table(name)
 
 
@@ -3607,6 +3614,10 @@ def q88_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         lambda s: running_user_totals_stream(s, exact_cents=True),
         workdir,
+        # applyInPandasWithState does Python-side per-row work, so its
+        # partition balance point is much denser than a JVM stateful
+        # op's (tuning.py: measured 256 KB/partition best on this op)
+        partition_target_bytes=256 << 10,
     )
     # n_events is strictly increasing per user across emissions, so the
     # max-n row IS the final state (robust to multi-batch replays).
@@ -4219,13 +4230,15 @@ def q99_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = view_purchase_interval_join_stream(spark, sf_dir)
     name = f"q99_mem_{uuid.uuid4().hex[:8]}"
     # a stream-stream join keeps FOUR state stores per shuffle partition;
-    # at the fixture's scale 32 partitions are pure state-store overhead
-    # (measured 5.8 s → 2.2 s at 8). On a cluster this knob is sized to
-    # throughput per the usual stateful-operator guidance; restore the
-    # session value once the drain finishes either way.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # at the fixture's scale one partition per session core is pure
+    # state-store overhead (measured 5.8 s → 2.2 s at 32 → 8 in r7).
+    # Round 12 generalizes the knob: the count is derived from the
+    # source volume (streaming/tuning.py) so production feeds keep the
+    # session parallelism and only small replays shed partitions.
+    from ncpi_whistler_spark.streaming.tuning import dir_bytes, stream_partitions
+
+    src_size = dir_bytes(f"{sf_dir}/events.parquet") or dir_bytes(sf_dir)
+    with stream_partitions(spark, src_size):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -4239,8 +4252,6 @@ def q99_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q99 availableNow drain did not finish within 300 s; "
                 "refusing to hash a partially-filled memory table"
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -5209,6 +5220,9 @@ def q113_cdf_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not any(not m.get("empty") for m in a._committed_feeds()):
         return v2.limit(0)  # empty-input totality: nothing ever changed
     b = VersionedTable(os.path.join(workdir, "b"))
+    # (r12 optimization round: adaptive stream partitioning was measured
+    # here and reverted — foreachBatch-only stream, no state store; see
+    # run_cdc_stream's note.)
     q = (
         feed_stream(spark, a)
         .drop("__version")

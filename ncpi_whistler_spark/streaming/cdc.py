@@ -2420,6 +2420,13 @@ def run_cdc_stream(
     )
     cp = checkpoint or os.path.join(table_path, "_checkpoint")
     conf = source_conf or {"source": "file", "dir": source_dir}
+    # NOTE (r12 optimization round): this stream was A/B-measured with
+    # the adaptive partition helper (streaming/tuning.py) and it LOST —
+    # a foreachBatch-only stream has NO state store, so shrinking
+    # spark.sql.shuffle.partitions here only starves the sink's merge
+    # jobs (whose work scales with the BASE table, not the feed) of
+    # parallelism: q107 5.9 s → 7.0 s isolated. The session value is
+    # the right grain for the merge; left unchanged deliberately.
     q = (
         read_changes_stream_config(spark, conf, schema)
         .writeStream.foreachBatch(

@@ -47,6 +47,7 @@ def drain_batches_with_restart(
     output_mode: str = "update",
     state_store: str | None = None,
     timeout: int = 300,
+    partition_target_bytes: int | None = None,
 ) -> DataFrame:
     """Run a streaming plan over ``batches`` with a FULL STOP/RESTART
     boundary between every batch, recovering from one shared
@@ -81,25 +82,38 @@ def drain_batches_with_restart(
         spark.conf.set(
             _PROVIDER_KEY, STATE_STORE_PROVIDERS.get(state_store, state_store)
         )
+    from ncpi_whistler_spark.streaming.tuning import dir_bytes, stream_partitions
+
     try:
         for batch in batches:
             # one file per staged batch keeps the restart boundary exactly
             # at the intended batch edge (file-source offsets are files)
             batch.coalesce(1).write.mode("append").parquet(src)
-            q = (
-                build_stream(spark.readStream.schema(schema).parquet(src))
-                .writeStream.foreachBatch(sink)
-                .option("checkpointLocation", cp)
-                .outputMode(output_mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(timeout):
-                q.stop()
-                raise TimeoutError(
-                    f"streaming drain did not finish within {timeout} s"
+            # state partitioning sized from the staged source volume
+            # (streaming/tuning.py) when the caller gives a per-partition
+            # target; None leaves the session value untouched (the
+            # right default for arbitrary build_stream plans). Round 1
+            # pins the count into the checkpoint; Spark keeps it for
+            # every restart round.
+            with stream_partitions(
+                spark,
+                dir_bytes(src) if partition_target_bytes else None,
+                target_bytes=partition_target_bytes or 1,
+            ):
+                q = (
+                    build_stream(spark.readStream.schema(schema).parquet(src))
+                    .writeStream.foreachBatch(sink)
+                    .option("checkpointLocation", cp)
+                    .outputMode(output_mode)
+                    .trigger(availableNow=True)
+                    .start()
                 )
-            q.stop()  # full restart boundary: next round starts a NEW query
+                if not q.awaitTermination(timeout):
+                    q.stop()
+                    raise TimeoutError(
+                        f"streaming drain did not finish within {timeout} s"
+                    )
+                q.stop()  # full restart boundary: next round starts a NEW query
     finally:
         if state_store is not None:
             if prev_provider is None:
