@@ -1059,9 +1059,16 @@ def bpe_fit(
             break
         l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
         merges.append((l, r, c))
+        # LAZY localCheckpoint (r12 optimization): the lineage cut is
+        # identical, but materialization folds into the NEXT round's
+        # argmax job instead of paying a dedicated eager job per round —
+        # one job per merge instead of two (q100 jobs 46 → 35 at sf0.1;
+        # wall-clock neutral locally since these vocabulary-grain jobs
+        # are ~10 ms, but at cluster scale every job is a scheduling
+        # round trip).
         words = words.select(
             "w", "n", F.expr(_merge_pair_sql("syms", l, r)).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, words
 
 

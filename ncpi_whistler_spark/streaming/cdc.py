@@ -719,7 +719,11 @@ class VersionedTable:
         )
 
     def _pre_images(
-        self, spark: SparkSession, latest: DataFrame, keys: list[str]
+        self,
+        spark: SparkSession,
+        latest: DataFrame,
+        keys: list[str],
+        buckets: list[int] | None = None,
     ) -> DataFrame | None:
         """Current-state rows for a compacted delta's keys — the
         pre-images a stored change feed needs to classify I vs U/D and
@@ -728,18 +732,21 @@ class VersionedTable:
         delta-sized — MOR chain), so computing a feed costs O(changed
         buckets + chain), never O(base); the key restriction itself is
         a broadcast semi join, no shuffle of the base side. None before
-        the first publish."""
+        the first publish. A caller that already derived the delta's
+        changed-bucket set may pass it via ``buckets`` to skip the
+        distinct-collect job here (the merge sink computes it anyway)."""
         full = self._read_pointer_full()
         if full is None:
             return None
         kdf = F.broadcast(latest.select(*keys))
         if self.num_buckets is not None:
-            buckets = sorted(
-                r[0]
-                for r in latest.select(self._bucket_expr().alias("b"))
-                .distinct()
-                .collect()
-            )
+            if buckets is None:
+                buckets = sorted(
+                    r[0]
+                    for r in latest.select(self._bucket_expr().alias("b"))
+                    .distinct()
+                    .collect()
+                )
             base = self.read_buckets(
                 spark, buckets, base_only=True, capture=False
             )
@@ -2147,15 +2154,39 @@ def cdc_merge_sink(
                 memo["df"] = latest_change_per_key(
                     mb, keys, seq_col
                 ).localCheckpoint(eager=True)
-                _reject_null_keys(memo["df"])
             return memo["df"]
 
+        def _changed_buckets(latest: DataFrame) -> list[int]:
+            """Changed-bucket set AND null-key detection in ONE job over
+            the pinned winners (r12 optimization — these were two
+            separate driver round trips per micro-batch): NULL keys
+            still hash to a bucket, so grouping by the bucket expression
+            loses none, and max(null_pred) per group surfaces them
+            without a second scan. Memoized like the winners — a CAS
+            rebase retry reuses both."""
+            if "buckets" not in memo:
+                rows = (
+                    latest.select(
+                        table._bucket_expr().alias("b"),
+                        null_pred.alias("__nk"),
+                    )
+                    .groupBy("b")
+                    .agg(F.max("__nk").alias("__nk"))
+                    .collect()
+                )
+                if null_key_policy == "error" and any(r["__nk"] for r in rows):
+                    raise ValueError(
+                        f"CDC batch {batch_id}: NULL value in merge key(s) "
+                        f"{keys} — NULL keys can never match (anti-join "
+                        "semantics), so they would re-insert on every replay "
+                        "and break exactly-once effect. Fix the feed or use "
+                        "null_key_policy='drop'."
+                    )
+                memo["buckets"] = sorted(int(r["b"]) for r in rows)
+            return memo["buckets"]
+
         def _apply(rebase: bool) -> None:
-            base = table.read(s, capture=True if rebase else None)
-            if base is None:
-                drop = {seq_col} | ({op_col} if op_col else set())
-                base_cols = [c for c in mb.columns if c not in drop]
-                base = mb.select(*base_cols).where(F.lit(False))
+            cap = True if rebase else None
             kw = dict(
                 keys=keys,
                 seq_col=seq_col,
@@ -2164,16 +2195,39 @@ def cdc_merge_sink(
                 broadcast_delta=True,
                 evolve=evolve,
             )
-            widening = evolve and any(
-                c not in set(base.columns) | {seq_col, op_col}
-                for c in mb.columns
+            cur_exists = table.current_dir() is not None
+            # widening is decided from the persisted base_columns meta
+            # (driver-side file read) instead of materializing a base
+            # DataFrame whose only purpose was .columns — the base scan
+            # this replaces was pure overhead on the bucketed path
+            # (r12 optimization)
+            meta_cols = (
+                (table._read_meta() or {}).get("base_columns")
+                if cur_exists
+                else None
             )
-            if mode == "mor" and table.current_dir() is not None:
+            widening = (
+                evolve
+                and meta_cols is not None
+                and any(
+                    c not in set(meta_cols) | {seq_col, op_col}
+                    for c in mb.columns
+                )
+            )
+            if mode == "mor" and cur_exists:
                 # merge-on-READ: compact, publish the delta alone,
                 # re-base only when chain length or byte pressure says so
                 latest = _latest()
+                if table.num_buckets is not None:
+                    buckets = _changed_buckets(latest)  # fused null check
+                else:
+                    _reject_null_keys(latest)
+                    buckets = None
                 feed = (
-                    _feed_for(latest, table._pre_images(s, latest, keys))
+                    _feed_for(
+                        latest,
+                        table._pre_images(s, latest, keys, buckets=buckets),
+                    )
                     if store_feed
                     else None
                 )
@@ -2183,25 +2237,17 @@ def cdc_merge_sink(
                     and table.chain_pressure() >= fold_bytes_frac
                 ):
                     table.fold(s)
-            elif (
-                table.num_buckets is not None
-                and table.current_dir() is not None
-                and not widening
-            ):
+            elif table.num_buckets is not None and cur_exists and not widening:
                 if table.current_chain():
                     table.fold(s)  # a cow publish must not strand MOR deltas
                 # Compact ONCE, pin the (micro-batch-sized) winners, and
-                # derive the changed-bucket set from them; the same frame
-                # feeds the merge (re-compacting an already-compacted
-                # delta is a no-op on |keys| rows) and the null check.
+                # derive the changed-bucket set + the null check from
+                # them in one job; the same frame feeds the merge
+                # (re-compacting an already-compacted delta is a no-op
+                # on |keys| rows).
                 latest = _latest()
-                changed = sorted(
-                    r[0]
-                    for r in latest.select(
-                        table._bucket_expr().alias("b")
-                    ).distinct().collect()
-                )
-                base_sub = table.read_buckets(s, changed)
+                changed = _changed_buckets(latest)
+                base_sub = table.read_buckets(s, changed, capture=cap)
                 merged_sub = merge_upsert(base_sub, latest, **kw)
                 feed = None
                 if store_feed:
@@ -2217,6 +2263,11 @@ def cdc_merge_sink(
                     merged_sub, int(batch_id), changed, feed=feed
                 )
             else:
+                base = table.read(s, capture=cap)
+                if base is None:
+                    drop = {seq_col} | ({op_col} if op_col else set())
+                    base_cols = [c for c in mb.columns if c not in drop]
+                    base = mb.select(*base_cols).where(F.lit(False))
                 _reject_null_keys(mb)
                 merged = merge_upsert(base, mb, **kw)
                 feed = None
