@@ -968,9 +968,16 @@ def _lineage_cutter(df: DataFrame, checkpoint_dir: str | None):
     use). Set it to reliable storage (HDFS/S3 path) on a real cluster:
     rounds then checkpoint through the FileSystem so losing an executor
     costs one round's re-read, not the whole iteration chain. Both modes
-    produce identical labels (test-asserted)."""
+    produce identical labels (test-asserted).
+
+    The local branch cuts lineage LAZILY: every call site follows the
+    cut with a full-scan aggregate (the convergence check), so the
+    blocks materialize inside that job instead of paying a dedicated
+    eager job per round — one scheduler round trip per iteration
+    instead of two. The reliable branch stays eager: a deferred
+    checkpoint would leave rounds unprotected until the next action."""
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         sc.setCheckpointDir(checkpoint_dir)
