@@ -864,7 +864,12 @@ def embedding_dup_pairs(
     DuckDB bucket parity — oracle-only.
     """
     from ncpi_whistler_spark.operators.similarity import _usable_norm, _vecs
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
 
+    # per-row bucket/norm work and the per-pair dot fold inherit the
+    # input partitioning; a single-file input must not serialize them
+    # onto one core (no-op at production widths)
+    df = spread_small_input(df)
     # norms once per vector (not per pair): same bits, 3× less fold work.
     # _vecs + _usable_norm: NULL / all-zeros / NaN vectors score no pair
     # (the rows the oracle's list_dot_product(NULL, v) >= t comparison

@@ -256,7 +256,11 @@ def embedding_pairs_blocked(
     import numpy as np
     import pandas as pd
 
-    df = _vecs(df, vec_col)
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
+
+    # the blocked matmul runs per input partition through mapInPandas;
+    # spread a single-file query side across cores (no-op at scale)
+    df = spread_small_input(_vecs(df, vec_col))
     guard_quadratic(df, allow_quadratic, quadratic_cap, "embedding_pairs_blocked")
     if corpus_path is None:
         rows = df.select(id_col, vec_col).collect()
@@ -374,8 +378,12 @@ def cosine_topk_lsh(
     with the Arrow-batched twin — bit-identical to the ``'fold'``
     expression form (see hyperplane_bucket_arrow), ~100× cheaper to plan.
     """
-    corpus = _vecs(corpus, corpus_vec)
-    queries = _vecs(queries, query_vec)
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
+
+    # per-row bucket UDF + rescoring parallelism follows input
+    # partitioning (no-op at production widths)
+    corpus = spread_small_input(_vecs(corpus, corpus_vec))
+    queries = spread_small_input(_vecs(queries, query_vec))
     if dim is None:
         probe = corpus.select(corpus_vec).first()
         if probe is None:  # empty/all-null corpus: no neighbors
@@ -690,6 +698,13 @@ def ivf_topk(
 
     Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
     cosine_topk."""
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
+
+    # per-row Arrow/expression work (assignment, probes, pair scoring)
+    # is bounded by input partitioning; a small/compacted input must not
+    # serialize it onto one core (no-op at production widths)
+    corpus = spread_small_input(corpus)
+    queries = spread_small_input(queries)
     cents = ivf_train(corpus, nlist, iters, corpus_vec, corpus_id, assign_mode)
     if not cents:
         # empty corpus → no neighbors for any query; same output schema
@@ -820,7 +835,11 @@ def semantic_dedup(
     Output: one row per vector — (id_col, cid, kept).
     """
     from ncpi_whistler_spark.operators.dedup import dot_product_arrow
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
 
+    # assignment + norms + probes run per row through Arrow UDFs; their
+    # parallelism is the input partition count (no-op at production widths)
+    corpus = spread_small_input(corpus)
     cents = ivf_train(corpus, nlist, iters, vec_col, id_col, assign_mode)
     # Geometry-less rows (NULL / all-zeros / NaN element — the rows
     # _usable_norm rejects) can't be compared to anything: they keep

@@ -1,0 +1,73 @@
+"""spread_small_input: scale-adaptive input spreading for Arrow-UDF-heavy
+batch operators (operators/tuning.py) — the r12 optimization that stops a
+single-file fixture from serializing the vector pipelines onto one core.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ncpi_whistler_spark.operators.tuning import (
+    VECTOR_TARGET_BYTES,
+    _parse_bytes,
+    spread_small_input,
+)
+
+
+@pytest.fixture(scope="module")
+def small_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("spread") / "t.parquet")
+    spark.range(2000).select(
+        F.col("id"), F.expr("array_repeat(cast(id as double), 64)").alias("v")
+    ).coalesce(1).write.parquet(p)
+    return p
+
+
+def test_small_single_file_input_is_spread(spark, small_parquet):
+    df = spark.read.parquet(small_parquet)
+    # explicit sub-file target: the RLE-compressed fixture is tiny, and
+    # the test pins the mechanics, not the production default
+    out = spread_small_input(df, target_bytes=1024)
+    n = out.rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
+    assert 1 < n <= par
+    # values untouched, only placement
+    assert out.exceptAll(df).count() == 0 and df.exceptAll(out).count() == 0
+
+
+def test_wide_enough_input_passes_through(spark, small_parquet):
+    df = spark.read.parquet(small_parquet)
+    # a tiny maxPartitionBytes makes the scan layout estimate already
+    # meet the target -> identical frame back, no repartition node
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        assert spread_small_input(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_large_target_bytes_means_no_op(spark, small_parquet):
+    df = spark.read.parquet(small_parquet)
+    # one partition suffices for the whole input at this target
+    assert spread_small_input(df, target_bytes=1 << 30) is df
+
+
+def test_non_file_backed_frame_passes_through(spark):
+    df = spark.range(10).groupBy((F.col("id") % 3).alias("k")).count()
+    assert spread_small_input(df) is df
+
+
+def test_env_override_wins(spark, small_parquet, monkeypatch):
+    df = spark.read.parquet(small_parquet)
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_PARTITIONS", "3")
+    assert spread_small_input(df).rdd.getNumPartitions() == 3
+
+
+def test_parse_bytes_units():
+    assert _parse_bytes("128m", 0) == 128 << 20
+    assert _parse_bytes("134217728b", 0) == 128 << 20
+    assert _parse_bytes("1g", 0) == 1 << 30
+    assert _parse_bytes("weird", 42) == 42
+    assert VECTOR_TARGET_BYTES == 128 << 10
