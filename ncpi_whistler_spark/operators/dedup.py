@@ -1092,6 +1092,11 @@ def line_dedup(
     """
     from pyspark.sql.window import Window
 
+    # NOTE (r12): input spreading (spread_small_input) was measured here
+    # and REVERTED — the split+posexplode stage is cheap relative to the
+    # two key-bounded shuffles, and the final reconstruct left-join
+    # consumes df again, so the extra exchange cost both sides
+    # (isolated A/B: 0.94 s base vs 1.04-1.33 s spread).
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
@@ -1331,6 +1336,13 @@ def exact_substring_coverage(
         tokens,
     )
 
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
+
+    # the tokenize + per-token hash + Horner-chain map stage is the
+    # operator's hot loop and inherits the input partitioning — spread a
+    # single-file corpus across cores (no-op at production widths;
+    # measured q91 2.0 → 1.0 s at sf0.1)
+    df = spread_small_input(df)
     paired = hash_fn != "md5"
     toks = tokens(text_col)
     th_cols = [

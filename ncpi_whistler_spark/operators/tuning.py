@@ -39,6 +39,13 @@ _ENV = "SPARK_GRAFT_SPREAD_PARTITIONS"
 #: on-disk bytes per partition of Python-side vector work (see module
 #: docstring for the measured sweep behind the value)
 VECTOR_TARGET_BYTES = 128 << 10
+#: on-disk bytes per partition of heavy JVM map-side work (exact
+#: percentile buffers, wide pre-join projections): per-byte cost is
+#: roughly an order of magnitude below the Python boundary, so the
+#: balance point is correspondingly coarser (measured on the q36 exact
+#: percentile at sf0.1: 1 scan partition 2.9 s, ~8×1.35 MB partitions
+#: 1.09 s, 32 partitions 1.29 s)
+JVM_TARGET_BYTES = 1 << 20
 
 _SIZE_RE = re.compile(r"^(\d+)\s*([kmgt]?)b?$", re.IGNORECASE)
 _SIZE_MULT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}

@@ -1289,7 +1289,17 @@ def q36_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``quantile_cont`` share the definition). The exact variant is
     the verification path; at 100 TB swap in ``approx_percentile``
     (t-digest, no full sort) — same plan shape."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ncpi_whistler_spark.operators.tuning import (
+        JVM_TARGET_BYTES,
+        spread_small_input,
+    )
+
+    # exact percentile builds per-partition value buffers map-side; a
+    # single-row-group input serializes that onto one core (measured
+    # 2.9 → 1.1 s at sf0.1; no-op at production scan widths)
+    li = spread_small_input(
+        load_table(spark, sf_dir, "lineitem"), target_bytes=JVM_TARGET_BYTES
+    )
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
@@ -1837,9 +1847,19 @@ def q51_lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct LATE suppliers — joined back on the order key, so the whole
     query is two co-partitioned shuffles instead of two correlated
     subquery scans."""
+    from ncpi_whistler_spark.operators.tuning import (
+        JVM_TARGET_BYTES,
+        spread_small_input,
+    )
+
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
+    # the join's map side (project + hash-partition both fact scans) is
+    # bounded by the single-row-group scan layout (measured 1.33 → 1.06 s
+    # at sf0.1; no-op at production scan widths)
+    l = spread_small_input(
+        load_table(spark, sf_dir, "lineitem"), target_bytes=JVM_TARGET_BYTES
+    )
     li = l.join(o, l.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
