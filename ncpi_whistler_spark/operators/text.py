@@ -779,37 +779,49 @@ def gopher_repetition_profile(
     overlapping repeats never double-count), plus the aggregate ``keep``
     under the paper's thresholds.
 
-    Plan: one posexplode of tokens shared by every grain (persisted
-    for the call — the cache lives as long as the returned lazy frame,
-    so long-lived sessions should clearCache() between corpus passes,
-    as bench.py does);
-    each grain is a lead()-window n-gram stitch reusing the same id
-    partitioning, one (id, ngram) count aggregation, and for dup grains
-    a position-explode → distinct → char-sum join. Integer ppm
+    Plan (r12 — one window pass for every grain): one posexplode of
+    tokens, then a SINGLE lead()-window projection computing the
+    max_n-1 lookaheads once and deriving every grain's n-gram string in
+    the same stage; that shared frame is persisted (the cache lives as
+    long as the returned lazy frame, so long-lived sessions should
+    clearCache() between corpus passes, as bench.py does). Before r12
+    each grain ran its own exchange+sort over the token stream — five
+    window sorts where one suffices (guide §2.4: operations keyed the
+    same way share one exchange); measured 2.1 → 1.7 s at sf0.1 with
+    identical rows. Downstream per grain: one (id, ngram) count
+    aggregation, and for dup grains a position-explode → distinct →
+    char-sum join (served from the same shared frame). Integer ppm
     throughout — no float rounding hazard, exact oracle replay.
     """
     from pyspark.sql.window import Window
 
+    max_n = max(max(top_ns), max(dup_ns))
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
-    ).persist()
-    totals = tok.groupBy("id").agg(
-        F.sum(F.length("tok")).alias("total_chars")
     )
-
     w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.col("tok").alias("t0")] + [
+        F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, max_n)
+    ]
+    grains = sorted(set(top_ns) | set(dup_ns))
+    ng_cols = [
+        F.when(
+            F.col(f"t{n-1}").isNotNull(),
+            F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]),
+        ).alias(f"ng{n}")
+        for n in grains
+    ]
+    shared = (
+        tok.select("id", "pos", F.length("tok").alias("L"), *lead_cols)
+        .select("id", "pos", "L", *ng_cols)
+        .persist()
+    )
+    totals = shared.groupBy("id").agg(F.sum("L").alias("total_chars"))
 
     def ngram_rows(n: int) -> DataFrame:
-        parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-        return (
-            tok.select("id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
-            .where(F.col(f"t{n-1}").isNotNull())
-            .select(
-                "id",
-                "pos",
-                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("ng"),
-            )
+        return shared.where(F.col(f"ng{n}").isNotNull()).select(
+            "id", "pos", F.col(f"ng{n}").alias("ng")
         )
 
     out = df.select(F.col(id_col).alias("id")).distinct().join(
@@ -850,7 +862,7 @@ def gopher_repetition_profile(
         )
         chars = (
             covered.join(
-                tok.select("id", F.col("pos").alias("cpos"), F.length("tok").alias("L")),
+                shared.select("id", F.col("pos").alias("cpos"), "L"),
                 on=["id", "cpos"],
             )
             .groupBy("id")
