@@ -1106,7 +1106,13 @@ def bpe_segment_words(
             sql = _merge_pair_sql(sql, l, r)
         words = words.select("w", "n", F.expr(sql).alias("syms"))
         if i + chunk < len(merges):
-            words = words.localCheckpoint()
+            # LAZY (r12): the analysis cut happens at definition either
+            # way (the Dataset is rebased onto a LogicalRDD
+            # immediately); eager=False folds the per-chunk
+            # materialization jobs into the consumer's single job over
+            # the RDD chain — one scheduler round trip per chunk saved
+            # on a vocabulary-grain table (the bpe_fit precedent).
+            words = words.localCheckpoint(eager=False)
     return words.withColumnRenamed("syms", "subwords")
 
 
