@@ -104,6 +104,16 @@ def bigram_lm_model(
     c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return _lm_table(c1, c2, vocab)
+
+
+def _lm_table(c1: DataFrame, c2: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Assemble the (w1, w2, lp_u) add-one-smoothed model from unigram
+    counts (tok, c1), bigram counts (w1, w2, c2) and the single-row
+    vocabulary size (v). The ONE place the smoothing formula lives —
+    :func:`bigram_lm_model` and the self-trained path of
+    :func:`bigram_lm_scores` both go through it, so a future smoothing
+    tweak cannot silently diverge the two."""
     return (
         c2.join(c1.withColumnRenamed("tok", "w1"), on="w1")
         .crossJoin(F.broadcast(vocab))
@@ -157,20 +167,44 @@ def bigram_lm_scores(
 
     Returns: (doc_id, n_bigrams, ce_u, bucket).
     """
-    tdf = _toks_df(df, text_col, id_col)
+    # the tokenize pass (regexp split over every document) is the
+    # dominant map cost and feeds FOUR subtrees in the self-trained
+    # shape (per-doc bigram counts, unigram counts, global bigram
+    # counts, vocabulary size) — without materialization each broadcast
+    # build re-tokenizes the corpus (measured: four ~0.3-0.7 s 1-task
+    # jobs at sf0.1). Spread the single-file input, tokenize ONCE into a
+    # persisted (id, toks) frame, and derive everything from it
+    # (guide §2.4/§5; cache lifetime as in gopher_repetition_profile).
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
+
+    tdf = _toks_df(spread_small_input(df), text_col, id_col)
+    if model is None:
+        tdf = tdf.persist()
     bg = _bigram_pairs(tdf)
+    bgc = bg.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
 
     if model is None:
         # self-trained model (the oracle-replayable registry shape) —
-        # the SAME construction as bigram_lm_model (one definition, so a
-        # future smoothing tweak cannot silently diverge the two paths)
-        lp = bigram_lm_model(df, text_col)
+        # the smoothing formula lives in _lm_table, shared with
+        # bigram_lm_model (one definition, so a future smoothing tweak
+        # cannot silently diverge the two paths). Global bigram counts
+        # fold over the per-doc counts (same sums, one explode instead
+        # of two); unigram counts and V share the persisted tokens.
+        bgc = bgc.persist()
+        c1 = (
+            tdf.select(F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c1"))
+            .persist()
+        )
+        vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+        c2 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+        lp = _lm_table(c1, c2, vocab)
         how = "inner"  # self-trained ⇒ every scored bigram is in-model
     else:
         lp = model.select("w1", "w2", F.col("lp_u").cast("long").alias("lp_u"))
         how = "left"  # frozen model ⇒ unseen bigrams take the OOV score
 
-    bgc = bg.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     joined = bgc.join(lp, on=["w1", "w2"], how=how)
     if model is not None:
         joined = joined.withColumn(
@@ -264,7 +298,11 @@ def dsir_importance_weights(
     # straight from that hash, and bigram buckets pack the two adjacent
     # token hashes' low 30 bits into one exact 60-bit key — no bigram
     # string is ever concatenated or digested, and no window sort exists
-    # anywhere.
+    # anywhere. The per-token digest is the dominant map cost, so a
+    # single-file input is spread first (no-op at production widths).
+    from ncpi_whistler_spark.operators.tuning import spread_small_input
+
+    df = spread_small_input(df)
     toks = tokens(text_col)
     tdf = df.select(
         F.col(id_col).alias("id"),
@@ -290,7 +328,20 @@ def dsir_importance_weights(
         "is_t",
         F.pmod(F.col("fh"), F.lit(num_buckets)).alias("bucket"),
     )
-    fc = feats.groupBy("id", "is_t", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    # fc is consumed by FIVE downstream subtrees (raw, tgt, both totals,
+    # and the scoring join), and without materialization each broadcast
+    # build re-runs the whole digest+explode+aggregate pipeline
+    # (measured: five ~1 s 2-task jobs at sf0.1 — the md5 pass times 5).
+    # Persisting the compacted per-(doc, bucket) counts — orders of
+    # magnitude smaller than the feature stream — computes it once
+    # (guide §5: reused AND expensive to recompute; the cache lives as
+    # long as the returned lazy frame, bench.py clearCache()s between
+    # queries).
+    fc = (
+        feats.groupBy("id", "is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
 
     raw = fc.groupBy("bucket").agg(F.sum("n").alias("r_k"))
     tgt = fc.where("is_t").groupBy("bucket").agg(F.sum("n").alias("t_k"))
