@@ -1034,7 +1034,20 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # symmetrize in ONE pass over the edge pipeline: the union-of-two-
+    # subtrees form evaluated the (often expensive — q79 feeds a full
+    # shingle self-join here) upstream plan twice when the persisted
+    # frame first materialized; exploding each edge into both directions
+    # keeps it a single map-side pass with identical rows (r12, guide
+    # §2.4 — don't compute things twice when one pass suffices)
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     nodes = sym.select(F.col("u").alias(id_col))
     if vertices is not None:
         nodes = nodes.union(

@@ -764,7 +764,9 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    ex = shingle_rows(docs, "text", "doc_id", 3)
+    # three consumers of the derived shingle table (hot-shingle build +
+    # both self-join sides) — persist so tokenize+window runs once (r12)
+    ex = shingle_rows(docs, "text", "doc_id", 3).persist()
     hot = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -3030,7 +3032,11 @@ def q79_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.dedup import connected_components, shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    ex = shingle_rows(docs, "text", "doc_id", 3)
+    # both sides of the self-join read the same derived shingle table —
+    # persist it so the tokenize+window pipeline runs once, not once per
+    # side (r12; guide §5: reused and expensive to recompute; at scale
+    # MEMORY_AND_DISK spills rather than recomputing both passes)
+    ex = shingle_rows(docs, "text", "doc_id", 3).persist()
     a = ex.select("shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     b = ex.select("shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     common = (
