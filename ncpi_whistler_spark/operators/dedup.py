@@ -712,6 +712,13 @@ def simhash_sketches(
     hash (bits 0..59; same near-dup quality, every bit SQL-checkable);
     default xxhash64 → full 64 bits."""
     bits = 60 if hash_fn == "md5" else 64
+    # NOTE (r12): input spreading (spread_small_input) was measured here
+    # and REVERTED — the keyless repartition ships the raw text bodies
+    # through an extra exchange (plus the sort-before-repartition pass),
+    # which costs more than the map-side parallelism buys even though
+    # the vote projection runs as ONE task on a single-file corpus
+    # (isolated A/B at sf0.1: 1.63 s base vs 2.39-2.67 s spread at
+    # 5/16 partitions; agrees with the round's fact-table sweep).
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     )

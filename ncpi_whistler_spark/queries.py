@@ -764,9 +764,7 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    # three consumers of the derived shingle table (hot-shingle build +
-    # both self-join sides) — persist so tokenize+window runs once (r12)
-    ex = shingle_rows(docs, "text", "doc_id", 3).persist()
+    ex = shingle_rows(docs, "text", "doc_id", 3)
     hot = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -3032,11 +3030,12 @@ def q79_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncpi_whistler_spark.operators.dedup import connected_components, shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    # both sides of the self-join read the same derived shingle table —
-    # persist it so the tokenize+window pipeline runs once, not once per
-    # side (r12; guide §5: reused and expensive to recompute; at scale
-    # MEMORY_AND_DISK spills rather than recomputing both passes)
-    ex = shingle_rows(docs, "text", "doc_id", 3).persist()
+    # shingle_rows persists by default — both self-join sides share one
+    # cached materialization (r12 note: an explicit eager .count() to
+    # defeat the concurrent-map-job cache race was measured here and NOT
+    # kept: 1.67 s lazy vs 1.73-1.94 s eager — the extra pass costs more
+    # than the race loses)
+    ex = shingle_rows(docs, "text", "doc_id", 3)
     a = ex.select("shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     b = ex.select("shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     common = (
