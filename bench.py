@@ -60,6 +60,15 @@ def main() -> int:
     timings: dict[str, float] = {}
     for _rep in range(repeats):
         for name, (fn, _) in REGISTRY.items():
+            # r13 (VERDICT r12 #3): clear cached intermediates BEFORE each
+            # timed execution (outside the timer) so (a) min-of-N never
+            # reports a warm-cache number for queries that persist
+            # intra-query frames — every repeat pays the cold
+            # materialization — and (b) the CacheManager no longer
+            # accumulates 114 queries' worth of cached frames across the
+            # pass (the GC/eviction neighbor noise documented in r12).
+            # One-time baseline reset recorded in OPTIMIZATION_r13.md.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -779,23 +779,29 @@ def gopher_repetition_profile(
     overlapping repeats never double-count), plus the aggregate ``keep``
     under the paper's thresholds.
 
-    Plan (r12 — one window pass for every grain): one posexplode of
-    tokens, then a SINGLE lead()-window projection computing the
-    max_n-1 lookaheads once and deriving every grain's n-gram string in
-    the same stage; that shared frame is persisted (the cache lives as
-    long as the returned lazy frame, so long-lived sessions should
-    clearCache() between corpus passes, as bench.py does). Before r12
-    each grain ran its own exchange+sort over the token stream — five
+    Plan (r12/r13 — one window pass for every grain, materialized
+    once): one posexplode of tokens, then a SINGLE lead()-window
+    projection computing the max_n-1 lookaheads once; that narrow
+    lookahead frame is eagerly local-checkpointed (see the inline
+    note — a lazy persist() raced under AQE's concurrent consumer
+    jobs and re-ran the window up to 14×), and every grain's n-gram
+    string is derived from it as codegen map work. Before r12 each
+    grain ran its own exchange+sort over the token stream — five
     window sorts where one suffices (guide §2.4: operations keyed the
-    same way share one exchange); measured 2.1 → 1.7 s at sf0.1 with
-    identical rows. Downstream per grain: one (id, ngram) count
-    aggregation, and for dup grains a position-explode → distinct →
-    char-sum join (served from the same shared frame). Integer ppm
-    throughout — no float rounding hazard, exact oracle replay.
+    same way share one exchange). Downstream per grain: one (id,
+    ngram) count aggregation, and for dup grains a position-explode →
+    distinct → char-sum join (served from the same shared frame).
+    Integer ppm throughout — no float rounding hazard, exact oracle
+    replay.
     """
     from pyspark.sql.window import Window
 
-    max_n = max(max(top_ns), max(dup_ns))
+    if not top_ns and not dup_ns:
+        raise ValueError(
+            "gopher_repetition_profile: top_ns and dup_ns are both empty — "
+            "at least one grain is required"
+        )
+    max_n = max([*top_ns, *dup_ns])
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
@@ -812,11 +818,25 @@ def gopher_repetition_profile(
         ).alias(f"ng{n}")
         for n in grains
     ]
-    shared = (
-        tok.select("id", "pos", F.length("tok").alias("L"), *lead_cols)
-        .select("id", "pos", "L", *ng_cols)
-        .persist()
-    )
+    # r13: the shared frame is MATERIALIZED EAGERLY (localCheckpoint)
+    # before the grain pipelines are built. The r12 lazy persist() lost
+    # badly on cold runs: AQE submits the ~8 consumer subtrees' stage
+    # jobs concurrently, and concurrent jobs do NOT wait on each other's
+    # in-flight cache partitions — the driver-measured job profile
+    # showed FOURTEEN 33-task jobs each re-running the full
+    # 9-lookahead window (467 tasks, 19.0 s) vs ONE materialization
+    # here (155 tasks, 6.5 s, same session back-to-back). The
+    # checkpoint is taken on the NARROW lookahead frame (id, pos, L,
+    # t0..t{max_n-1}) — ~40% of the bytes of the per-grain n-gram
+    # strings — and every grain's concat is re-derived from it as
+    # cheap codegen map work, no re-sort. Local checkpoint trades
+    # recompute-on-executor-loss for speed (the CC-loop precedent);
+    # at cluster scale prefer a reliable checkpoint_dir tier if the
+    # corpus pass is expensive to replay.
+    looked = tok.select(
+        "id", "pos", F.length("tok").alias("L"), *lead_cols
+    ).localCheckpoint(eager=True)
+    shared = looked.select("id", "pos", "L", *ng_cols)
     totals = shared.groupBy("id").agg(F.sum("L").alias("total_chars"))
 
     def ngram_rows(n: int) -> DataFrame:
@@ -884,7 +904,7 @@ def gopher_repetition_profile(
         keep = c if keep is None else (keep & c)
     for n in dup_ns:
         c = F.col(f"dup{n}_ppm") <= GOPHER_DUP_LIMITS_PPM[n]
-        keep = keep & c
+        keep = c if keep is None else (keep & c)
     return out.select(
         F.col("id").alias(id_col),
         F.coalesce(F.col("total_chars"), F.lit(0)).cast("long").alias("total_chars"),

@@ -212,6 +212,40 @@ class VersionedTable:
             json.dump(meta, fh)
         os.replace(tmp, os.path.join(self.path, "_META"))
 
+    def base_columns_resolved(self) -> list[str] | None:
+        """The current base's data columns: the persisted ``base_columns``
+        commit meta when present (every writer since the meta layout
+        records it), else — for pre-meta/externally-created tables,
+        which :meth:`read_buckets` explicitly tolerates — the schema of
+        one data-file FOOTER of the current version (pyarrow,
+        driver-side, no Spark job, no data scan). Returns None only
+        when there is no current version or no readable data file.
+        ADVICE r13: the r12 meta-only read silently treated a missing
+        entry as not-widening, which would hard-link old-schema
+        unchanged buckets next to new-schema changed buckets."""
+        meta_cols = (self._read_meta() or {}).get("base_columns")
+        if meta_cols is not None:
+            return list(meta_cols)
+        cur = self.current_dir()
+        if cur is None:
+            return None
+        import pyarrow.parquet as pq
+
+        for root, _, files in os.walk(cur):
+            for f in sorted(files):
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                try:
+                    names = pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).schema_arrow.names
+                except Exception:
+                    continue
+                # BUCKET_COL lives in the directory layout, not footers,
+                # but strip defensively for plain-layout files
+                return [c for c in names if c != BUCKET_COL]
+        return None
+
     def merge_spec(self) -> dict | None:
         """The (keys, seq_col, op_col, delete_op) a merge-on-read reader
         needs to fold the delta chain — persisted so ANY reader can
@@ -2234,11 +2268,12 @@ def cdc_merge_sink(
             # (driver-side file read) instead of materializing a base
             # DataFrame whose only purpose was .columns — the base scan
             # this replaces was pure overhead on the bucketed path
-            # (r12 optimization)
+            # (r12 optimization). For pre-meta tables the meta entry is
+            # absent and base_columns_resolved falls back to ONE parquet
+            # footer read (r13, ADVICE: assuming not-widening there
+            # would tear the table schema across hard-linked buckets).
             meta_cols = (
-                (table._read_meta() or {}).get("base_columns")
-                if cur_exists
-                else None
+                table.base_columns_resolved() if cur_exists and evolve else None
             )
             widening = (
                 evolve

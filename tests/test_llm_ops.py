@@ -945,6 +945,45 @@ def test_gopher_repetition_hand_computed(spark):
     assert got[3]["top2_ppm"] == 666_666 and not got[3]["keep"]
 
 
+def test_gopher_repetition_empty_grains_guarded(spark):
+    """Both grain tuples empty → loud ValueError (ADVICE r12: the bare
+    max() raised an unhelpful 'empty sequence'); a single family alone
+    still works (keep derives from whichever grains exist)."""
+    import pytest
+
+    from ncpi_whistler_spark.operators.text import gopher_repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="at least one grain"):
+        gopher_repetition_profile(df, top_ns=(), dup_ns=())
+    only_dup = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_profile(df, top_ns=(), dup_ns=(5,)).collect()
+    }
+    assert only_dup[1]["dup5_ppm"] == 1_000_000 and not only_dup[1]["keep"]
+
+
+def test_gopher_repetition_single_window_materialization(spark):
+    """r13 perf pin: the shared lookahead frame is cut by an EAGER
+    localCheckpoint before the grain pipelines fan out, so the returned
+    plan contains ZERO Window operators (the one window sort ran at
+    build time) and scans the checkpointed RDD instead — without the
+    barrier, AQE's concurrent consumer jobs re-ran the 9-lookahead
+    window up to 14x on a cold cache (the r12 q94 driver regression)."""
+    from ncpi_whistler_spark.operators.text import gopher_repetition_profile
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h i j k") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = gopher_repetition_profile(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "grain pipelines must not re-sort the tokens"
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
 def test_winnowing_arrow_matches_expression_all_hash_modes(spark, docs):
     """The Arrow fingerprint pass is BIT-IDENTICAL to the explode
     expression form in every hash mode (kr / packed two-chain kr2 /

@@ -289,6 +289,46 @@ def test_sink_schema_evolution_widens_bucketed_base(spark, tmp_path):
     assert got[7] == ("v7b", "us") and got[2] == ("v2w", "eu")
 
 
+def test_sink_widening_detected_without_base_columns_meta(spark, tmp_path):
+    """Pre-meta tables (meta lacks ``base_columns``, which read_buckets
+    explicitly tolerates): the widening decision falls back to ONE
+    parquet-footer read of the live base instead of silently assuming
+    not-widening — the r12 meta-only shortcut would have routed the
+    widening batch through publish_incremental and hard-linked
+    old-schema unchanged buckets next to new-schema changed ones (a
+    torn table schema). ADVICE r12 → fixed r13."""
+    import json
+    import os
+
+    path = str(tmp_path / "premeta")
+    table = VersionedTable(path, bucket_cols=["k"], num_buckets=4)
+    sink = cdc_merge_sink(spark, table, ["k"], "__seq", op_col="__op")
+    sink(_batches(spark)[0], 0)
+    # simulate a pre-meta/externally-created table: strip base_columns
+    meta_path = os.path.join(path, "_META")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert "base_columns" in meta
+    del meta["base_columns"]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    assert table.base_columns_resolved() is not None  # footer fallback
+    wide = spark.createDataFrame(
+        [(2, "v2w", 22.0, "eu", 5, "U")],
+        "k int, v string, amt double, region string, __seq int, __op string",
+    )
+    esink = cdc_merge_sink(
+        spark, table, ["k"], "__seq", op_col="__op", evolve=True
+    )
+    esink(wide, 1)
+    df = table.read(spark)
+    # widening went through the full-rewrite path: every bucket carries
+    # the new schema, history is NULL-backfilled, nothing is torn
+    assert set(df.columns) == {"k", "v", "amt", "region"}
+    got = {r["k"]: r["region"] for r in df.collect()}
+    assert got[2] == "eu" and got[5] is None
+
+
 def test_reopen_adopts_bucket_meta_and_rejects_conflicts(spark, tmp_path):
     path = str(tmp_path / "meta")
     t = VersionedTable(path, bucket_cols=["k"], num_buckets=4)

@@ -8,8 +8,9 @@ by neighbors' GC/eviction.
 
 Usage:
     python tools/optbench.py q107 q93 ...        # time (min-of-3, sf0.1)
-    python tools/optbench.py --plans q107 ...    # also dump explain to plans/r12/
-    python tools/optbench.py --suffix after q107 # plans/r12/<q>_after.txt
+    python tools/optbench.py --plans q107 ...    # also dump explain to plans/r13/
+    python tools/optbench.py --suffix after q107 # plans/r13/<q>_after.txt
+    python tools/optbench.py --plans-dir plans/r13 ...
     python tools/optbench.py --all               # every registry query
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
@@ -34,6 +35,7 @@ def main() -> int:
     ap.add_argument("--plans", action="store_true", help="dump explain('formatted')")
     ap.add_argument("--suffix", default="before", help="plan file suffix")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--plans-dir", default="plans/r13")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
@@ -65,10 +67,11 @@ def main() -> int:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
+    if args.repeats < 1:
+        ap.error("--repeats must be >= 1")
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans",
-        "r12",
+        *args.plans_dir.split("/"),
     )
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
