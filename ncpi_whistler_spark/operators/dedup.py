@@ -113,7 +113,16 @@ def shingle_rows(
     out = agg.select(
         "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
     )
-    return out.persist() if persist else out
+    if not persist:
+        return out
+    from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+    # r13: eager barrier instead of lazy persist — the 2-7 consumers'
+    # stage jobs are submitted concurrently by AQE and each re-ran this
+    # whole pipeline on a cold cache (interleaved cold A/B: q24
+    # 10.7-159 s lazy vs 2.9-17.2 s barriered, q79 7.3-115 s vs
+    # 3.8-21.9 s, every aligned rep ahead; same mechanism as q94).
+    return materialize_shared(out)
 
 
 def ngram_jaccard_pairs(
@@ -452,7 +461,9 @@ def dedup_against_corpus(
     # (bench.py does), or pass persist=False to trade recompute for
     # memory (same contract as shingle_rows).
     if persist:
-        cand = cand.persist()
+        from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+        cand = materialize_shared(cand)
     # verify shingles ONLY candidate docs (semi-join both sides first):
     # otherwise every ingest re-tokenizes the whole settled corpus and
     # the stored index buys nothing — verify cost must be ∝ candidates.
@@ -497,9 +508,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     # |docs|-row signature frame feeds both band-join sides: persist so
-    # the signature aggregation runs once. sig_mode='arrow' swaps in the
-    # bit-identical vectorized signature build (minhash_signatures_arrow)
-    # — the measured hot stage of the fuzzy-dedup pipelines.
+    # the signature aggregation runs once. Measured r13 and kept LAZY:
+    # stacking an eager materialize_shared barrier here on top of the
+    # shingle barrier LOST 15-30% on 5-rep interleaved cold A/B (q27
+    # med 3.17→4.29, q80 5.49→6.30, q39 4.27→4.68) — the signature
+    # build from the checkpointed shingle table is one cheap map pass
+    # whose raced duplicate hides in idle cores, while the extra
+    # barrier job serializes the pipeline. sig_mode='arrow' swaps in
+    # the bit-identical vectorized signature build
+    # (minhash_signatures_arrow) — the measured hot stage of the
+    # fuzzy-dedup pipelines.
     sig_builder = (
         minhash_signatures_arrow if sig_mode == "arrow" else minhash_signatures
     )
@@ -755,9 +773,12 @@ def simhash_pairs(
     the chunk key; no all-pairs."""
     width = (60 if hash_fn == "md5" else 64) // blocks
     # the sketch frame is |docs| rows (tiny next to the corpus) and feeds
-    # BOTH self-join sides — persist so the token explode + 64-column
-    # aggregation runs once, not twice
-    s = simhash_sketches(df, text_col, id_col, hash_fn).persist()
+    # BOTH self-join sides — eager barrier so the token explode +
+    # 64-column aggregation runs once, not once per concurrent side
+    # (materialize_shared: lazy persist raced under AQE, r13)
+    from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+    s = materialize_shared(simhash_sketches(df, text_col, id_col, hash_fn))
     chunk_structs = [
         F.struct(
             F.lit(i).alias("blk"),

@@ -175,11 +175,14 @@ def bigram_lm_scores(
     # jobs at sf0.1). Spread the single-file input, tokenize ONCE into a
     # persisted (id, toks) frame, and derive everything from it
     # (guide §2.4/§5; cache lifetime as in gopher_repetition_profile).
-    from ncpi_whistler_spark.operators.tuning import spread_small_input
+    from ncpi_whistler_spark.operators.tuning import (
+        materialize_shared,
+        spread_small_input,
+    )
 
     tdf = _toks_df(spread_small_input(df), text_col, id_col)
     if model is None:
-        tdf = tdf.persist()
+        tdf = materialize_shared(tdf)
     bg = _bigram_pairs(tdf)
     bgc = bg.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
 
@@ -190,12 +193,11 @@ def bigram_lm_scores(
         # cannot silently diverge the two paths). Global bigram counts
         # fold over the per-doc counts (same sums, one explode instead
         # of two); unigram counts and V share the persisted tokens.
-        bgc = bgc.persist()
-        c1 = (
+        bgc = materialize_shared(bgc)
+        c1 = materialize_shared(
             tdf.select(F.explode("toks").alias("tok"))
             .groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c1"))
-            .persist()
         )
         vocab = c1.agg(F.count(F.lit(1)).alias("v"))
         c2 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
@@ -300,7 +302,10 @@ def dsir_importance_weights(
     # string is ever concatenated or digested, and no window sort exists
     # anywhere. The per-token digest is the dominant map cost, so a
     # single-file input is spread first (no-op at production widths).
-    from ncpi_whistler_spark.operators.tuning import spread_small_input
+    from ncpi_whistler_spark.operators.tuning import (
+        materialize_shared,
+        spread_small_input,
+    )
 
     df = spread_small_input(df)
     toks = tokens(text_col)
@@ -332,15 +337,13 @@ def dsir_importance_weights(
     # and the scoring join), and without materialization each broadcast
     # build re-runs the whole digest+explode+aggregate pipeline
     # (measured: five ~1 s 2-task jobs at sf0.1 — the md5 pass times 5).
-    # Persisting the compacted per-(doc, bucket) counts — orders of
-    # magnitude smaller than the feature stream — computes it once
-    # (guide §5: reused AND expensive to recompute; the cache lives as
-    # long as the returned lazy frame, bench.py clearCache()s between
-    # queries).
-    fc = (
-        feats.groupBy("id", "is_t", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+    # The compacted per-(doc, bucket) counts — orders of magnitude
+    # smaller than the feature stream — are computed ONCE behind an
+    # eager barrier (materialize_shared; the r12 lazy persist still
+    # raced under AQE's concurrent broadcast-build jobs on a cold
+    # cache — guide §5: reused AND expensive to recompute).
+    fc = materialize_shared(
+        feats.groupBy("id", "is_t", "bucket").agg(F.count(F.lit(1)).alias("n"))
     )
 
     raw = fc.groupBy("bucket").agg(F.sum("n").alias("r_k"))

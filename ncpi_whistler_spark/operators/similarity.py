@@ -864,10 +864,10 @@ def semantic_dedup(
         # no trainable vector anywhere → nothing to compare
         return nogeom
     assign = _ASSIGN_MODES[assign_mode]
-    # persisted: a, b, and the output join all consume this frame — the
-    # per-vector assignment + norm would otherwise run 3x per call. The
-    # cache lives as long as the returned lazy frame; long-lived sessions
-    # should clearCache() between corpus passes (bench.py does).
+    # barriered: a, b, and the output join all consume this frame — the
+    # per-vector Arrow assignment + norm would otherwise run up to 3x
+    # per call (lazy persist raced under AQE's concurrent consumer
+    # jobs — materialize_shared, r13).
     v = _vecs(corpus, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -887,7 +887,9 @@ def semantic_dedup(
         # cluster out of the list and lose pairs that hard assignment
         # finds — soft assignment must be a strict superset of hard.
         v = v.withColumn("probes", F.array_union(F.array("cid"), "probes"))
-    v = v.persist()
+    from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+    v = materialize_shared(v)
     join_key = "cid" if nprobe == 1 else "pcid"
     pair_src = (
         v

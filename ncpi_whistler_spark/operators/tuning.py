@@ -58,6 +58,34 @@ def _parse_bytes(v: str, default: int) -> int:
     return int(m.group(1)) * _SIZE_MULT[m.group(2).lower()]
 
 
+def materialize_shared(df: DataFrame) -> DataFrame:
+    """Materialization BARRIER for a frame consumed by multiple
+    concurrent plan subtrees (self-join sides, broadcast builds, fan-out
+    aggregations). A lazy ``persist()`` is NOT a barrier: AQE submits
+    independent consumer subtrees' stage jobs concurrently, and a job
+    does not wait on another job's in-flight cache partitions — on a
+    cold cache each consumer can re-execute the full upstream pipeline.
+    Measured r13 (per-rep-cold, UI job profiles): q94's shared window
+    frame re-ran its exchange+sort 14× under the lazy persist (467
+    tasks vs 155 with the barrier); q24/q79's shingle table showed the
+    same multi-x materialization on every cold rep. The eager
+    ``localCheckpoint`` computes the frame exactly once, up front, and
+    every consumer scans the checkpointed blocks; it also truncates the
+    lineage, which keeps the 5-10-consumer plans small.
+
+    Trade-off: local checkpoint blocks are executor-local — a lost
+    executor cannot recompute them (single-node/bench posture, same as
+    the CC loop's default `_lineage_cutter`); pass-through of a
+    reliable checkpoint tier is the cluster story. The barrier also
+    runs at plan-BUILD time, so callers that only want the lazy plan
+    pay the materialization — every current caller executes the frame
+    anyway. ``SPARK_GRAFT_SHARED_MODE=persist`` restores the r12 lazy
+    cache (the A/B hook used to measure this; not a tuning knob)."""
+    if os.environ.get("SPARK_GRAFT_SHARED_MODE") == "persist":
+        return df.persist()
+    return df.localCheckpoint(eager=True)
+
+
 def spread_small_input(
     df: DataFrame, target_bytes: int = VECTOR_TARGET_BYTES
 ) -> DataFrame:

@@ -1265,11 +1265,15 @@ def q35_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window=16/keep_every=16: sparse selection keeps the inverted index
     # small on low-entropy corpora; require a large shared-hash count so
     # the pair set stays near-dup-sized at any sf
-    # persist: the fp frame feeds 3 consumers (df histogram + both pair
-    # join sides); without it the Arrow fingerprint pass runs 3×
-    fp = winnowing_fingerprint_rows_arrow(
-        docs, window=16, keep_every=16, hash_fn="kr"
-    ).persist()
+    # barrier: the fp frame feeds 3 consumers (df histogram + both pair
+    # join sides); a lazy persist let the Arrow fingerprint pass run up
+    # to 3× under AQE's concurrent consumer jobs (materialize_shared,
+    # r13 — the q94/q24 cache-race fix)
+    from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+    fp = materialize_shared(
+        winnowing_fingerprint_rows_arrow(docs, window=16, keep_every=16, hash_fn="kr")
+    )
     return winnowing_shared_pairs(fp, min_shared=10, max_df=50)
 
 
