@@ -4840,6 +4840,13 @@ def q107_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             op_col="__op",
             bucket_cols=["o_orderkey"],
             num_buckets=32,
+            # r13: this query never reads the stored change feed (its
+            # result is the merged table; q112/q113 are the feed
+            # consumers), so don't pay the per-publish pre-image
+            # semi-join + feed diff + parquet write the sink's default
+            # stores (guide §1.2: don't compute things you throw away —
+            # the per-phase profile put _write_feed at ~0.7 s/publish)
+            store_feed=False,
         )
     return table.read(spark)
 
@@ -5259,6 +5266,10 @@ def q113_cdf_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             cdc_merge_sink(
                 spark, b, keys=["o_orderkey"], seq_col="__pubseq",
                 op_col="change_op",
+                # r13: nothing subscribes to the MIRROR's feed (the
+                # query returns B's state); skip the per-publish diff +
+                # feed write the default would store (guide §1.2)
+                store_feed=False,
             )
         )
         .option("checkpointLocation", os.path.join(workdir, "cp"))

@@ -20,12 +20,15 @@ from pyspark.sql import functions as F
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-directory stream of the events table (schema pinned from a
     batch read; nanos ts converted exactly like the batch catalog)."""
-    from ncpi_whistler_spark.catalog import ensure_event_time, load_table
+    from ncpi_whistler_spark.catalog import ensure_event_time
 
     import os
 
-    batch = load_table(spark, sf_dir, "events")
     path = f"{sf_dir}/events.parquet"
+    # ONE schema derivation (footer read). r13: the old code ALSO built
+    # the batch catalog frame just to hold it (`_ = batch`) — a second
+    # schema-inference pass per stream construction, pure overhead in
+    # the per-query lifecycle profile.
     raw_schema = spark.read.parquet(path).schema
     # File streams need a directory source. Two fixture layouts exist:
     # the driver's single FILE named events.parquet (stream the parent
@@ -43,9 +46,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir)
         )
     # Watermarks require TIMESTAMP; normalize bigint-nanos / TIMESTAMP_NTZ.
-    stream = ensure_event_time(stream, "ts")
-    _ = batch  # keeps schema derivation honest if fixtures change
-    return stream
+    return ensure_event_time(stream, "ts")
 
 
 #: Canonical events record schema — the contract every streaming source

@@ -71,3 +71,36 @@ def test_parse_bytes_units():
     assert _parse_bytes("1g", 0) == 1 << 30
     assert _parse_bytes("weird", 42) == 42
     assert VECTOR_TARGET_BYTES == 128 << 10
+
+
+def test_materialize_shared_is_a_barrier_with_identical_rows(spark):
+    """materialize_shared (r13): the returned frame scans checkpointed
+    blocks (no upstream re-execution per consumer — the executed plan
+    has no Exchange/Window from the original pipeline) and rows are
+    identical; SPARK_GRAFT_SHARED_MODE=persist restores the r12 lazy
+    cache (the A/B hook)."""
+    from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+    src = (
+        spark.range(500)
+        .select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    cut = materialize_shared(src)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan and "Exchange" not in plan
+    assert sorted(map(tuple, cut.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_materialize_shared_env_hook_restores_lazy_persist(spark, monkeypatch):
+    from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_MODE", "persist")
+    src = spark.range(100).select(F.col("id").alias("k"))
+    cut = materialize_shared(src)
+    try:
+        assert cut.storageLevel.useMemory  # persisted, not checkpointed
+        assert cut.count() == 100
+    finally:
+        cut.unpersist()
