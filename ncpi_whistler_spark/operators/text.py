@@ -829,13 +829,15 @@ def gopher_repetition_profile(
     # checkpoint is taken on the NARROW lookahead frame (id, pos, L,
     # t0..t{max_n-1}) — ~40% of the bytes of the per-grain n-gram
     # strings — and every grain's concat is re-derived from it as
-    # cheap codegen map work, no re-sort. Local checkpoint trades
-    # recompute-on-executor-loss for speed (the CC-loop precedent);
-    # at cluster scale prefer a reliable checkpoint_dir tier if the
-    # corpus pass is expensive to replay.
-    looked = tok.select(
-        "id", "pos", F.length("tok").alias("L"), *lead_cols
-    ).localCheckpoint(eager=True)
+    # cheap codegen map work, no re-sort. materialize_shared picks the
+    # barrier durability by master: localCheckpoint on single-JVM
+    # local[N], persist+eager-count (lineage retained, executor-loss
+    # recoverable) on multi-JVM masters.
+    from ncpi_whistler_spark.operators.tuning import materialize_shared
+
+    looked = materialize_shared(
+        tok.select("id", "pos", F.length("tok").alias("L"), *lead_cols)
+    )
     shared = looked.select("id", "pos", "L", *ng_cols)
     totals = shared.groupBy("id").agg(F.sum("L").alias("total_chars"))
 

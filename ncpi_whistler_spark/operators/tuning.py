@@ -73,17 +73,36 @@ def materialize_shared(df: DataFrame) -> DataFrame:
     every consumer scans the checkpointed blocks; it also truncates the
     lineage, which keeps the 5-10-consumer plans small.
 
-    Trade-off: local checkpoint blocks are executor-local — a lost
-    executor cannot recompute them (single-node/bench posture, same as
-    the CC loop's default `_lineage_cutter`); pass-through of a
-    reliable checkpoint tier is the cluster story. The barrier also
-    runs at plan-BUILD time, so callers that only want the lazy plan
-    pay the materialization — every current caller executes the frame
-    anyway. ``SPARK_GRAFT_SHARED_MODE=persist`` restores the r12 lazy
-    cache (the A/B hook used to measure this; not a tuning knob)."""
+    Mode-aware durability: local checkpoint blocks are executor-local —
+    a LOST EXECUTOR cannot recompute them and the whole query dies
+    (caught by tools/faultinject --mode cluster when this helper first
+    shipped as unconditional localCheckpoint: the SIGKILLed executor's
+    shingle blocks were gone and recovery failed). On a single-JVM
+    ``local[N]`` master there is no executor to lose, so the checkpoint
+    is safe and fastest; on ANY multi-JVM master (local-cluster,
+    standalone, YARN, K8s) the barrier is ``persist()`` + an eager
+    ``count()`` — the same materialize-once semantics with lineage
+    RETAINED, so executor loss recomputes lost cache partitions
+    instead of failing the query. The barrier runs at plan-BUILD time,
+    so callers that only want the lazy plan pay the materialization —
+    every current caller executes the frame anyway.
+    ``SPARK_GRAFT_SHARED_MODE=persist`` restores the r12 lazy cache
+    (the A/B hook used to measure this; not a tuning knob)."""
     if os.environ.get("SPARK_GRAFT_SHARED_MODE") == "persist":
         return df.persist()
-    return df.localCheckpoint(eager=True)
+    if _single_jvm_master(df.sparkSession.sparkContext.master or ""):
+        return df.localCheckpoint(eager=True)
+    out = df.persist()
+    out.count()
+    return out
+
+
+def _single_jvm_master(master: str) -> bool:
+    """True only for single-JVM local masters (local / local[N] /
+    local[N,F] / local[*]) where an executor can never be lost. NOT
+    true for local-cluster[...] (multi-JVM: real executor loss, used
+    by the fault-injection suite) or any cluster manager URL."""
+    return re.fullmatch(r"local(\[[^\]]*\])?", master) is not None
 
 
 def spread_small_input(

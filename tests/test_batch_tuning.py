@@ -104,3 +104,17 @@ def test_materialize_shared_env_hook_restores_lazy_persist(spark, monkeypatch):
         assert cut.count() == 100
     finally:
         cut.unpersist()
+
+
+def test_single_jvm_master_classifier():
+    """materialize_shared only localCheckpoints where an executor can
+    never be lost; every multi-JVM master takes the persist+eager-count
+    barrier (lineage retained — the faultinject cluster suite SIGKILLs
+    executors and must recover)."""
+    from ncpi_whistler_spark.operators.tuning import _single_jvm_master
+
+    for m in ("local", "local[4]", "local[*]", "local[4,2]"):
+        assert _single_jvm_master(m), m
+    for m in ("local-cluster[2,1,1024]", "spark://host:7077", "yarn",
+              "k8s://https://host:443", ""):
+        assert not _single_jvm_master(m), m
